@@ -1,0 +1,75 @@
+"""Loaders for the driver's synthetic tables and the events->observations recast.
+
+The reference's serving store is keyed ``TENANT#<t> / ENTITY#<type>#<id>``
+(services/persist/handler.ts:20-26).  For oracle-checkable serving queries we
+recast the synthetic ``events`` stream as an observations fact table with the
+same logical shape: tenant = hash-bucket of user, patient = user, code =
+event_type, effective = ts.  The recast is pure column arithmetic so the DuckDB
+oracle can state the identical mapping in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the driver's testdata writes TIMESTAMP(NANOS) parquet; set the
+        # runtime conf so any caller-provided session can read it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as a
+    # bigint of epoch-nanos — convert to TimestampType at microsecond grain
+    # (integer division: ns magnitudes exceed double's exact range).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events recast as the observation fact table (see module docstring).
+
+    SQL twin (DuckDB):
+        SELECT 't' || CAST(user_id % 10 AS VARCHAR) AS tenantId,
+               'p' || CAST(user_id AS VARCHAR)      AS patientId,
+               event_type                            AS code,
+               value,
+               '1'                                   AS unit,
+               ts                                    AS effectiveDateTime,
+               event_id                              AS obsId
+        FROM events
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 10).cast("string")).alias("tenantId"),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("patientId"),
+        F.col("event_type").alias("code"),
+        F.col("value"),
+        F.lit("1").alias("unit"),
+        F.col("ts").alias("effectiveDateTime"),
+        F.col("event_id").alias("obsId"),
+        F.col("props"),
+    )
+
+
+OBSERVATIONS_ORACLE_CTE = """
+obs AS (
+  SELECT 't' || CAST(user_id % 10 AS VARCHAR) AS tenantId,
+         'p' || CAST(user_id AS VARCHAR)      AS patientId,
+         event_type                           AS code,
+         value,
+         '1'                                  AS unit,
+         ts                                   AS effectiveDateTime,
+         event_id                             AS obsId,
+         props
+  FROM events
+)
+"""

@@ -1,0 +1,147 @@
+"""Text-analysis column helpers: tokenization, shingles, minhash, simhash.
+
+All pure column expressions (no Python UDFs) so they vectorize through
+whole-stage codegen and scale linearly with executors.  Hashes are built from
+sha256 hex substrings — chosen because sha256 is the one hash function whose
+bytes are identical across engines (Spark `sha2` == DuckDB `sha256`), which
+makes every one of these operators oracle-checkable.
+
+A lexicographic MIN over fixed-width hex strings equals the numeric MIN of the
+underlying values, so minhash works on hex strings directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenizer: runs of alphanumerics (cross-dialect-safe regex).
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (split on runs of whitespace)."""
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alphanumeric runs plus isolated punctuation."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+|[^a-z0-9\\s]"), 0))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined) from the token stream."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16, width: int = 12) -> list[Column]:
+    """num_hashes minhash values: for seed i, min over shingles of
+    substr(sha256(i || ':' || shingle), 1, width).  Empty shingle set -> NULL."""
+    sig = []
+    for i in range(num_hashes):
+        hashed = F.transform(shingles, lambda s, i=i: F.substring(F.sha2(F.concat(F.lit(f"{i}:"), s), 256), 1, width))
+        sig.append(F.array_min(hashed).alias(f"mh{i}"))
+    return sig
+
+
+def band_keys(shingles: Column, bands: int = 4, rows: int = 4, width: int = 12) -> list[Column]:
+    """LSH band keys: concat of `rows` consecutive minhash values per band.
+    Documents sharing any band key are near-duplicate candidates."""
+    sig = minhash_signature(shingles, num_hashes=bands * rows, width=width)
+    keys = []
+    for b in range(bands):
+        keys.append(F.concat_ws("", *sig[b * rows : (b + 1) * rows]).alias(f"band{b}"))
+    return keys
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit simhash fingerprint as a '0'/'1' string of length 16.
+
+    For each token t, bit i of its hash = high bit of the i-th hex digit of
+    sha256(t) (i.e. digit in 89abcdef).  Fingerprint bit i = majority vote
+    (+1/-1 sum > 0) across tokens.  Cross-engine reproducible in ANSI SQL.
+    """
+    toks = tokens(text)
+    bits = []
+    for i in range(1, 17):
+        contrib = F.transform(
+            toks,
+            lambda t, i=i: F.when(
+                F.substring(F.sha2(t, 256), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+# --- language ID (stopword-score heuristic) --------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts over the token stream."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        out[lang] = F.size(F.filter(toks, lambda t, w=tuple(words): t.isin(*w)))
+    return out
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax language by stopword score; ties broken by fixed lang order;
+    all-zero -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS.keys())
+    # fold left-to-right: current best kept unless strictly greater score,
+    # so earlier languages win ties deterministically
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality metrics (all exact-arithmetic, oracle-safe)."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()-]", ""))
+    n_space = F.length(F.regexp_replace(text, "[^ ]", ""))
+    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    toks = token_count_ws(text)
+    return {
+        "n_chars": n_chars,
+        "n_alpha": n_alpha,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+        "n_space": n_space,
+        "n_upper": n_upper,
+        "n_tokens_ws": toks,
+    }
+
+
+def rolling_fingerprint(text: Column, k: int = 5, width: int = 16) -> Column:
+    """Document fingerprint: min sha256-substring over k-word shingles
+    (winnowing-style content fingerprint; stable under small edits at the
+    ends of the document)."""
+    sh = word_shingles(text, k)
+    hashed = F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, width))
+    return F.array_min(hashed)

@@ -1,0 +1,145 @@
+"""U1-U4: the idempotent versioned state store (the DynamoDB table, rebuilt).
+
+Reference semantics (services/persist/handler.ts:20-80):
+
+* key = (tenant, entityType, entityId)  (PK/SK string templates, handler.ts:20-26;
+  in this engine keys are real columns — partition/sort layout replaces the
+  GSI key strings, SURVEY §2.6 U4)
+* conditional upsert: write only if ``attribute_not_exists(idempotencyKey) OR
+  idempotencyKey <> :idk`` (handler.ts:53) — a same-key retry is a no-op
+* version = ``if_not_exists(version, 0) + 1`` on every effective write
+  (handler.ts:51)
+* commit-log emission of what was written (handler.ts:83-110, U3)
+
+Spark-first: MERGE semantics as a full-outer join between current state and
+the (deduplicated, U2) batch.  On disk the store is parquet partitioned by
+``tenantId``; a merge only reads + rewrites the partitions that appear in the
+batch (dynamic partition overwrite), which is the scale story: merging a
+tenant's micro-batch into a 100 TB store touches only that tenant's files.
+With Delta available this maps 1:1 onto ``MERGE INTO`` — the parquet fallback
+is self-contained here (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MERGE_KEYS = ["tenantId", "entityType", "entityId"]
+ACTION_COL = "_action"  # insert | update | noop
+
+
+def dedup_batch(batch: DataFrame, order_col: str = "effectiveDateTime", keys: list[str] | None = None) -> DataFrame:
+    """U2: within-batch dedup — last record per key wins, mirroring the
+    sequential overwrite order of the reference's per-record loop under
+    at-least-once delivery (SQS maxReceiveCount redelivery)."""
+    keys = keys or MERGE_KEYS
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last())
+    return batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def merge_frames(state: DataFrame, batch: DataFrame, updated_at, keys: list[str] | None = None) -> DataFrame:
+    """U1 as a pure DataFrame transform: returns the new state with an
+    ``_action`` column (insert/update/noop) for commit-log emission (U3).
+
+    ``state`` must carry ``version`` and ``updatedAt``; ``batch`` must carry
+    the same value columns as state minus those two.
+    """
+    keys = keys or MERGE_KEYS
+    value_cols = [c for c in batch.columns if c not in keys]
+    s = state.select(*keys, F.struct(*[c for c in state.columns if c not in keys]).alias("_s"))
+    b = batch.select(*keys, F.struct(*value_cols).alias("_b"))
+    j = s.join(b, keys, "full_outer")
+
+    s_ = lambda c: F.col(f"_s.{c}")  # noqa: E731
+    b_ = lambda c: F.col(f"_b.{c}")  # noqa: E731
+    has_s = F.col("_s").isNotNull()
+    has_b = F.col("_b").isNotNull()
+    # the reference's ConditionExpression (handler.ts:53)
+    effective_write = has_b & (~has_s | (s_("idempotencyKey") != b_("idempotencyKey")))
+
+    out_cols = [F.col(k) for k in keys]
+    for c in value_cols:
+        out_cols.append(F.when(effective_write, b_(c)).otherwise(s_(c)).alias(c))
+    out_cols.append(
+        F.when(~has_s, F.lit(1))
+        .when(effective_write, s_("version") + F.lit(1))
+        .otherwise(s_("version"))
+        .cast("long")
+        .alias("version")
+    )
+    out_cols.append(F.when(effective_write, F.lit(updated_at)).otherwise(s_("updatedAt")).alias("updatedAt"))
+    out_cols.append(
+        F.when(~has_s, F.lit("insert"))
+        .when(effective_write, F.lit("update"))
+        .otherwise(F.lit("noop"))
+        .alias(ACTION_COL)
+    )
+    return j.select(*out_cols)
+
+
+class ParquetStateStore:
+    """The serving-store on parquet, partitioned by tenantId.
+
+    GSI2's (patient, time) timeline becomes an in-file sort
+    (``sortWithinPartitions``) so parquet min/max stats give data skipping on
+    patient/time predicates — the Spark analog of the reference's timeline
+    index (SURVEY §4).
+    """
+
+    def __init__(self, spark, path: str, keys: list[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.keys = keys or MERGE_KEYS
+
+    def exists(self) -> bool:
+        from py4j.protocol import Py4JJavaError  # noqa: F401
+
+        try:
+            self.spark.read.parquet(self.path).limit(0).collect()
+            return True
+        except Exception:
+            return False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, batch: DataFrame, updated_at, order_col: str = "effectiveDateTime") -> DataFrame:
+        """U1+U2+U3: dedup the batch, merge into the store rewriting only the
+        tenant partitions present in the batch; returns the commit log
+        (etl.persisted.v1 analog: key cols + version + action)."""
+        batch = dedup_batch(batch, order_col=order_col, keys=self.keys)
+        if not self.exists():
+            new_state = merge_frames(
+                self.spark.createDataFrame([], batch.schema)
+                .withColumn("version", F.lit(1).cast("long"))
+                .withColumn("updatedAt", F.lit(updated_at).cast("timestamp")),
+                batch,
+                updated_at,
+                keys=self.keys,
+            )
+            (
+                new_state.drop(ACTION_COL)
+                .repartition("tenantId")
+                .sortWithinPartitions("patientId", "effectiveDateTime")
+                .write.mode("overwrite")
+                .partitionBy("tenantId")
+                .parquet(self.path)
+            )
+            return new_state.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
+
+        tenants = [r[0] for r in batch.select("tenantId").distinct().collect()]
+        state = self.read().where(F.col("tenantId").isin(tenants))
+        merged = merge_frames(state, batch, updated_at, keys=self.keys).cache()
+        commit_log = merged.select(*self.keys, "version", F.col(ACTION_COL).alias(ACTION_COL))
+        (
+            merged.drop(ACTION_COL)
+            .repartition("tenantId")
+            .sortWithinPartitions("patientId", "effectiveDateTime")
+            .write.mode("overwrite")
+            .partitionBy("tenantId")
+            .parquet(self.path)  # dynamic partitionOverwriteMode: only batch tenants rewritten
+        )
+        out = commit_log.select(*self.keys, "version", F.col(ACTION_COL).alias("action")).localCheckpoint()
+        merged.unpersist()
+        return out

@@ -1,0 +1,594 @@
+"""The declared query registry: every SURVEY §2 operator as a named query with
+a DuckDB-oracle SQL twin (the driver's correctness gate).
+
+Cross-engine determinism conventions (see SURVEY §7.3):
+
+* aggregates computed in DECIMAL (exact) and cast to DOUBLE at the end —
+  identical bits in both engines, no float-accumulation-order drift;
+* timestamps returned as epoch microseconds (Spark ``unix_micros`` == DuckDB
+  ``epoch_us``) — no string-format or precision drift;
+* sha256 is the only hash used (Spark ``sha2(x,256)`` == DuckDB ``sha256``);
+* every LIMIT/top-k query carries a total tiebreak order;
+* integer-derived single-op doubles (ratios of counts) are bit-exact across
+  engines and used unrounded.
+
+The registry maps 1:1 onto ``__spark_entry__.queries()`` / ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..datasets import OBSERVATIONS_ORACLE_CTE, load_table, observations
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+WITH_OBS = "WITH " + OBSERVATIONS_ORACLE_CTE
+
+
+# ===========================================================================
+# §2.8 serving queries Q1-Q6 (over customer + the events->observations recast)
+# ===========================================================================
+
+
+@register(
+    "q1_get_patient",
+    sql="""
+    SELECT c_custkey AS patientId, c_name AS name, c_acctbal AS acctbal,
+           c_mktsegment AS segment
+    FROM customer WHERE c_custkey = 42
+    """,
+    doc="Q1 getPatient: tenant-scoped point lookup, fixed projection "
+    "(api-query/src/handler.ts:40-53).",
+)
+def q1_get_patient(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 42)
+        .select(
+            F.col("c_custkey").alias("patientId"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "q2_observations_by_patient",
+    sql=WITH_OBS
+    + """
+    SELECT obsId, code, value, epoch_us(effectiveDateTime) AS eff_us
+    FROM obs
+    WHERE tenantId = 't3' AND patientId = 'p13'
+      AND effectiveDateTime >= TIMESTAMP '2024-01-05 00:00:00'
+      AND effectiveDateTime <= TIMESTAMP '2024-01-25 00:00:00'
+    ORDER BY effectiveDateTime, obsId LIMIT 25
+    """,
+    doc="Q2 observationsByPatient: timeline range scan, asc, clamped limit "
+    "(api-query/src/handler.ts:64-108).",
+)
+def q2_observations_by_patient(spark, sf_dir):
+    o = observations(spark, sf_dir)
+    return (
+        o.where(
+            (F.col("tenantId") == "t3")
+            & (F.col("patientId") == "p13")
+            & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("effectiveDateTime") <= F.lit("2024-01-25 00:00:00"))
+        )
+        .orderBy("effectiveDateTime", "obsId")
+        .limit(25)
+        .select("obsId", "code", "value", F.unix_micros("effectiveDateTime").alias("eff_us"))
+    )
+
+
+@register(
+    "q3_latest_observation",
+    sql=WITH_OBS
+    + """
+    SELECT tenantId, patientId, code, value,
+           epoch_us(effectiveDateTime) AS eff_us, obsId
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY tenantId, patientId, code
+        ORDER BY effectiveDateTime DESC, obsId DESC) AS rn
+      FROM obs
+    ) WHERE rn = 1 AND tenantId = 't1'
+    """,
+    doc="Q3 latestObservation, true latest per (patient, code) — implements the "
+    "intended semantics, not the reference's 50-row scan-window bug "
+    "(api-query/src/handler.ts:110-139; SURVEY §2.8).",
+)
+def q3_latest_observation(spark, sf_dir):
+    o = observations(spark, sf_dir).where(F.col("tenantId") == "t1")
+    cols = ["tenantId", "patientId", "code", "value", "effectiveDateTime", "obsId"]
+    # max_by on (ts, obsId) tiebreak: single partial-aggregable shuffle, no sort
+    return (
+        o.groupBy("tenantId", "patientId", "code")
+        .agg(F.max_by(F.struct(*cols), F.struct(F.col("effectiveDateTime"), F.col("obsId"))).alias("r"))
+        .select(
+            "r.tenantId",
+            "r.patientId",
+            "r.code",
+            "r.value",
+            F.unix_micros("r.effectiveDateTime").alias("eff_us"),
+            "r.obsId",
+        )
+    )
+
+
+@register(
+    "q6_tenant_scan",
+    sql=WITH_OBS
+    + """
+    SELECT patientId, code, value, obsId
+    FROM obs WHERE tenantId = 't7' AND code LIKE 'p%'
+    """,
+    doc="Q6 tenant scan with begins_with predicate "
+    "(docs/VALIDATION.md:163-168; SK begins_with analog).",
+)
+def q6_tenant_scan(spark, sf_dir):
+    o = observations(spark, sf_dir)
+    return o.where((F.col("tenantId") == "t7") & F.col("code").like("p%")).select(
+        "patientId", "code", "value", "obsId"
+    )
+
+
+@register(
+    "q5_health_report",
+    sql="""
+    SELECT epoch_us(date_trunc('minute', ts)) AS minute_us,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS DOUBLE) AS value_sum
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-01 06:00:00'
+    GROUP BY 1
+    """,
+    doc="Q5/G1 health report: per-minute counters + error sums over a bounded "
+    "window (services/health-api/src/handler.ts:58-80, Period 60 Stat Sum).",
+)
+def q5_health_report(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("ts") < F.lit("2024-01-01 06:00:00"))
+    return (
+        ev.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("value_sum"),
+        )
+        .select(F.unix_micros("w.start").alias("minute_us"), "n_events", "n_errors", "value_sum")
+    )
+
+
+# ===========================================================================
+# §2.4 aggregations G1-G8
+# ===========================================================================
+
+
+@register(
+    "g1_minute_counters",
+    sql="""
+    SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    doc="G1 windowed counter aggregation (libs/obs/metrics.ts:10-17 emission, "
+    "health-api windowed Sum query).",
+)
+def g1_minute_counters(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("value_sum"),
+        )
+        .select(F.unix_micros("w.start").alias("minute_us"), "event_type", "n", "value_sum")
+    )
+
+
+@register(
+    "g2_invalid_ratio",
+    sql="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           count(*) FILTER (WHERE event_type = 'error') AS m1,
+           count(*) FILTER (WHERE event_type <> 'error') AS m2,
+           CASE WHEN (count(*) FILTER (WHERE event_type = 'error'))
+                     + (count(*) FILTER (WHERE event_type <> 'error')) > 0
+                THEN CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+                     / (count(*) FILTER (WHERE event_type = 'error')
+                        + count(*) FILTER (WHERE event_type <> 'error')) * 100
+                ELSE 0 END AS invalid_pct
+    FROM events GROUP BY 1
+    """,
+    doc="G2 derived ratio metric with zero-guard — the invalid%% CloudWatch "
+    "math expression (src/stacks/alarms-stack.ts:60-66).",
+)
+def g2_invalid_ratio(spark, sf_dir):
+    m1 = F.count(F.when(F.col("event_type") == "error", 1))
+    m2 = F.count(F.when(F.col("event_type") != "error", 1))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(m1.alias("m1"), m2.alias("m2"))
+        .select(
+            F.unix_micros("w.start").alias("hour_us"),
+            "m1",
+            "m2",
+            F.when(
+                (F.col("m1") + F.col("m2")) > 0,
+                F.col("m1").cast("double") / (F.col("m1") + F.col("m2")) * 100,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("invalid_pct"),
+        )
+    )
+
+
+@register(
+    "g3_threshold_alarm",
+    sql="""
+    WITH per_min AS (
+      SELECT CAST(epoch(date_trunc('minute', ts)) / 60 AS BIGINT) AS midx,
+             count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), breach AS (
+      SELECT midx, n,
+             midx - row_number() OVER (ORDER BY midx) AS grp
+      FROM per_min WHERE n >= 1
+    ), runs AS (
+      SELECT midx, n, count(*) OVER (PARTITION BY grp) AS run_len
+      FROM breach
+    )
+    SELECT midx * 60000000 AS minute_us, n, run_len
+    FROM runs WHERE run_len >= 2
+    """,
+    doc="G3 threshold alarm over N consecutive evaluation periods (DLQ-depth / "
+    "error alarms, src/stacks/alarms-stack.ts:31-57): minutes with errors "
+    "sustained for >=2 consecutive minutes.",
+)
+def g3_threshold_alarm(spark, sf_dir):
+    per_min = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .groupBy((F.floor(F.unix_timestamp("ts") / 60)).cast("long").alias("midx"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 1)
+    )
+    # after per-minute reduction the data is tiny (<=44k rows/month) — a global
+    # window here is deliberate and documented
+    w = W.orderBy("midx")
+    runs = per_min.withColumn("grp", F.col("midx") - F.row_number().over(w))
+    wr = W.partitionBy("grp")
+    return (
+        runs.withColumn("run_len", F.count("*").over(wr))
+        .where(F.col("run_len") >= 2)
+        .select((F.col("midx") * 60000000).alias("minute_us"), "n", "run_len")
+    )
+
+
+@register(
+    "g4_stage_depth",
+    sql="SELECT event_type AS stage, count(*) AS depth FROM events GROUP BY 1",
+    doc="G4 queue-depth snapshot per stage (services/health-api/src/handler.ts:29-40).",
+)
+def g4_stage_depth(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy(F.col("event_type").alias("stage")).agg(F.count("*").alias("depth"))
+
+
+@register(
+    "g5_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           max(l_quantity) AS mx
+    FROM lineitem GROUP BY 1
+    """,
+    doc="G5 percentile aggregation (p95/p99 consumption, alarms-stack.ts:78-91) "
+    "— exact percentiles; approx_percentile is the scale path (see bench).",
+)
+def g5_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.max("l_quantity").alias("mx"),
+    )
+
+
+@register(
+    "g6_max_by_latest",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
+    """,
+    doc="G6 latest-per-group via max_by — the latestObservation core "
+    "(api-query/src/handler.ts:110-139) generalized.",
+)
+def g6_max_by_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event_id"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+    )  # Spark side stays max_by: partial-aggregable, no per-group sort
+
+
+@register(
+    "g7_tpch_q1",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="G7 standard aggregates — TPC-H Q1 shape over lineitem: grouped "
+    "sum/count/count-distinct with decimal-exact arithmetic.",
+)
+def g7_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "g8_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="G8 rollup multi-grain aggregation (per-tenant/per-stage/total "
+    "dashboard rows of alarms-stack.ts:94-157 at once).",
+)
+def g8_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# ===========================================================================
+# §2.5 joins J1-J6
+# ===========================================================================
+
+
+@register(
+    "j1_broadcast_dim",
+    sql="""
+    SELECT r.r_name AS region, count(*) AS n_suppliers,
+           CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    doc="J1 broadcast equi-join small-dim->fact (the PID->OBX context join "
+    "pattern, libs/adapters/hl7/v2.ts:33-49).",
+)
+def j1_broadcast_dim(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "j2_orders_customer",
+    sql="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="J2 hash equi-join fact<->dim (observation<->patient, "
+    "src/appsync/schema.graphql:16-24); Catalyst picks broadcast vs SMJ.",
+)
+def j2_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j3_semi_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="J3 left semi join (existence check — the tenant-allowlist guard V6 as "
+    "a join, api-query/src/handler.ts:15-19).",
+)
+def j3_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "j4_anti_join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="J4 left anti join (only-write-if-new: the idempotency "
+    "ConditionExpression as a join, services/persist/handler.ts:53).",
+)
+def j4_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j5_range_join",
+    sql="""
+    WITH buckets(bucket, lo, hi) AS (
+      VALUES ('small', 0, 15), ('medium', 15, 35), ('large', 35, 100)
+    )
+    SELECT b.bucket, count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY 1
+    """,
+    doc="J5 theta/range join (observation->reference-range by value-in-range; "
+    "the OBX-7 range field the reference ignores, SURVEY §2.5).",
+)
+def j5_range_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("small", 0, 15), ("medium", 15, 35), ("large", 35, 100)], ["bucket", "lo", "hi"]
+    )
+    return (
+        li.join(F.broadcast(buckets), (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        )
+    )
+
+
+@register(
+    "j5b_asof_join",
+    sql="""
+    WITH purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS prior_click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="J5b as-of join: each purchase matched to the latest prior click of the "
+    "same user — union+window last(ignoreNulls) pattern, no UDF (SURVEY §2.5 J5).",
+)
+def j5b_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts", "value")
+    # As-of via union + window: tag sides, order by (ts, side), carry last click
+    # forward within user.  One shuffle on user_id; no range self-join blowup.
+    tagged = purchases.select(
+        "user_id", F.col("event_id").alias("p_id"), "ts", F.lit(None).cast("long").alias("c_id")
+    ).unionByName(
+        clicks.select("user_id", F.lit(None).cast("long").alias("p_id"), "ts", F.col("event_id").alias("c_id"))
+    )
+    # clicks sort before purchases at equal ts (asof is >=): side 0 = click
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.when(F.col("c_id").isNotNull(), 0).otherwise(1))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = tagged.withColumn("prior_click_id", F.last("c_id", ignorenulls=True).over(w)).withColumn(
+        "prior_click_ts", F.last(F.when(F.col("c_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w)
+    )
+    return (
+        joined.where(F.col("p_id").isNotNull() & F.col("prior_click_id").isNotNull())
+        .select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("prior_click_id"),
+            F.unix_micros("prior_click_ts").alias("click_ts_us"),
+        )
+        .withColumnRenamed("prior_click_id", "prior_click_id")
+    )
+
+
+@register(
+    "j6_star_join",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    doc="J6 multi-way star join (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈"
+    "nation⋈region with dim filters; AQE/CBO pick broadcast order.",
+)
+def j6_star_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    d = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

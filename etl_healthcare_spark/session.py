@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same settings are the ones we would
+ship on a 1000-executor cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, small-partition coalescing)
+  replaces any hand scheduling the reference did with SQS batching.
+* ``spark.sql.shuffle.partitions`` sized to the parallelism of the local box;
+  on a real cluster AQE coalesces from a deliberately-high initial number.
+* Arrow enabled so the few Pandas-UDF code paths (multimodal decode) batch
+  via Arrow instead of per-row pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "etl-healthcare-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark cannot
+        # map to TimestampType — read as long, convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
