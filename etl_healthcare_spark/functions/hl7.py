@@ -37,21 +37,21 @@ def fields(segment: Column) -> Column:
 
 
 def seg_id(segment: Column) -> Column:
-    return F.element_at(fields(segment), 1)
+    return F.try_element_at(fields(segment), F.lit(1))
 
 
 def field(segment: Column, n: int) -> Column:
     """n-th field after the segment id (HL7 numbering, v2.ts ``f[n]``)."""
-    return F.element_at(fields(segment), n + 1)
+    return F.try_element_at(fields(segment), F.lit(n + 1))
 
 
 def component(fld: Column, n: int) -> Column:
     """n-th caret component of a field (1-indexed); null-safe."""
-    return F.element_at(F.split(fld, COMP_SEP), n)
+    return F.try_element_at(F.split(fld, COMP_SEP), F.lit(n))
 
 
 def first_repetition(fld: Column) -> Column:
-    return F.element_at(F.split(fld, REP_SEP), 1)
+    return F.try_element_at(F.split(fld, REP_SEP), F.lit(1))
 
 
 def nonempty(col: Column) -> Column:
@@ -82,4 +82,4 @@ def hl7_ts_to_timestamp(ts: Column) -> Column:
     mi = F.when(F.length(digits) >= 12, F.substring(digits, 11, 2)).otherwise(F.lit("00"))
     ss = F.when(F.length(digits) >= 14, F.substring(digits, 13, 2)).otherwise(F.lit("00"))
     stamp = F.concat(y, mo, d, hh, mi, ss)
-    return F.when(ok, F.to_timestamp(stamp, "yyyyMMddHHmmss")).otherwise(F.lit(None).cast("timestamp"))
+    return F.when(ok, F.try_to_timestamp(stamp, F.lit("yyyyMMddHHmmss"))).otherwise(F.lit(None).cast("timestamp"))

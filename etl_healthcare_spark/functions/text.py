@@ -42,12 +42,22 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
 
 
+def _seeded_hash(seed: int, width: int):
+    # NOTE: single-parameter closures only — a second lambda parameter (even
+    # with a default) makes Spark bind it to the array index, silently
+    # replacing the captured value.
+    def f(s: Column) -> Column:
+        return F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), s), 256), 1, width)
+
+    return f
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16, width: int = 12) -> list[Column]:
     """num_hashes minhash values: for seed i, min over shingles of
     substr(sha256(i || ':' || shingle), 1, width).  Empty shingle set -> NULL."""
     sig = []
     for i in range(num_hashes):
-        hashed = F.transform(shingles, lambda s, i=i: F.substring(F.sha2(F.concat(F.lit(f"{i}:"), s), 256), 1, width))
+        hashed = F.transform(shingles, _seeded_hash(i, width))
         sig.append(F.array_min(hashed).alias(f"mh{i}"))
     return sig
 
@@ -70,15 +80,18 @@ def simhash16(text: Column) -> Column:
     (+1/-1 sum > 0) across tokens.  Cross-engine reproducible in ANSI SQL.
     """
     toks = tokens(text)
+
+    def bit_contrib(i: int):
+        def f(t: Column) -> Column:
+            return F.when(
+                F.substring(F.sha2(t, 256), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return f
+
     bits = []
     for i in range(1, 17):
-        contrib = F.transform(
-            toks,
-            lambda t, i=i: F.when(
-                F.substring(F.sha2(t, 256), i, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        total = F.aggregate(F.transform(toks, bit_contrib(i)), F.lit(0), lambda acc, x: acc + x)
         bits.append(F.when(total > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -96,9 +109,16 @@ LANG_MARKERS = {
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword hit counts over the token stream."""
     toks = tokens(text)
+
+    def is_marker(words: list[str]):
+        def f(t: Column) -> Column:
+            return t.isin(*words)
+
+        return f
+
     out = {}
     for lang, words in LANG_MARKERS.items():
-        out[lang] = F.size(F.filter(toks, lambda t, w=tuple(words): t.isin(*w)))
+        out[lang] = F.size(F.filter(toks, is_marker(words)))
     return out
 
 

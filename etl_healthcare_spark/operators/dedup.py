@@ -1,0 +1,141 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-architected for 100 TB (north star in
+BASELINE.json; not present in the reference — capability extension):
+
+* exact        — sha256(content) groupBy; one shuffle on a 64-hex key.
+* minhash-LSH  — shingle -> k minhashes -> banded keys -> bucket self-join.
+  The self-join happens per (band, key) bucket, never all-pairs; bucket sizes
+  are bounded by construction, so the join is linear-ish in candidates.
+* simhash      — 16-bit fingerprint; near-dups share fingerprints (or differ
+  in few bits); groupBy fingerprint is one shuffle.
+* n-gram Jaccard — verification step on candidate pairs only (explode
+  distinct shingles, join within blocking key, count intersections).
+* embedding cosine — exact pairwise within blocking buckets (here: label) —
+  the verification stage after ANN/LSH candidate generation.
+
+All column-expression based (sha256 via ``sha2``), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import band_keys, simhash16, word_shingles
+from ..functions.vectors import cosine
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: keeper = min id per content hash; dup_count per
+    group.  ``dropDuplicates`` is the keep-any variant; this form is
+    deterministic and keeps the provenance count."""
+    h = F.sha2(F.col(content_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_bands(df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(id, band, key) — one row per document per band; empty-shingle docs are
+    dropped (they would otherwise all collide on the empty key)."""
+    sh = word_shingles(F.col(text_col), 3)
+    keys = band_keys(sh, bands=bands, rows=rows)
+    wide = df.select(F.col(id_col).alias("doc"), F.size(sh).alias("_n"), *keys).where(F.col("_n") > 0)
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    return wide.selectExpr("doc", f"stack({bands}, {stack_expr}) AS (band, key)")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) sharing >=1 LSH band.
+    Scale shape: shuffle on (band, key) buckets; join blow-up bounded by
+    bucket size, not corpus size."""
+    b = minhash_bands(df, text_col, id_col, bands, rows)
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Documents sharing an identical 16-bit simhash (candidate near-dups)."""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.2,
+    k: int = 3,
+) -> DataFrame:
+    """Jaccard similarity over distinct k-word shingles for pairs within a
+    blocking key (lang, LSH bucket, ...).  inter/union are exact ints; the
+    ratio is a single double division — cross-engine bit-exact."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("blk"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, block_col: str | None = None, threshold: float = 0.99
+) -> DataFrame:
+    """Exact cosine near-dup pairs within a blocking column (or all-pairs when
+    None — verification-stage sizes only).  At scale, block by LSH bucket
+    (similarity.hyperplane_bucket) so the self-join is per-bucket."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -29,12 +29,18 @@ MERGE_KEYS = ["tenantId", "entityType", "entityId"]
 ACTION_COL = "_action"  # insert | update | noop
 
 
-def dedup_batch(batch: DataFrame, order_col: str = "effectiveDateTime", keys: list[str] | None = None) -> DataFrame:
+def dedup_batch(
+    batch: DataFrame,
+    order_col: str | list[str] = "effectiveDateTime",
+    keys: list[str] | None = None,
+) -> DataFrame:
     """U2: within-batch dedup — last record per key wins, mirroring the
     sequential overwrite order of the reference's per-record loop under
-    at-least-once delivery (SQS maxReceiveCount redelivery)."""
+    at-least-once delivery (SQS maxReceiveCount redelivery).  Pass several
+    order columns to make the pick deterministic under timestamp ties."""
     keys = keys or MERGE_KEYS
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last())
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
     return batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 

@@ -1,0 +1,58 @@
+"""Text analysis operators over the documents table (north-star capability):
+language ID, quality scoring, token counting, document fingerprinting.
+All native column expressions (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    lang_guess,
+    lang_scores,
+    quality_metrics,
+    rolling_fingerprint,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality metrics; ratios are single double divisions of
+    exact ints (cross-engine bit-exact)."""
+    m = quality_metrics(F.col(text_col))
+    guard = lambda num: F.when(m["n_chars"] > 0, num / m["n_chars"]).otherwise(F.lit(0.0))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens_ws"].alias("n_tokens"),
+        m["n_alpha"].alias("n_alpha"),
+        m["n_digit"].alias("n_digit"),
+        m["n_punct"].alias("n_punct"),
+        guard(m["n_alpha"]).alias("alpha_ratio"),
+        guard(m["n_digit"]).alias("digit_ratio"),
+        guard(m["n_punct"]).alias("punct_ratio"),
+        guard(m["n_upper"]).alias("upper_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-score language guess + per-language scores."""
+    scores = lang_scores(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in scores],
+        lang_guess(F.col(text_col)).alias("lang_pred"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).alias("n_tokens_ws"),
+        token_count_bpe(F.col(text_col)).alias("n_tokens_bpe"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    return df.select(F.col(id_col), rolling_fingerprint(F.col(text_col), k).alias("fingerprint"))

@@ -27,14 +27,23 @@ class SplitResult(NamedTuple):
     rejected: DataFrame  # carries REJECT_COL
 
 
+def reject_reason(rules: list[tuple[str, Column]]) -> Column:
+    """Stacked-when reason column; first failing rule in list order wins."""
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        reason = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(reason)
+    return reason
+
+
+def tag_rejects(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """All rows kept, REJECT_COL holds the first failing rule name (or NULL)."""
+    return df.withColumn(REJECT_COL, reject_reason(rules))
+
+
 def split_valid(df: DataFrame, rules: list[tuple[str, Column]]) -> SplitResult:
     """Apply ordered (reason, predicate-for-valid) rules; first failing rule
     names the reject reason (mirrors Zod's first-error reporting)."""
-    reason = F.lit(None).cast("string")
-    # build reversed so the FIRST rule in the list wins
-    for name, pred in reversed(rules):
-        reason = F.when(~F.coalesce(pred, F.lit(False)), F.lit(name)).otherwise(reason)
-    tagged = df.withColumn(REJECT_COL, reason)
+    tagged = tag_rejects(df, rules)
     valid = tagged.where(F.col(REJECT_COL).isNull()).drop(REJECT_COL)
     rejected = tagged.where(F.col(REJECT_COL).isNotNull())
     return SplitResult(valid, rejected)

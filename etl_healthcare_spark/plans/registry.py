@@ -592,3 +592,9 @@ def j6_star_join(spark, sf_dir):
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# --- extension batches (import for registration side effects) --------------
+from . import registry_windows  # noqa: E402,F401
+from . import registry_etl  # noqa: E402,F401
+from . import registry_llm  # noqa: E402,F401

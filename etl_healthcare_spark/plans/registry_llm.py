@@ -1,0 +1,378 @@
+"""Registry batch: LLM-data-pipeline operators (north star in BASELINE.json)
+— dedup (exact / minhash-LSH / simhash / n-gram Jaccard / embedding cosine),
+similarity search (brute-force + LSH-ANN), text analysis (lang-ID, quality,
+tokens, fingerprint), multimodal binary stats.
+
+Oracle notes: DuckDB's list_cosine_similarity computes in float32 while our
+engine folds in float64, so cosine queries compare ID sets with thresholds
+placed in distribution gaps (margin >> 1e-6), never raw scores.  Everything
+else is sha256/int-exact and hash-compares directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..functions.text import LANG_MARKERS, tokens
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_groups,
+)
+from ..operators.similarity import ann_topk, topk_cosine
+from ..operators.textops import fingerprints, language_id, text_stats, token_counts
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: sha256 content groups, deterministic keeper = min id; "
+    "one shuffle on the hash key at any scale.",
+)
+def dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
+    n = bands * rows
+    mh_cols = ",\n        ".join(
+        f"min(substr(sha256('{i}:' || s), 1, {width})) AS mh{i}" for i in range(n)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS key FROM mh".format(
+            b=b, expr=" || ".join(f"mh{i}" for i in range(b * rows, (b + 1) * rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
+            FROM toks WHERE len(t) >= 3),
+    shingle AS (SELECT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS s FROM idx),
+    mh AS (
+      SELECT doc_id,
+        {mh_cols}
+      FROM shingle GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=_minhash_oracle(),
+    doc="MinHash+LSH near-dup candidates: 3-word shingles -> 16 sha256-derived "
+    "minhashes -> 4 bands x 4 rows -> bucket self-join.  Scale shape: shuffle "
+    "on (band, key); join cost bounded by bucket sizes, never all-pairs.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
+
+
+def _simhash_oracle_bits() -> str:
+    bits = " || ".join(
+        "CASE WHEN sum(CASE WHEN substr(sha256(tok), {i}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        "THEN '1' ELSE '0' END".format(i=i)
+        for i in range(1, 17)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, {bits} AS simhash
+      FROM toks GROUP BY doc_id
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM fp GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+@register(
+    "dedup_simhash",
+    sql=_simhash_oracle_bits(),
+    doc="SimHash near-dup groups: 16-bit majority-vote fingerprint from "
+    "sha256 token bits; identical fingerprints = candidate dups (one shuffle "
+    "on the fingerprint).",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.size(tokens(F.col("text"))) > 0)
+    return simhash_dup_groups(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, lang, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, lang, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, sa.n_shingles AS na, sb.n_shingles AS nb,
+           CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.2
+    """,
+    doc="n-gram Jaccard near-dup verification: distinct 3-word shingles, "
+    "lang-blocked pair intersection counts; jaccard = single int-ratio "
+    "division (cross-engine exact).",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", block_col="lang", threshold=0.2
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.402
+    """,
+    doc="Embedding-cosine near-dup pairs, label-blocked (the verification "
+    "stage after LSH candidate generation).  Threshold 0.402 sits in a "
+    "distribution gap (neighbors 0.3983 / 0.4071) so float32-vs-float64 "
+    "engine differences cannot flip membership; scores deliberately omitted.",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", block_col="label", threshold=0.402)
+    lab = emb.select(F.col("vec_id").alias("id_a"), "label")
+    return pairs.join(lab, "id_a").select("id_a", "id_b", "label")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_cosine",
+    sql="""
+    SELECT vec_id
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(
+      embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+      vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): broadcast query "
+    "vector, one scan, TakeOrderedAndProject — embarrassingly parallel.  "
+    "ID-set compare (scores are float32 in the oracle engine).",
+)
+def sim_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    corpus = emb.where(F.col("vec_id") != 0)
+    return topk_cosine(corpus, "embedding", "vec_id", list(qvec), k=10).select(
+        F.col("id").alias("vec_id")
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    sql="""
+    WITH planes AS (
+      SELECT vec_id AS pid, embedding AS p FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+    ),
+    bucketed AS (
+      SELECT e.vec_id, e.embedding,
+             string_agg(CASE WHEN list_inner_product(e.embedding, p.p) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, e.embedding
+    ),
+    qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0)
+    SELECT b.vec_id
+    FROM bucketed b, qb
+    WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+    ORDER BY list_cosine_similarity(
+      b.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+      b.vec_id
+    LIMIT 5
+    """,
+    doc="LSH-bucketed ANN (the scale path): 8 data-derived hyperplanes give "
+    "256 buckets; query probes only its bucket (corpus/256 per probe at "
+    "100 TB when the layout is partitioned by bucket).",
+)
+def sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    planes = [list(r[0]) for r in rows]
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    corpus = emb.where(F.col("vec_id") != 0)
+    return ann_topk(corpus, "embedding", "vec_id", qvec, planes, k=5).select(
+        F.col("id").alias("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    sql="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS n_punct,
+           CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS alpha_ratio,
+           CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS digit_ratio,
+           CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS punct_ratio,
+           CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0 END AS upper_ratio
+    FROM documents
+    """,
+    doc="Per-document quality metrics: char/token/alpha/digit/punct counts + "
+    "ratios (single int-ratio divisions, cross-engine exact).",
+)
+def q_text_stats(spark, sf_dir):
+    return text_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ({inlist}))) AS score_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    m = ", ".join(f"score_{lang}" for lang in langs)
+    first_max = " ".join(
+        f"WHEN score_{lang} = greatest({m}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {", ".join(score_cols)}
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_actual, {m},
+           CASE WHEN greatest({m}) <= 0 THEN 'und' {first_max} END AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "text_langid",
+    sql=_langid_oracle(),
+    doc="Language ID: stopword-marker scores per language, argmax with "
+    "first-wins tie-break (n-gram heuristic langid; scores exact ints).",
+)
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs, "text", "doc_id")
+    return out.join(docs.select("doc_id", F.col("lang").alias("lang_actual")), "doc_id").select(
+        "doc_id", "lang_actual", *[f"score_{lang}" for lang in LANG_MARKERS], "lang_pred"
+    )
+
+
+@register(
+    "text_tokens",
+    sql="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens_ws,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(alphanumeric runs + isolated punctuation).",
+)
+def q_text_tokens(spark, sf_dir):
+    return token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
+            FROM toks WHERE len(t) >= 5),
+    sh AS (SELECT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3] || ' ' || t[j+4] AS s
+           FROM idx)
+    SELECT doc_id, min(substr(sha256(s), 1, 16)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+    doc="Document fingerprint: min sha256-substring over 5-word shingles "
+    "(winnowing-style; stable under small edits).",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.size(tokens(F.col("text"))) >= 5)
+    return fingerprints(docs, "text", "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_stats",
+    sql="""
+    SELECT doc_id,
+           'text' AS modality,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS payload_sha,
+           lower(substr(hex(encode(text)), 1, 8)) AS magic_prefix
+    FROM documents
+    """,
+    doc="Multimodal binary-column stats: opaque payload treated as bytes — "
+    "byte length, content sha, magic-bytes prefix (the typed-metadata layer "
+    "of operators/multimodal.py; decode kernels are stubbed mapInPandas).",
+)
+def q_mm_binary_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    b = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.octet_length(b).cast("long").alias("byte_len"),
+        F.sha2(b, 256).alias("payload_sha"),
+        F.lower(F.substring(F.hex(b), 1, 8)).alias("magic_prefix"),
+    )

@@ -1,0 +1,185 @@
+"""Registry batch: window functions (§2.9), set operations (§2.10),
+sorts/limits/top-k/keyset pagination (§2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..datasets import load_table
+from ..operators.pagination import encode_token, keyset_page
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "w1_ranking",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rk,
+             dense_rank() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+    doc="W1 ranking trio (row_number/rank/dense_rank): top-3 orders per "
+    "customer — Q3 latestObservation generalized (SURVEY §2.9).",
+)
+def w1_ranking(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "w2_lag_delta",
+    sql="""
+    SELECT event_id, user_id, event_type, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+    doc="W2 lag/lead analytics: change since previous observation per "
+    "(patient, code) — the observation-delta extension of the reference's "
+    "patient timeline (SURVEY §2.9).",
+)
+def w2_lag_delta(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "w3_moving_avg",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE) AS sum7,
+           count(*) OVER w AS n7,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE)
+             / (count(*) OVER w) AS avg7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W3 moving average over a 7-row frame per patient — vitals smoothing "
+    "over the timeline (SURVEY §2.9 rowsBetween); decimal-exact sum, single "
+    "double division.",
+)
+def w3_moving_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, W.currentRow)
+    sum7 = F.sum(F.col("value").cast("decimal(18,3)")).over(w).cast("double")
+    n7 = F.count("*").over(w)
+    return ev.select("event_id", "user_id", sum7.alias("sum7"), n7.alias("n7"), (sum7 / n7).alias("avg7"))
+
+
+@register(
+    "w4_range_frame",
+    sql="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_10min,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w AS DOUBLE) AS sum_10min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W4 time-range frame: trailing 10-minute window per patient "
+    "(rangeBetween over epoch-us ordering — SURVEY §2.9 rangeBetween).",
+)
+def w4_range_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts_us").rangeBetween(-600_000_000, W.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10min"),
+        F.sum(F.col("value").cast("decimal(18,3)")).over(w).cast("double").alias("sum_10min"),
+    )
+
+
+@register(
+    "set_ops",
+    sql="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_a' AS tag, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_b' AS tag, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+    doc="Set operations (SURVEY §2.10): intersect / except / union composed — "
+    "the audit-vs-persisted reconciliation pattern (README.md:63-65).",
+)
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = a.intersect(b).select(F.lit("both").alias("tag"), "c_custkey")
+    only_a = a.subtract(b).select(F.lit("only_a").alias("tag"), "c_custkey")  # EXCEPT DISTINCT
+    only_b = b.subtract(a).select(F.lit("only_b").alias("tag"), "c_custkey")
+    return both.unionByName(only_a).unionByName(only_b)
+
+
+@register(
+    "o2_topk",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="O2 descending top-k with total tiebreak order (latest-first scan + "
+    "limit, api-query/src/handler.ts:115-127) — TakeOrderedAndProject, no "
+    "global sort.",
+)
+def o2_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "o4_keyset_page",
+    sql="""
+    SELECT event_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE (ts, event_id) > (TIMESTAMP '2024-01-15 00:00:00', 5000)
+    ORDER BY ts, event_id LIMIT 100
+    """,
+    doc="O4 keyset pagination: opaque token -> strictly-after predicate + "
+    "ordered limit (api-query/src/handler.ts:85,106 nextToken semantics; "
+    "keyset, NOT offset — O(page) at any depth).",
+)
+def o4_keyset_page(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    token = encode_token(["2024-01-15 00:00:00", 5000])
+    page = keyset_page(ev.select("ts", "event_id"), ["ts", "event_id"], 100, token)
+    return page.select("event_id", F.unix_micros("ts").alias("ts_us"))

@@ -39,10 +39,10 @@ def labx_rows_to_dto(df: DataFrame) -> DataFrame:
         F.lit(1).alias("schemaVersion"),
         F.trim(F.col("patientId")).cast("string").alias("patientId"),
         F.trim(F.col("code")).cast("string").alias("code"),
-        F.trim(F.col("value")).cast("double").alias("value"),
+        F.trim(F.col("value")).try_cast("double").alias("value"),
         F.lit(None).cast("string").alias("valueString"),
         F.trim(F.col("unit")).cast("string").alias("unit"),
-        F.to_timestamp(F.trim(F.col("effectiveDateTime"))).alias("effectiveDateTime"),
+        F.try_to_timestamp(F.trim(F.col("effectiveDateTime"))).alias("effectiveDateTime"),
         F.lit(SOURCE_SYSTEM).alias("sourceSystem"),
         row_hash(
             F.trim(F.col("patientId")),

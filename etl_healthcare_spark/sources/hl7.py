@@ -88,8 +88,8 @@ def parse_hl7_messages(msgs: DataFrame, batch_time: dt.datetime | None = None) -
         F.lit(1).alias("schemaVersion"),
         F.coalesce(F.col("patientId"), F.lit("unknown")).alias("patientId"),
         F.col("code"),
-        F.col("valueRaw").cast("double").alias("value"),
-        F.when(F.col("valueRaw").cast("double").isNull(), F.col("valueRaw")).alias("valueString"),
+        F.col("valueRaw").try_cast("double").alias("value"),
+        F.when(F.col("valueRaw").try_cast("double").isNull(), F.col("valueRaw")).alias("valueString"),
         F.col("unit"),
         F.coalesce(F.col("obxTime"), F.lit(batch_time)).alias("effectiveDateTime"),
         F.lit(SOURCE_SYSTEM).alias("sourceSystem"),
