@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute to a noop sink (full computation, no driver-side collect) —
+the number measured is the engine, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_healthcare_spark.plans.registry import REGISTRY  # noqa: E402
+from etl_healthcare_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "g7_tpch_q1",            # grouped decimal aggregation over lineitem
+    "j6_star_join",          # 5-way star join
+    "q3_latest_observation", # latest-per-group over events recast
+    "g1_minute_counters",    # windowed counters (10k groups)
+    "w3_moving_avg",         # window frames per user
+    "j5b_asof_join",         # as-of union+window
+    "u1_idempotent_merge",   # full-outer merge semantics
+    "o2_topk",               # TakeOrderedAndProject
+    "dedup_minhash_lsh",     # shingle->minhash->band join
+    "sim_topk_cosine",       # brute-force vector scan
+    "text_stats",            # regex-heavy doc metrics
+    "dedup_exact",           # content-hash groupBy
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen + parquet-reader warmup so query timings measure the plan,
+    # not session/Hadoop-FS bring-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

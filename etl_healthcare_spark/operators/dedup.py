@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import band_keys, simhash16, word_shingles
+from ..functions.text import shingles_from_tokens, simhash16, tokens, word_shingles
 from ..functions.vectors import cosine
 
 
@@ -38,37 +38,93 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_bands(df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+def minhash_bands(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4, width: int = 12
+) -> DataFrame:
     """(id, band, key) — one row per document per band; empty-shingle docs are
-    dropped (they would otherwise all collide on the empty key)."""
-    sh = word_shingles(F.col(text_col), 3)
-    keys = band_keys(sh, bands=bands, rows=rows)
-    wide = df.select(F.col(id_col).alias("doc"), F.size(sh).alias("_n"), *keys).where(F.col("_n") > 0)
+    dropped (they would otherwise all collide on the empty key).
+
+    Shape chosen for scale: explode shingles once, hash each shingle row
+    ``bands*rows`` times, then a single partial-aggregable groupBy(doc) takes
+    the mins.  (The tempting alternative — array-lambda minhash per signature
+    element — re-evaluates the shingle construction per seed inside one
+    projection and is orders of magnitude slower; measured 307s -> ~2s at
+    sf0.1.)  min over the distinct set == min over the multiset, so
+    array_distinct before explode only shrinks the row count."""
+    n = bands * rows
+    # repartition by doc: small single-file inputs otherwise run the whole
+    # hash stage on one core, and hashpartitioning(doc) already satisfies the
+    # downstream groupBy("doc") so the shuffle is not repeated
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    # explicit partition count: AQE would coalesce a bare repartition("doc")
+    # down to ~2 tasks (it sizes by bytes, and token arrays are small) and
+    # serialize this CPU-bound hash stage
+    tok = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")).repartition(npart, "doc")
+    sh = tok.select(
+        "doc",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), 3))).alias("s"),
+    )
+    hashed = sh.select(
+        "doc",
+        *[
+            F.substring(F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256), 1, width).alias(f"h{i}")
+            for i in range(n)
+        ],
+    )
+    sig = hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)])
+    band_cols = [
+        F.concat(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    wide = sig.select("doc", *band_cols)
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
     return wide.selectExpr("doc", f"stack({bands}, {stack_expr}) AS (band, key)")
 
 
+def _pair_combos(ds: Column) -> Column:
+    """All (a, b) index-ordered pairs from a sorted array — the in-bucket pair
+    generator.  Two-parameter lambda is intentional here: the second transform
+    parameter IS the element index."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing >=1 LSH band.
-    Scale shape: shuffle on (band, key) buckets; join blow-up bounded by
-    bucket size, not corpus size."""
+
+    Pairs are generated inside each (band, key) bucket via groupBy +
+    collect_list + array combinations — NOT a self-join: a self-join would
+    re-evaluate the whole minhash pipeline for both branches (measured 2x
+    cost) and shuffle the bands twice.  One shuffle to buckets, pairs expand
+    in-task.  Bucket sizes are bounded by LSH construction; a production run
+    at 100 TB would additionally drop degenerate mega-buckets (boilerplate
+    clusters) before expansion."""
     b = minhash_bands(df, text_col, id_col, bands, rows)
-    a = b.alias("a")
-    c = b.alias("b")
+    buckets = (
+        b.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), simhash16(F.col(text_col)).alias("simhash"))
+    # repartition: fan the 16-bit-x-sha256-per-token compute out of a
+    # single-file partition (see minhash_bands note)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)).select(
+        F.col(id_col), simhash16(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -95,7 +151,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
+        tokens(F.col(text_col)).alias("t"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc").select(
+        "doc",
+        "blk",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")

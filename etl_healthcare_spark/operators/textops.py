@@ -55,4 +55,11 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
-    return df.select(F.col(id_col), rolling_fingerprint(F.col(text_col), k).alias("fingerprint"))
+    # tokens materialized first — see shingles_from_tokens note in functions/text.py
+    from ..functions.text import shingles_from_tokens, tokens
+
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    hashed = F.transform(
+        shingles_from_tokens(F.col("t"), k), lambda s: F.substring(F.sha2(s, 256), 1, 16)
+    )
+    return tok.select(F.col(id_col), F.array_min(hashed).alias("fingerprint"))

@@ -366,12 +366,22 @@ def g6_max_by_latest(spark, sf_dir):
 def g7_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("double").alias("sum_disc_price"),
-        F.count("*").alias("count_order"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    # countDistinct rewritten as a two-level aggregate: pre-aggregate per
+    # (group, orderkey) — map-side combinable — then roll up.  Avoids the
+    # Expand operator a direct countDistinct plans (measured 3.3s -> ~1s at
+    # sf0.1, and the same shape is the scalable one at 100 TB).
+    pre = li.groupBy("l_returnflag", "l_linestatus", "l_orderkey").agg(
+        F.sum(d("l_quantity")).alias("_qty"),
+        F.sum(d("l_extendedprice")).alias("_base"),
+        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("_disc"),
+        F.count("*").alias("_n"),
+    )
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("_qty").cast("double").alias("sum_qty"),
+        F.sum("_base").cast("double").alias("sum_base_price"),
+        F.sum("_disc").cast("double").alias("sum_disc_price"),
+        F.sum("_n").alias("count_order"),
+        F.count("*").alias("n_orders"),
     )
 
 
