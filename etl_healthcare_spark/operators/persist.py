@@ -136,8 +136,11 @@ class ParquetStateStore:
 
         tenants = [r[0] for r in batch.select("tenantId").distinct().collect()]
         state = self.read().where(F.col("tenantId").isin(tenants))
-        merged = merge_frames(state, batch, updated_at, keys=self.keys).cache()
-        commit_log = merged.select(*self.keys, "version", F.col(ACTION_COL).alias(ACTION_COL))
+        # localCheckpoint (eager) BEFORE the overwrite: the merged plan reads
+        # the same path it is about to rewrite — without cutting lineage here,
+        # any later evaluation (the commit log) would silently re-read the
+        # NEW state and report wrong actions
+        merged = merge_frames(state, batch, updated_at, keys=self.keys).localCheckpoint()
         (
             merged.drop(ACTION_COL)
             .repartition("tenantId")
@@ -146,6 +149,4 @@ class ParquetStateStore:
             .partitionBy("tenantId")
             .parquet(self.path)  # dynamic partitionOverwriteMode: only batch tenants rewritten
         )
-        out = commit_log.select(*self.keys, "version", F.col(ACTION_COL).alias("action")).localCheckpoint()
-        merged.unpersist()
-        return out
+        return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))

@@ -1,0 +1,136 @@
+"""§2.12: micro-batch streaming pipeline with quarantine (DLQ) + redrive.
+
+Reference topology: 3 SQS queues consumed in micro-batches (batch 10 / 5 s
+window, src/stacks/normalize-stack.ts:54-58), at-least-once with
+maxReceiveCount=5 then DLQ (messaging-stack.ts:47), partial-batch failure
+reporting per record (normalize/handler.ts:251,256), exactly-once *effect*
+via the idempotent conditional write (docs/VALIDATION.md:198-215).
+
+Spark mapping:
+
+* queue hop      -> file-source handoff dir; ``maxFilesPerTrigger`` +
+                    ``Trigger.ProcessingTime`` reproduce the batch/window
+* per-record retry/DLQ -> the validation split: rejects append to a
+                    quarantine table with a retry count; rows whose count
+                    exceeds MAX_RECEIVES stay quarantined (the 14-day DLQ)
+* partial failure -> reject rows never abort the batch (split-filter, V2)
+* exactly-once   -> streaming checkpoint (offset tracking) + idempotent MERGE
+                    sink (U1) compose to end-to-end exactly-once
+* late data      -> the reference has no watermarks (upsert-latest-wins); the
+                    streaming metric windows below add an explicit watermark
+                    as the [capability] extension
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+MAX_RECEIVES = 5  # messaging-stack.ts:47
+RETRY_COL = "_retry_count"
+REASON_COL = "_reject_reason"
+
+
+def quarantine_rejects(rejects: DataFrame, quarantine_dir: str) -> None:
+    """Append reject rows (carrying REASON_COL) with an incremented retry
+    count — the DLQ analog with its receive counter."""
+    out = rejects
+    if RETRY_COL not in out.columns:
+        out = out.withColumn(RETRY_COL, F.lit(1))
+    else:
+        out = out.withColumn(RETRY_COL, F.col(RETRY_COL) + 1)
+    out.write.mode("append").parquet(quarantine_dir)
+
+
+def redrive_quarantine(
+    spark: SparkSession,
+    quarantine_dir: str,
+    target_dir: str,
+    max_messages: int = 10,
+) -> int:
+    """S10: move <=N quarantined rows back into a stage input dir (DLQ
+    redrive, services/dlq-retry-api/src/handler.ts:44-72; clamp 1..100).
+    Rows past MAX_RECEIVES are not redriven (they would immediately bounce).
+    Returns the number of rows redriven."""
+    max_messages = max(1, min(100, max_messages))
+    try:
+        q = spark.read.parquet(quarantine_dir)
+    except Exception:
+        return 0
+    eligible = q.where(F.col(RETRY_COL) < MAX_RECEIVES).limit(max_messages)
+    rows = eligible.drop(REASON_COL).cache()
+    n = rows.count()
+    if n:
+        rows.write.mode("append").parquet(target_dir)
+        # remove redriven rows: rewrite quarantine without them (anti-join on
+        # all columns); at scale this is a Delta DELETE — parquet fallback
+        remaining = q.join(eligible, on=list(eligible.columns), how="left_anti")
+        remaining.localCheckpoint().write.mode("overwrite").parquet(quarantine_dir)
+    rows.unpersist()
+    return n
+
+
+def file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """S6 queue-source analog: file stream with bounded batch size."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_micro_batch_pipeline(
+    stream: DataFrame,
+    transform: Callable[[DataFrame], tuple[DataFrame, DataFrame]],
+    sink: Callable[[DataFrame, int], None],
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    processing_time: str | None = "5 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The normalize->persist stage wrapper.
+
+    ``transform`` returns (valid, rejects); valid rows go to ``sink`` (e.g. a
+    ParquetStateStore merge — idempotent, so checkpoint replay is safe),
+    rejects append to quarantine.  Mirrors per-record failure isolation
+    (batchItemFailures) without aborting the batch.
+    """
+
+    def for_each_batch(batch: DataFrame, epoch_id: int) -> None:
+        valid, rejects = transform(batch)
+        sink(valid, epoch_id)
+        if rejects is not None:
+            quarantine_rejects(rejects, quarantine_dir)
+
+    writer = stream.writeStream.foreachBatch(for_each_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_counters_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    metric_col: str = "event_type",
+    watermark: str = "10 minutes",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Streaming G1: watermarked tumbling-window counters — the [capability]
+    late-data extension of the health metrics (reference itself has no
+    watermarks, SURVEY §2.12)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(metric_col).alias("metric"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("minute"), "metric", "n", "value_sum")
+    )

@@ -1,0 +1,106 @@
+"""LLM-pipeline operators: dedup finds planted duplicates, ANN agrees with
+brute force on its bucket, multimodal plumbing produces the contract schema."""
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from etl_healthcare_spark.operators.multimodal import attach_media_meta, decode_features
+from etl_healthcare_spark.operators.similarity import ann_topk, topk_cosine
+from etl_healthcare_spark.operators.textops import language_id, text_stats
+
+BASE = "the quick brown fox jumps over the lazy dog and then runs far away home"
+NEAR = BASE.replace("lazy", "sleepy")  # one token changed
+OTHER = "completely different content about spark shuffles and parquet row groups entirely"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE, "en"), (2, BASE, "en"), (3, NEAR, "en"), (4, OTHER, "en")],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_exact_dedup_finds_planted_dup(spark):
+    groups = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_keep = {g.keep_id: g.dup_count for g in groups}
+    assert by_keep[1] == 2  # docs 1+2 identical
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # one-token edit shares bands
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_identical_fingerprints(spark):
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[4]
+    assert set(fps[1]) <= {"0", "1"} and len(fps[1]) == 16
+
+
+def test_ngram_jaccard_scores(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id", "lang", threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dup_and_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.04, 0.0], 0),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0], 0),
+            (4, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", block_col="label", threshold=0.95).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+    top = topk_cosine(emb, "embedding", "vec_id", [1.0, 0.0, 0.0], k=2).collect()
+    assert [t.id for t in top] == [1, 2]
+
+
+def test_ann_matches_bruteforce_in_bucket(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = [list(r[0]) for r in emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()]
+    q = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    got = {r.id for r in ann_topk(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, planes, k=5).collect()}
+    assert len(got) >= 1  # query's own bucket is non-empty at this SF
+    brute = {r.id for r in topk_cosine(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=500).collect()}
+    assert got <= brute
+
+
+def test_text_stats_and_langid(spark):
+    docs = _docs(spark)
+    stats = {r.doc_id: r for r in text_stats(docs, "text", "doc_id").collect()}
+    assert stats[1].n_tokens == len(BASE.split())
+    assert stats[1].n_chars == len(BASE)
+    assert abs(stats[1].alpha_ratio + stats[1].digit_ratio - 1.0) > 0  # spaces exist
+    lang = {r.doc_id: r.lang_pred for r in language_id(docs, "text", "doc_id").collect()}
+    assert lang[1] == "en"  # 'the'/'and' markers present
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG-fake-bytes")), (2, bytearray(b""))], "id long, payload binary")
+    meta = attach_media_meta(df, "payload", modality="image", mime="image/png").select("id", "media_meta.*").collect()
+    m = {r.id: r for r in meta}
+    assert m[1].modality == "image" and m[1].byte_len == 15 and len(m[1].sha256) == 64
+    assert m[2].byte_len == 0
+
+    decoded = {r.id: r for r in decode_features(df, "id", "payload").collect()}
+    assert decoded[1].byte_len == 15 and decoded[1].feat_dim == 64
+    assert decoded[1].feat_mean is not None and decoded[2].feat_mean is None

@@ -1,0 +1,72 @@
+"""U1-U3 state store — parity with the reference's idempotency/versioning
+runbook checks (docs/VALIDATION.md:198-215 same-key resend => version not
+bumped; :444-461 changed-key rewrite => version+1)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.persist import ParquetStateStore, dedup_batch
+
+SCHEMA = (
+    "tenantId string, entityType string, entityId string, patientId string,"
+    "effectiveDateTime timestamp, value double, idempotencyKey string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _row(entity="e1", value=1.0, idk="k1", tenant="t1", ts=dt.datetime(2025, 1, 1)):
+    return (tenant, "observation", entity, "p1", ts, value, idk)
+
+
+def test_merge_insert_then_idempotent_retry(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    t0 = dt.datetime(2025, 1, 1)
+
+    log1 = store.merge(_batch(spark, [_row(value=1.0, idk="k1")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log1.collect()] == [("insert", 1)]
+
+    # same idempotencyKey resent => no-op, version stays 1 (VALIDATION.md:198-215)
+    log2 = store.merge(_batch(spark, [_row(value=99.0, idk="k1")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log2.collect()] == [("noop", 1)]
+    state = store.read().collect()
+    assert len(state) == 1 and state[0].value == 1.0 and state[0].version == 1
+
+    # changed idempotencyKey => update, version+1 (VALIDATION.md:444-461)
+    log3 = store.merge(_batch(spark, [_row(value=7.0, idk="k2")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log3.collect()] == [("update", 2)]
+    state = store.read().collect()
+    assert len(state) == 1 and state[0].value == 7.0 and state[0].version == 2
+
+
+def test_merge_only_rewrites_batch_tenants(spark, tmp_path):
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    t0 = dt.datetime(2025, 1, 1)
+    store.merge(
+        _batch(spark, [_row(tenant="t1", idk="k1"), _row(tenant="t2", idk="k1")]), updated_at=t0
+    )
+    # merging a t1-only batch must leave t2 untouched
+    store.merge(_batch(spark, [_row(tenant="t1", value=5.0, idk="k9")]), updated_at=t0)
+    state = {(r.tenantId): (r.value, r.version) for r in store.read().collect()}
+    assert state["t1"] == (5.0, 2)
+    assert state["t2"] == (1.0, 1)
+
+
+def test_within_batch_dedup_last_wins(spark, tmp_path):
+    b = _batch(
+        spark,
+        [
+            _row(value=1.0, idk="k1", ts=dt.datetime(2025, 1, 1)),
+            _row(value=2.0, idk="k2", ts=dt.datetime(2025, 1, 2)),
+        ],
+    )
+    out = dedup_batch(b).collect()
+    assert len(out) == 1 and out[0].value == 2.0 and out[0].idempotencyKey == "k2"
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    log = store.merge(b, updated_at=dt.datetime(2025, 1, 3))
+    assert [(r.action, r.version) for r in log.collect()] == [("insert", 1)]
+    assert store.read().collect()[0].value == 2.0

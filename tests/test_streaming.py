@@ -1,0 +1,123 @@
+"""§2.12 streaming: micro-batch pipeline with quarantine + redrive, and the
+watermarked windowed counters; exactly-once via checkpoint + idempotent merge."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.persist import ParquetStateStore
+from etl_healthcare_spark.operators.validate import dto_rules, split_valid
+from etl_healthcare_spark.streaming.pipeline import (
+    MAX_RECEIVES,
+    RETRY_COL,
+    file_stream,
+    redrive_quarantine,
+    run_micro_batch_pipeline,
+    windowed_counters_stream,
+)
+
+DTO_SCHEMA = (
+    "tenantId string, entityType string, entityId string, patientId string, code string,"
+    "value double, unit string, effectiveDateTime timestamp, sourceSystem string,"
+    "ingestHash string, idempotencyKey string"
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, DTO_SCHEMA)
+
+
+def _row(entity, value, *, code="718-7", unit="u", ok=True):
+    return (
+        "t1", "observation", entity, "p1", code, value, unit if ok else "",
+        dt.datetime(2025, 1, 1), "test", "sha256:aaaaaaaaaa", f"k-{entity}-{value}",
+    )
+
+
+def test_micro_batch_pipeline_quarantines_rejects(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    quarantine = str(tmp_path / "dlq")
+    checkpoint = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+
+    good, bad = _row("e1", 1.0), _row("e2", 2.0, ok=False)
+    _rows(spark, [good, bad]).write.mode("append").parquet(input_dir)
+
+    def transform(batch):
+        res = split_valid(batch, dto_rules())
+        return res.valid, res.rejected
+
+    def sink(valid, epoch_id):
+        if valid.take(1):
+            store.merge(valid, updated_at=dt.datetime(2025, 1, 2))
+
+    q = run_micro_batch_pipeline(
+        file_stream(spark, input_dir, _rows(spark, []).schema),
+        transform,
+        sink,
+        quarantine,
+        checkpoint,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    state = store.read().collect()
+    assert len(state) == 1 and state[0].entityId == "e1"
+    dlq = spark.read.parquet(quarantine).collect()
+    assert len(dlq) == 1 and dlq[0]["_reject_reason"] == "unit_empty"
+    assert dlq[0][RETRY_COL] == 1
+
+    # restart with same checkpoint: no re-processing (exactly-once effect)
+    q2 = run_micro_batch_pipeline(
+        file_stream(spark, input_dir, _rows(spark, []).schema),
+        transform, sink, quarantine, checkpoint, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert store.read().collect()[0].version == 1  # idempotent: no version bump
+    assert spark.read.parquet(quarantine).count() == 1
+
+
+def test_redrive_quarantine(spark, tmp_path):
+    quarantine = str(tmp_path / "dlq")
+    target = str(tmp_path / "in")
+    df = _rows(spark, [_row("e9", 3.0)]).withColumn("_reject_reason", F.lit("x")).withColumn(
+        RETRY_COL, F.lit(1)
+    )
+    df.write.mode("append").parquet(quarantine)
+    # poisoned row at the receive cap is not redriven (stays in DLQ)
+    poisoned = _rows(spark, [_row("e10", 4.0)]).withColumn("_reject_reason", F.lit("x")).withColumn(
+        RETRY_COL, F.lit(MAX_RECEIVES)
+    )
+    poisoned.write.mode("append").parquet(quarantine)
+
+    n = redrive_quarantine(spark, quarantine, target, max_messages=10)
+    assert n == 1
+    assert spark.read.parquet(target).collect()[0].entityId == "e9"
+    left = spark.read.parquet(quarantine).collect()
+    assert len(left) == 1 and left[0].entityId == "e10"
+
+
+def test_windowed_counters_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 50), "click", 2.0),
+            (3, dt.datetime(2024, 1, 1, 0, 1, 10), "error", 1.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_counters_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wcs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.minute, r.metric): (r.n, r.value_sum) for r in spark.table("wcs").collect()}
+    assert got[(dt.datetime(2024, 1, 1, 0, 0), "click")] == (2, 3.0)
+    assert got[(dt.datetime(2024, 1, 1, 0, 1), "error")] == (1, 1.0)
