@@ -608,3 +608,4 @@ def j6_star_join(spark, sf_dir):
 from . import registry_windows  # noqa: E402,F401
 from . import registry_etl  # noqa: E402,F401
 from . import registry_llm  # noqa: E402,F401
+from . import registry_misc  # noqa: E402,F401

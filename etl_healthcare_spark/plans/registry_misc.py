@@ -1,0 +1,257 @@
+"""Registry batch: scalar-function surface (§2.11), approximate aggregates
+(scale path), streaming-mode query, and on-disk store operators (rows-only
+checks — filesystem side effects are not SQL-expressible)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "scalar_functions",
+    sql="""
+    SELECT event_id,
+           lower(event_type) AS f_lower,
+           upper(event_type) AS f_upper,
+           substr(event_type, 1, 3) AS f_substr,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS f_concat,
+           concat_ws('#', 'TENANT', CAST(user_id % 10 AS VARCHAR)) AS f_concat_ws,
+           printf('EVENT#%s#%d', event_type, user_id) AS f_format,
+           lpad(CAST(user_id AS VARCHAR), 6, '0') AS f_lpad,
+           length(event_type) AS f_length,
+           CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END AS f_like,
+           contains(event_type, 'ick') AS f_contains,
+           ends_with(event_type, 'or') AS f_endswith,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS f_regexp_replace,
+           regexp_extract(props, '"k": (\\d+)', 1) AS f_regexp_extract,
+           to_base64(encode(event_type)) AS f_base64,
+           decode(from_base64(to_base64(encode(event_type)))) AS f_unbase64,
+           least(user_id, 75) AS f_least,
+           greatest(user_id, 75) AS f_greatest,
+           coalesce(nullif(event_type, 'error'), 'ERR') AS f_nullif_coalesce,
+           CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS f_when,
+           strftime(ts, '%Y-%m-%d') AS f_date,
+           CAST(hour(ts) AS BIGINT) AS f_hour,
+           epoch_us(date_trunc('day', ts)) AS f_trunc_us,
+           epoch_us(ts + INTERVAL 90 MINUTE) AS f_interval_us,
+           abs(value - 50) AS f_abs,
+           round(CAST(value AS DECIMAL(10,3)) * 2, 1) AS f_round_dec,
+           CAST(floor(value) AS BIGINT) AS f_floor,
+           CAST(ceil(value) AS BIGINT) AS f_ceil,
+           sha256(event_type) AS f_sha256,
+           json_extract_string(props, '$.k') AS f_json
+    FROM events WHERE event_id < 500
+    """,
+    doc="§2.11 scalar-function surface in one query: string ops (split/trim "
+    "family exercised in P1-P4), concat/format/pad key templates "
+    "(persist/handler.ts:20-26), LIKE/contains/endsWith routing "
+    "(normalize/handler.ts:63-70), regex, base64 tokens "
+    "(api-query/src/handler.ts:85,106), least/greatest clamps, coalesce/"
+    "nullif/when fallback chains, date/interval arithmetic, hashing, JSON.",
+)
+def scalar_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    et, uid = F.col("event_type"), F.col("user_id")
+    return ev.select(
+        "event_id",
+        F.lower(et).alias("f_lower"),
+        F.upper(et).alias("f_upper"),
+        F.substring(et, 1, 3).alias("f_substr"),
+        F.concat(et, F.lit(":"), uid.cast("string")).alias("f_concat"),
+        F.concat_ws("#", F.lit("TENANT"), (uid % 10).cast("string")).alias("f_concat_ws"),
+        F.format_string("EVENT#%s#%d", et, uid).alias("f_format"),
+        F.lpad(uid.cast("string"), 6, "0").alias("f_lpad"),
+        F.length(et).alias("f_length"),
+        F.when(et.like("c%"), 1).otherwise(0).alias("f_like"),
+        et.contains("ick").alias("f_contains"),
+        et.endswith("or").alias("f_endswith"),
+        F.regexp_replace(et, "[aeiou]", "_").alias("f_regexp_replace"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("f_regexp_extract"),
+        F.base64(F.encode(et, "UTF-8")).alias("f_base64"),
+        F.decode(F.unbase64(F.base64(F.encode(et, "UTF-8"))), "UTF-8").alias("f_unbase64"),
+        F.least(uid, F.lit(75)).alias("f_least"),
+        F.greatest(uid, F.lit(75)).alias("f_greatest"),
+        F.coalesce(F.nullif(et, F.lit("error")), F.lit("ERR")).alias("f_nullif_coalesce"),
+        F.when(F.col("value") > 50, "high").otherwise("low").alias("f_when"),
+        F.date_format("ts", "yyyy-MM-dd").alias("f_date"),
+        F.hour("ts").cast("long").alias("f_hour"),
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("f_trunc_us"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("f_interval_us"),
+        F.abs(F.col("value") - 50).alias("f_abs"),
+        F.round(F.col("value").cast("decimal(10,3)") * 2, 1).alias("f_round_dec"),
+        F.floor("value").alias("f_floor"),
+        F.ceil("value").alias("f_ceil"),
+        F.sha2(et, 256).alias("f_sha256"),
+        F.get_json_object("props", "$.k").alias("f_json"),
+    )
+
+
+@register(
+    "array_map_functions",
+    sql="""
+    WITH t AS (
+      SELECT event_id, string_split(event_type, 'i') AS arr,
+             CAST(value AS DECIMAL(10,3)) AS v
+      FROM events WHERE event_id < 200
+    )
+    SELECT event_id,
+           len(arr) AS a_size,
+           arr[1] AS a_first,
+           arr[len(arr)] AS a_last,
+           array_to_string(arr, '|') AS a_joined,
+           list_contains(arr, 'cl') AS a_contains,
+           CAST(len(list_filter(arr, x -> length(x) > 1)) AS INT) AS a_filtered,
+           array_to_string(list_transform(arr, x -> upper(x)), '|') AS a_upper,
+           array_to_string(list_sort(arr), '|') AS a_sorted
+    FROM t
+    """,
+    doc="§2.11 array surface: split/size/element_at/array_join/contains/"
+    "filter/transform/sort — the HL7 component machinery (P2-P4) generalized.",
+)
+def array_map_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    t = ev.select("event_id", F.split("event_type", "i").alias("arr"))
+    return t.select(
+        "event_id",
+        F.size("arr").alias("a_size"),
+        F.try_element_at("arr", F.lit(1)).alias("a_first"),
+        F.try_element_at("arr", F.size("arr")).alias("a_last"),
+        F.array_join("arr", "|").alias("a_joined"),
+        F.array_contains("arr", "cl").alias("a_contains"),
+        F.size(F.filter("arr", lambda x: F.length(x) > 1)).alias("a_filtered"),
+        F.array_join(F.transform("arr", lambda x: F.upper(x)), "|").alias("a_upper"),
+        F.array_join(F.sort_array("arr"), "|").alias("a_sorted"),
+    )
+
+
+@register(
+    "g5b_approx_quantiles",
+    sql=None,  # approximate sketch: engine-specific by construction
+    doc="G5 scale path: approx_percentile (GK sketch) + approx_count_distinct "
+    "(HLL) — the 100 TB form of g5/g7's exact variants; rows-only check "
+    "(sketches are engine-specific by design).",
+)
+def g5b_approx_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_pcts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "stream_g1_windowed",
+    sql="""
+    SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, event_type AS metric,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+    doc="§2.12 streaming G1: the same windowed counters executed as a "
+    "Structured Streaming job (file source, availableNow trigger, complete "
+    "mode) — output provably equals the batch aggregation, which is the "
+    "exactly-once story in one query.",
+)
+def stream_g1_windowed(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import windowed_counters_stream
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_g1_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    agg = windowed_counters_stream(
+        stream.withColumn("value", F.col("value").cast("decimal(18,3)")), watermark="10 minutes"
+    )
+    name = f"sg1_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros("minute").alias("minute_us"),
+        "metric",
+        "n",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+@register(
+    "u1b_store_merge_twice",
+    sql=None,  # filesystem side effects: rows-only
+    doc="U1 on disk: ParquetStateStore double-merge — batch 1 inserts, "
+    "batch 2 re-sends half with the same idempotencyKey (no-ops) and half "
+    "with new keys (version 2); returns the final state's (version, action) "
+    "census.  The VALIDATION.md:198-215 idempotency demo as a query.",
+)
+def u1b_store_merge_twice(spark, sf_dir):
+    from ..operators.persist import ParquetStateStore
+
+    d = tempfile.mkdtemp(prefix="u1b_store_")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+
+    def to_batch(df, key_col):
+        return df.select(
+            F.concat(F.lit("t"), (F.col("user_id") % 10).cast("string")).alias("tenantId"),
+            F.lit("observation").alias("entityType"),
+            F.concat(F.lit("p"), F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")).alias(
+                "entityId"
+            ),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("patientId"),
+            F.col("ts").alias("effectiveDateTime"),
+            F.col("value"),
+            key_col.alias("idempotencyKey"),
+        )
+
+    store = ParquetStateStore(spark, f"{d}/state")
+    b1 = to_batch(ev, F.concat(F.lit("k"), F.col("event_id").cast("string")))
+    store.merge(b1, updated_at=dt.datetime(2025, 1, 1))
+    # resend: even users same key (no-op), odd users new key (update)
+    b2 = to_batch(
+        ev,
+        F.when(
+            F.col("user_id") % 2 == 0, F.concat(F.lit("k"), F.col("event_id").cast("string"))
+        ).otherwise(F.concat(F.lit("k2-"), F.col("event_id").cast("string"))),
+    )
+    log2 = store.merge(b2, updated_at=dt.datetime(2025, 1, 2))
+    return log2.groupBy("action", "version").count().orderBy("action", "version")
+
+
+@register(
+    "s8_s9_audit_roundtrip",
+    sql=None,  # filesystem side effects: rows-only
+    doc="S8+S9: partitioned JSONL audit append then tenant/date-pruned "
+    "listing — returns per-(tenant, date, hour) line counts read back "
+    "through Hive partition discovery.",
+)
+def s8_s9_audit_roundtrip(spark, sf_dir):
+    from ..sources.audit import append_audit, list_audit
+
+    d = tempfile.mkdtemp(prefix="s8_audit_")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    lines = ev.select(
+        F.col("ts").alias("at"),
+        F.lit("etl.persisted.v1").alias("type"),
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("tenantId"),
+        F.col("event_id").cast("string").alias("traceId"),
+        F.col("props").alias("payload"),
+    )
+    append_audit(lines, f"{d}/audit")
+    listed = list_audit(spark, f"{d}/audit", "t1", limit=500)
+    return listed.groupBy("tenantId", "date", "hour").count().orderBy("date", "hour")

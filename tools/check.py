@@ -18,6 +18,8 @@ import pandas as pd  # noqa: E402
 
 
 def norm_cell(v):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if v is None or v != v:  # NaN
         return "NULL"
     if isinstance(v, float):
