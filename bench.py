@@ -43,9 +43,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen + parquet-reader warmup so query timings measure the plan,
-    # not session/Hadoop-FS bring-up
+    # not session/Hadoop-FS bring-up: touch every table's footer/metadata once
+    # (count() is rowgroup-stats-only for parquet — no column data is read)
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
+    # exercise exchange + broadcast machinery once (first shuffle pays
+    # executor/codegen bring-up that would otherwise land on query 1)
+    a = spark.range(0, 100_000).selectExpr("id", "id % 97 AS k")
+    b = spark.range(0, 97).selectExpr("id AS k", "id * 2 AS v")
+    a.join(b, "k").groupBy("k").count().write.mode("overwrite").format("noop").save()
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        spark.read.parquet(str(p)).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -51,8 +51,10 @@ def dedup_exact(spark, sf_dir):
 
 def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
     n = bands * rows
+    slices = 64 // width  # disjoint digest slices = independent hash fns
     mh_cols = ",\n        ".join(
-        f"min(substr(sha256('{i}:' || s), 1, {width})) AS mh{i}" for i in range(n)
+        f"min(substr(sha256('{i // slices}:' || s), {1 + width * (i % slices)}, {width})) AS mh{i}"
+        for i in range(n)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, {expr} AS key FROM mh".format(
