@@ -92,6 +92,114 @@ def decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return src.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("new_width", T.IntegerType(), False),
+        T.StructField("new_height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_plan(df: DataFrame, id_col: str, width_col: str, height_col: str, max_side: int = 224) -> DataFrame:
+    """Image-resize stage: aspect-preserving fit into ``max_side``.
+
+    The geometry (the part a training pipeline must get right) is computed
+    for real inside the same mapInPandas batch a PIL ``Image.resize`` call
+    would live in; only the pixel kernel is stubbed (no image libs here).
+    new_w = floor(w * max_side / max(w, h)) when the longest side exceeds
+    max_side, else unchanged — identical IEEE double ops in the SQL oracle.
+    """
+    import math
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(width_col).alias("width"), F.col(height_col).alias("height")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            m = b[["width", "height"]].max(axis=1)
+            scale_needed = m > max_side
+            new_w = [
+                int(math.floor(w * max_side / mx)) if s else int(w)
+                for w, mx, s in zip(b["width"], m, scale_needed)
+            ]
+            new_h = [
+                int(math.floor(h * max_side / mx)) if s else int(h)
+                for h, mx, s in zip(b["height"], m, scale_needed)
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "width": b["width"],
+                    "height": b["height"],
+                    "new_width": pd.Series(new_w, dtype="int32"),
+                    "new_height": pd.Series(new_h, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("ts_s", T.DoubleType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, duration_col: str, fps_col: str, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling stage: pick <= ``max_frames`` evenly-strided frame
+    indices per clip (stride = max(1, n_frames // max_frames)), fan out one
+    row per sampled frame.
+
+    The index arithmetic and the fan-out (the ffmpeg ``select='not(mod(n,k))'``
+    analog) are real; the frame decode is a deterministic sha256 stand-in.
+    One clip's frames stay inside one Arrow batch — the shape a torchcodec /
+    pyav kernel consumes.
+    """
+    import hashlib
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(duration_col).alias("duration_s"),
+        F.col(fps_col).alias("fps"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, tss, shas = [], [], [], []
+            for vid, dur, fps in zip(b["id"], b["duration_s"], b["fps"]):
+                n_frames = int(dur) * int(fps)
+                stride = max(1, n_frames // max_frames)
+                k = 0
+                idx = 0
+                while idx < n_frames and k < max_frames:
+                    ids.append(vid)
+                    idxs.append(idx)
+                    tss.append(idx / int(fps))
+                    shas.append(hashlib.sha256(f"{vid}:{idx}".encode()).hexdigest())
+                    k += 1
+                    idx += stride
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "ts_s": pd.Series(tss, dtype="float64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def real_decode(*_args, **_kwargs):
     """Placeholder for the production decode kernel."""
     raise NotImplementedError(

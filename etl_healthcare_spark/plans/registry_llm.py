@@ -378,3 +378,75 @@ def q_mm_binary_stats(spark, sf_dir):
         F.sha2(b, 256).alias("payload_sha"),
         F.lower(F.substring(F.hex(b), 1, 8)).alias("magic_prefix"),
     )
+
+
+@register(
+    "mm_resize_plan",
+    sql="""
+    WITH img AS (
+      SELECT doc_id AS id,
+             CAST(64 + doc_id % 512 AS INT) AS width,
+             CAST(48 + doc_id % 384 AS INT) AS height
+      FROM documents WHERE doc_id < 2000
+    )
+    SELECT id, width, height,
+           CASE WHEN greatest(width, height) > 224
+                THEN CAST(floor(width * 224 / greatest(width, height)) AS INT)
+                ELSE width END AS new_width,
+           CASE WHEN greatest(width, height) > 224
+                THEN CAST(floor(height * 224 / greatest(width, height)) AS INT)
+                ELSE height END AS new_height
+    FROM img
+    """,
+    doc="Multimodal image resize: aspect-preserving fit into 224px computed "
+    "inside the mapInPandas batch a real PIL kernel would occupy "
+    "(operators/multimodal.resize_plan); the geometry is exact, so the "
+    "Arrow-batched Python stage hash-matches the SQL oracle.",
+)
+def q_mm_resize_plan(spark, sf_dir):
+    from ..operators.multimodal import resize_plan
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    img = docs.select(
+        "doc_id",
+        (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
+        (F.lit(48) + F.col("doc_id") % 384).cast("int").alias("height"),
+    )
+    return resize_plan(img, "doc_id", "width", "height", max_side=224)
+
+
+@register(
+    "mm_frame_sample",
+    sql="""
+    WITH vid AS (
+      SELECT doc_id AS id,
+             1 + doc_id % 30 AS duration_s,
+             CASE WHEN doc_id % 2 = 0 THEN 30 ELSE 24 END AS fps
+      FROM documents WHERE doc_id < 300
+    ),
+    f AS (
+      SELECT id, fps, duration_s * fps AS n_frames,
+             greatest(1, (duration_s * fps) // 8) AS stride,
+             unnest(generate_series(0, 7)) AS i
+      FROM vid
+    )
+    SELECT id, i * stride AS frame_idx,
+           CAST(i * stride AS DOUBLE) / fps AS ts_s,
+           sha256(CAST(id AS VARCHAR) || ':' || CAST(i * stride AS VARCHAR)) AS frame_sha
+    FROM f WHERE i * stride < n_frames
+    """,
+    doc="Multimodal video frame sampling: <=8 evenly-strided frame indices "
+    "per clip fanned out one-row-per-frame inside mapInPandas "
+    "(operators/multimodal.sample_frames) — the ffmpeg select-filter analog; "
+    "index arithmetic is exact, frame decode is a sha256 stand-in.",
+)
+def q_mm_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    vid = docs.select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 30).alias("duration_s"),
+        F.when(F.col("doc_id") % 2 == 0, 30).otherwise(24).alias("fps"),
+    )
+    return sample_frames(vid, "doc_id", "duration_s", "fps", max_frames=8)

@@ -104,3 +104,21 @@ def test_multimodal_plumbing(spark):
     decoded = {r.id: r for r in decode_features(df, "id", "payload").collect()}
     assert decoded[1].byte_len == 15 and decoded[1].feat_dim == 64
     assert decoded[1].feat_mean is not None and decoded[2].feat_mean is None
+
+
+def test_multimodal_resize_and_frames(spark):
+    from etl_healthcare_spark.operators.multimodal import resize_plan, sample_frames
+
+    img = spark.createDataFrame(
+        [(1, 448, 336), (2, 100, 50), (3, 224, 224)], "id long, w int, h int"
+    )
+    r = {x.id: x for x in resize_plan(img, "id", "w", "h", max_side=224).collect()}
+    assert (r[1].new_width, r[1].new_height) == (224, 168)  # scaled, aspect kept
+    assert (r[2].new_width, r[2].new_height) == (100, 50)  # under cap: unchanged
+    assert (r[3].new_width, r[3].new_height) == (224, 224)  # at cap: unchanged
+
+    vid = spark.createDataFrame([(7, 2, 24)], "id long, dur int, fps int")
+    frames = sample_frames(vid, "id", "dur", "fps", max_frames=8).collect()
+    assert len(frames) == 8  # 48 frames, stride 6 -> 8 samples
+    assert [f.frame_idx for f in frames] == [0, 6, 12, 18, 24, 30, 36, 42]
+    assert frames[1].ts_s == 6 / 24 and len(frames[0].frame_sha) == 64
