@@ -183,3 +183,75 @@ def o4_keyset_page(spark, sf_dir):
     token = encode_token(["2024-01-15 00:00:00", 5000])
     page = keyset_page(ev.select("ts", "event_id"), ["ts", "event_id"], 100, token)
     return page.select("event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@register(
+    "w5_rank_distribution",
+    sql="""
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           dense_rank() OVER w AS drank
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="§2.9 ranking distribution functions: ntile/percent_rank/cume_dist/"
+    "dense_rank over a per-user frame with a total tiebreak order — the "
+    "generalization of Q3's row_number ranking.",
+)
+def w5_rank_distribution(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@register(
+    "g9_session_window",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 200
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    doc="Session windows (30-min inactivity gap) — the [capability] streaming "
+    "window family of SURVEY §2.12 in batch form via F.session_window "
+    "(state-merging windows in one shuffle); the oracle derives identical "
+    "sessions with the gaps-and-islands pattern.  Spark's session end = last "
+    "event + gap, mirrored in the oracle.",
+)
+def g9_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -134,3 +134,77 @@ def windowed_counters_stream(
         .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
         .select(F.col("w.start").alias("minute"), "metric", "n", "value_sum")
     )
+
+
+SESSION_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE = "start_us bigint, last_us bigint, n bigint"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, emit_open_on_timeout: bool = True):
+    """Custom stateful operator: per-user sessionization with an inactivity
+    gap, via ``applyInPandasWithState`` — the [capability] analog of
+    SURVEY §2.12's "stateful ops" row for semantics Spark's built-in
+    ``session_window`` can't express (per-group custom state transitions,
+    explicit timeout-driven emission).
+
+    State per user: (session start, last event, count) in epoch-µs.  A batch
+    closes a session when a gap > ``gap_minutes`` separates consecutive
+    events; processing-time timeout flushes the open session when the user
+    goes quiet.  Output rows are *closed* sessions (end = last event + gap,
+    matching ``session_window``'s end semantics).
+
+    State size is O(active users), independent of event volume — the shape
+    that survives 100 TB streams.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []  # (start_us, last_us, n)
+        if state.hasTimedOut:
+            if state.exists:
+                s, l, n = state.get
+                closed.append((s, l, n))
+                state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts_us:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(l + gap_us, unit="us") for _, l, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if emit_open_on_timeout else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUTPUT, SESSION_STATE, "append", timeout
+    )

@@ -121,3 +121,34 @@ def test_windowed_counters_stream_matches_batch(spark, tmp_path):
     got = {(r.minute, r.metric): (r.n, r.value_sum) for r in spark.table("wcs").collect()}
     assert got[(dt.datetime(2024, 1, 1, 0, 0), "click")] == (2, 3.0)
     assert got[(dt.datetime(2024, 1, 1, 0, 1), "error")] == (1, 1.0)
+
+
+def test_sessionize_stream_applyinpandaswithstate(spark, tmp_path):
+    from etl_healthcare_spark.streaming.pipeline import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    # user 1: two sessions separated by a 2 h gap (second session stays open);
+    # user 2: one open session -> only user 1's first session closes in-batch
+    rows = [
+        (1, dt.datetime(2025, 1, 1, 10, 0)),
+        (1, dt.datetime(2025, 1, 1, 10, 10)),
+        (1, dt.datetime(2025, 1, 1, 12, 30)),
+        (2, dt.datetime(2025, 1, 1, 9, 0)),
+    ]
+    spark.createDataFrame(rows, "user_id bigint, ts timestamp").write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {(r.user_id): r for r in spark.table("sessions_t").collect()}
+    assert list(out) == [1]  # only the closed session emitted
+    s = out[1]
+    assert s.session_start == dt.datetime(2025, 1, 1, 10, 0)
+    assert s.session_end == dt.datetime(2025, 1, 1, 10, 40)  # last event + gap
+    assert s.n_events == 2
