@@ -54,12 +54,22 @@ def main():
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         spark.read.parquet(str(p)).count()
 
+    # Two passes: pass 1 compiles each plan (Catalyst analysis + codegen class
+    # load — a per-process constant that vanishes at real scale), pass 2 is
+    # the steady-state measurement.  Both totals are reported; `value` is the
+    # steady-state number, which is the one that models a long-running job.
+    cold_total = 0.0
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for is_measured in (False, True):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            elapsed = time.perf_counter() - t0
+            if is_measured:
+                timings[name] = round(elapsed, 3)
+            else:
+                cold_total += elapsed
 
     total = round(sum(timings.values()), 3)
     print(
@@ -69,6 +79,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(cold_total, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -255,3 +255,41 @@ def s8_s9_audit_roundtrip(spark, sf_dir):
     append_audit(lines, f"{d}/audit")
     listed = list_audit(spark, f"{d}/audit", "t1", limit=500)
     return listed.groupBy("tenantId", "date", "hour").count().orderBy("date", "hour")
+
+
+@register(
+    "map_json_functions",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS j_k,
+           json_structure(props) IS NOT NULL AS j_parseable,
+           map_extract(MAP(['id','type'],
+                           [CAST(event_id AS VARCHAR), event_type]), 'type')[1] AS m_type,
+           cardinality(MAP(['id','type'],
+                           [CAST(event_id AS VARCHAR), event_type])) AS m_size,
+           array_to_string(map_keys(MAP(['id','type'],
+                           [CAST(event_id AS VARCHAR), event_type])), ',') AS m_keys
+    FROM events WHERE event_id < 300
+    """,
+    doc="§2.11 map + JSON-struct surface: from_json typed extraction "
+    "(normalize/handler.ts:81 JSON.parse analog), map_from_entries/"
+    "element_at/size/map_keys (the attributes open-map of "
+    "etl.normalized.v1.json:33-37).",
+)
+def map_json_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("id").alias("k"), F.col("event_id").cast("string").alias("v")),
+            F.struct(F.lit("type").alias("k"), F.col("event_type").alias("v")),
+        )
+    )
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("j_k"),
+        parsed.isNotNull().alias("j_parseable"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
