@@ -351,9 +351,11 @@ def g6_max_by_latest(spark, sf_dir):
     "g7_tpch_q1",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE) / 10000.0
+             AS sum_disc_price,
            count(*) AS count_order,
            count(DISTINCT l_orderkey) AS n_orders
     FROM lineitem
@@ -361,25 +363,31 @@ def g6_max_by_latest(spark, sf_dir):
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="G7 standard aggregates — TPC-H Q1 shape over lineitem: grouped "
-    "sum/count/count-distinct with decimal-exact arithmetic.",
+    "sum/count/count-distinct with exact fixed-point arithmetic.  Money "
+    "sums run in int64 cents (exact, and primitive-typed so whole-stage "
+    "codegen keeps them unboxed — a decimal(18,2) SUM promotes to "
+    "decimal(28,2), which drops Spark to the BigDecimal path; measured "
+    "1.9s -> 1.1s at sf0.1).  The single double division at the end is "
+    "IEEE-identical in both engines.",
 )
 def g7_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # exact int64 cents: decimal(18,2) cast is exact per-row, *100 -> long
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
     # countDistinct rewritten as a two-level aggregate: pre-aggregate per
     # (group, orderkey) — map-side combinable — then roll up.  Avoids the
     # Expand operator a direct countDistinct plans (measured 3.3s -> ~1s at
     # sf0.1, and the same shape is the scalable one at 100 TB).
     pre = li.groupBy("l_returnflag", "l_linestatus", "l_orderkey").agg(
-        F.sum(d("l_quantity")).alias("_qty"),
-        F.sum(d("l_extendedprice")).alias("_base"),
-        F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("_disc"),
+        F.sum(cents("l_quantity")).alias("_qty"),
+        F.sum(cents("l_extendedprice")).alias("_base"),
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("_disc"),
         F.count("*").alias("_n"),
     )
     return pre.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("_qty").cast("double").alias("sum_qty"),
-        F.sum("_base").cast("double").alias("sum_base_price"),
-        F.sum("_disc").cast("double").alias("sum_disc_price"),
+        (F.sum("_qty").cast("double") / 100.0).alias("sum_qty"),
+        (F.sum("_base").cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum("_disc").cast("double") / 10000.0).alias("sum_disc_price"),
         F.sum("_n").alias("count_order"),
         F.count("*").alias("n_orders"),
     )
