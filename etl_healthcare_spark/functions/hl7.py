@@ -74,8 +74,10 @@ def hl7_ts_to_timestamp(ts: Column) -> Column:
     now() fallback — kept separate for oracle determinism, SURVEY §7.3).
     """
     digits = F.regexp_extract(ts, r"^(\d{4,14})", 1)
-    ok = F.length(digits) >= 4
     y = F.substring(digits, 1, 4)
+    # year 0000 is valid in Spark's proleptic calendar but not representable
+    # in Python datetime (or real HL7) — reject it like any other bad date
+    ok = (F.length(digits) >= 4) & (y != "0000")
     mo = F.when(F.length(digits) >= 6, F.substring(digits, 5, 2)).otherwise(F.lit("01"))
     d = F.when(F.length(digits) >= 8, F.substring(digits, 7, 2)).otherwise(F.lit("01"))
     hh = F.when(F.length(digits) >= 10, F.substring(digits, 9, 2)).otherwise(F.lit("00"))

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) — the randomized layer SURVEY §5 adds on
+top of the reference's three literal unit tests.
+
+Each property runs one Spark job over a generated batch (not one job per
+example): hypothesis drives the data generation, Spark evaluates the whole
+batch, and the property is asserted row-by-row against a pure-Python model.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.functions.hl7 import hl7_ts_to_timestamp
+from etl_healthcare_spark.operators.pagination import keyset_page, next_token_from_rows
+from etl_healthcare_spark.operators.validate import dto_rules, tag_rejects
+
+# ---------------------------------------------------------------------------
+# HL7 TS parsing vs a pure-Python model of v2.ts:23-31
+# ---------------------------------------------------------------------------
+
+
+def _py_hl7_ts(s: str) -> dt.datetime | None:
+    import re
+
+    m = re.match(r"^(\d{4,14})", s)
+    if not m:
+        return None
+    d = m.group(1)
+    y = int(d[0:4])
+    mo = int(d[4:6]) if len(d) >= 6 else 1
+    day = int(d[6:8]) if len(d) >= 8 else 1
+    hh = int(d[8:10]) if len(d) >= 10 else 0
+    mi = int(d[10:12]) if len(d) >= 12 else 0
+    ss = int(d[12:14]) if len(d) >= 14 else 0
+    try:
+        return dt.datetime(y, mo, day, hh, mi, ss)
+    except ValueError:
+        return None  # e.g. month 13 — engine's try_to_timestamp also nulls
+
+
+ts_strings = st.one_of(
+    st.from_regex(r"[0-9]{4,14}", fullmatch=True),
+    st.from_regex(r"[0-9]{0,3}", fullmatch=True),  # too short -> NULL
+    st.from_regex(r"[0-9]{8}\.[0-9]{4}", fullmatch=True),  # fractional tail ignored
+    st.text(alphabet="0123456789ab-", max_size=16),
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(ts_strings, min_size=1, max_size=40))
+def test_hl7_ts_matches_python_model(spark, samples):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, ts string")
+    got = {
+        r.i: r.parsed
+        for r in df.select("i", hl7_ts_to_timestamp(F.col("ts")).alias("parsed")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == _py_hl7_ts(s), f"ts={s!r}: engine={got[i]} model={_py_hl7_ts(s)}"
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination: full traversal visits every row exactly once, in order
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.integers(min_value=0, max_value=10**6)),
+        min_size=1,
+        max_size=120,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=25),
+)
+def test_keyset_pagination_total_traversal(spark, rows, page_size):
+    df = spark.createDataFrame(rows, "k long, id long")
+    seen: list[tuple[int, int]] = []
+    token = None
+    for _ in range(len(rows) // page_size + 2):
+        page = keyset_page(df, ["k", "id"], page_size, token).collect()
+        if not page:
+            break
+        seen.extend((r.k, r.id) for r in page)
+        token = next_token_from_rows(page, ["k", "id"], page_size)
+        if token is None:
+            break
+    assert seen == sorted(rows), "keyset traversal must be exactly the sorted input, no dup/skip"
+
+
+# ---------------------------------------------------------------------------
+# Validation split: reject reason == first failing rule of the Python model
+# ---------------------------------------------------------------------------
+
+dto_strat = st.tuples(
+    st.one_of(st.none(), st.text(max_size=5)),  # patientId
+    st.one_of(st.none(), st.text(max_size=5)),  # code
+    st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=False)),  # value
+    st.one_of(st.none(), st.text(max_size=3)),  # unit
+    st.booleans(),  # has timestamp
+    st.one_of(st.none(), st.text(min_size=0, max_size=12)),  # ingestHash
+)
+
+
+def _py_first_reject(p, c, v, u, has_ts, h) -> str | None:
+    if not (p is not None and len(p) > 0):
+        return "patientId_empty"
+    if not (c is not None and len(c) > 0):
+        return "code_empty"
+    if not (v is not None and v == v):
+        return "value_not_finite"
+    if not (u is not None and len(u) > 0):
+        return "unit_empty"
+    if not has_ts:
+        return "effectiveDateTime_invalid"
+    return None if (h is not None and len(h) >= 10) else "ingestHash_short"
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(dto_strat, min_size=1, max_size=40))
+def test_validation_first_failing_rule(spark, dtos):
+    rows = [
+        (i, p, c, v, u, dt.datetime(2025, 1, 1) if has_ts else None, "src", h)
+        for i, (p, c, v, u, has_ts, h) in enumerate(dtos)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i long, patientId string, code string, value double, unit string,"
+        "effectiveDateTime timestamp, sourceSystem string, ingestHash string",
+    )
+    tagged = {r.i: r._reject_reason for r in tag_rejects(df, dto_rules()).collect()}
+    for i, (p, c, v, u, has_ts, h) in enumerate(dtos):
+        assert tagged[i] == _py_first_reject(p, c, v, u, has_ts, h), f"row {i}"
