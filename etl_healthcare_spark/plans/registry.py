@@ -3,7 +3,9 @@ a DuckDB-oracle SQL twin (the driver's correctness gate).
 
 Cross-engine determinism conventions (see SURVEY §7.3):
 
-* aggregates computed in DECIMAL (exact) and cast to DOUBLE at the end —
+* aggregates computed exactly — DECIMAL, or fixed-point int64 (cents) where
+  the hot path matters (a decimal(18,2) SUM promotes past 18 digits and
+  leaves codegen's primitive path) — and cast to DOUBLE once at the end:
   identical bits in both engines, no float-accumulation-order drift;
 * timestamps returned as epoch microseconds (Spark ``unix_micros`` == DuckDB
   ``epoch_us``) — no string-format or precision drift;

@@ -34,3 +34,20 @@ def read_landing(spark: SparkSession, landing_dir: str, tenant_id: str | None = 
     if tenant_id is not None:
         df = df.where(F.col("tenantId") == tenant_id)
     return df
+
+
+def read_binary_objects(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S3: whole-object fetch (the S3 GetObject -> Buffer step,
+    services/normalize/handler.ts:29-35) as a distributed ``binaryFile``
+    scan — one task per object, payload as BinaryType, object metadata
+    (path/length/mtime) carried alongside for routing (P8 key sniffing)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select(
+            F.col("path").alias("key"),
+            F.col("length").alias("byte_len"),
+            F.col("modificationTime").alias("mtime"),
+            F.col("content").alias("payload"),
+        )
+    )

@@ -42,3 +42,22 @@ def test_landing_roundtrip(spark, tmp_path):
     assert len(back) == 1
     assert back[0].content_hash.startswith("sha256:")
     assert back[0].payload == '{"a":1}'
+
+
+def test_binary_object_source_and_routing(spark, tmp_path):
+    from etl_healthcare_spark.operators.normalize import route_content_type
+    from etl_healthcare_spark.sources.landing import read_binary_objects
+
+    (tmp_path / "a.csv").write_bytes(b"patientId,code\np1,718-7\n")
+    (tmp_path / "b.hl7").write_bytes(b"MSH|^~\\&|x\rPID|1\r")
+    (tmp_path / "c.json").write_bytes(b"{}")
+    objs = read_binary_objects(spark, str(tmp_path))
+    rows = {r.key.rsplit("/", 1)[-1]: r for r in objs.collect()}
+    assert rows["a.csv"].byte_len == 24 and bytes(rows["a.csv"].payload).startswith(b"patientId")
+    routed = {
+        r.key.rsplit("/", 1)[-1]: r.routed
+        for r in objs.withColumn(
+            "routed", route_content_type(F.lit(None).cast("string"), F.col("key"))
+        ).collect()
+    }
+    assert routed == {"a.csv": "text/csv", "b.hl7": "application/x-hl7", "c.json": "application/json"}
