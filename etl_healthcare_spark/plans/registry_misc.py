@@ -293,3 +293,83 @@ def map_json_functions(spark, sf_dir):
         F.size(m).cast("bigint").alias("m_size"),
         F.array_join(F.map_keys(m), ",").alias("m_keys"),
     )
+
+
+@register(
+    "g10_pivot",
+    sql="""
+    SELECT user_id % 10 AS tenant_bucket,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot: per-tenant event-type matrix (the alarms dashboard rows of "
+    "alarms-stack.ts:94-157 as columns).  DataFrame pivot with an explicit "
+    "value list — no extra distinct-scan job, and the pivot compiles to the "
+    "same single-shuffle conditional aggregation as the oracle's CASE sums.",
+)
+def g10_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("tenant_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=["click", "view", "purchase", "error"])
+    )
+
+
+@register(
+    "g10b_unpivot",
+    sql="""
+    SELECT l_orderkey, 'qty' AS measure, CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, 'price', l_extendedprice FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, 'discount', l_discount FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="Unpivot (melt): wide measures -> (key, measure, value) rows via "
+    "DataFrame unpivot — an in-task Expand, one scan, no shuffle (the oracle "
+    "expresses the same reshape as UNION ALL).",
+)
+def g10b_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    ).unpivot("l_orderkey", ["qty", "price", "discount"], "measure", "val")
+
+
+@register(
+    "sq_subqueries",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    doc="SQL subquery surface: correlated EXISTS (-> left semi join), "
+    "uncorrelated IN (-> semi join), scalar subquery (-> broadcast one-row "
+    "agg) — Catalyst decorrelates all three into joins; exercised through "
+    "spark.sql to cover the SQL entry point alongside the DataFrame API.",
+)
+def sq_subqueries(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders o
+        WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          AND o_custkey IN (SELECT c_custkey FROM sq_customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM sq_orders)
+        """
+    )
