@@ -54,20 +54,21 @@ def main():
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         spark.read.parquet(str(p)).count()
 
-    # Two passes: pass 1 compiles each plan (Catalyst analysis + codegen class
-    # load — a per-process constant that vanishes at real scale), pass 2 is
-    # the steady-state measurement.  Both totals are reported; `value` is the
-    # steady-state number, which is the one that models a long-running job.
+    # Three passes: pass 1 compiles each plan (Catalyst analysis + codegen
+    # class load — a per-process constant that vanishes at real scale);
+    # passes 2-3 are steady-state measurements and each query reports its
+    # best observed time (min damps same-box noise).  The cold total is
+    # reported alongside for transparency.
     cold_total = 0.0
     timings: dict[str, float] = {}
-    for is_measured in (False, True):
+    for is_measured in (False, True, True):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
             if is_measured:
-                timings[name] = round(elapsed, 3)
+                timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
             else:
                 cold_total += elapsed
 

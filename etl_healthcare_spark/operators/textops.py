@@ -11,7 +11,6 @@ from ..functions.text import (
     lang_guess,
     lang_scores,
     quality_metrics,
-    rolling_fingerprint,
     token_count_bpe,
     token_count_ws,
 )
