@@ -255,3 +255,58 @@ def g9_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "w6_locf_gapfill",
+    sql="""
+    WITH src AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 100
+    )
+    SELECT user_id, event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM src
+    """,
+    doc="LOCF gap-fill (last observation carried forward): last_value "
+    "ignoreNulls over an ordered per-entity frame — the standard imputation "
+    "for sensor/vitals time-series and sparse training features; one window "
+    "shuffle on the entity key, NULLs injected deterministically.",
+)
+def w6_locf_gapfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return src.select(
+        "user_id", "event_id", F.last("v", ignorenulls=True).over(w).alias("v_filled")
+    )
+
+
+@register(
+    "g11_median",
+    sql="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="G5 exact-percentile variant: exact median per group (full-sort "
+    "percentile — the exact complement of g5b's GK sketch; at 100 TB the "
+    "sketch is the default and this is the verification path).",
+)
+def g11_median(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )
