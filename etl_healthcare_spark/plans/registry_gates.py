@@ -434,3 +434,48 @@ def sim_ivf_topk(spark, sf_dir):
         cos(F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")).alias("csim"),
     )
     return scored.orderBy(F.desc("csim"), "vec_id").limit(10)
+
+
+@register(
+    "pipeline_e2e_write_path",
+    sql=None,  # filesystem side effects (fixture files + state store): rows-only
+    doc="SURVEY §3.1 end-to-end write path as one query: CSV + HL7 fixtures "
+    "-> parse -> V2/V3 gates -> envelope -> idempotent merge -> replay "
+    "(same inputs re-merged).  Returns the two runs' commit-log censuses: "
+    "run 1 all inserts at version 1, run 2 all no-ops — the "
+    "VALIDATION.md:198-215 idempotency demo end-to-end.",
+)
+def pipeline_e2e_write_path(spark, sf_dir):
+    import datetime as dt_
+    from pathlib import Path
+
+    from ..pipeline import run_batch_pipeline
+
+    d = Path(tempfile.mkdtemp(prefix="pipe_e2e_"))
+    (d / "labx.csv").write_text(
+        "patientId,code,value,unit,effectiveDateTime\n"
+        "pat-001,718-7,5.6,mmol/L,2025-09-30T10:00:00Z\n"
+        "pat-001,8867-4,72,/min,2025-09-30T10:05:00Z\n"
+    )
+    (d / "minimal.hl7").write_text(
+        "MSH|^~\\&|LAB|HOSP|ETL|PIPE|20250930101500||ORU^R01|MSG0001|P|2.5\r"
+        "PID|1||77777^^^HOSP^MR||ROE^JANE\r"
+        "OBR|1|||GLUCOSE^Glucose^LN||20250930100000\r"
+        "OBX|1|NM|718-7^Glucose^LN||6.1|mmol/L|3.5-7.8|N|||F|||20250930100000\r"
+    )
+    logs = []
+    for run_no, bt in ((1, dt_.datetime(2025, 10, 1)), (2, dt_.datetime(2025, 10, 2))):
+        r = run_batch_pipeline(
+            spark,
+            tenant_id="t1",
+            state_dir=str(d / "state"),
+            csv_path=str(d / "labx.csv"),
+            hl7_path=str(d / "minimal.hl7"),
+            batch_time=bt,
+        )
+        logs.append(
+            r.commit_log.groupBy("action", "version")
+            .count()
+            .withColumn("run", F.lit(run_no))
+        )
+    return logs[0].unionByName(logs[1]).orderBy("run", "action", "version")
