@@ -479,3 +479,28 @@ def pipeline_e2e_write_path(spark, sf_dir):
             .withColumn("run", F.lit(run_no))
         )
     return logs[0].unionByName(logs[1]).orderBy("run", "action", "version")
+
+
+@register(
+    "q4_audit_list",
+    sql=None,  # filesystem side effects (audit dir fixture): rows-only
+    doc="Q4 GET /audit/list: tenant-guarded, date-pruned audit listing with "
+    "the 500-object cap (services/audit-list-api/src/handler.ts:23-67) — "
+    "partition discovery does the prefix listing, V6 guard + clamped limit "
+    "on top.  Returns the listed lines for one tenant/date.",
+)
+def q4_audit_list(spark, sf_dir):
+    from ..sources.audit import append_audit, list_audit
+
+    d = tempfile.mkdtemp(prefix="q4_audit_")
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 600)
+    lines = ev.select(
+        F.col("ts").alias("at"),
+        F.lit("etl.normalized.v1").alias("type"),
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("tenantId"),
+        F.col("event_id").cast("string").alias("traceId"),
+        F.col("props").alias("payload"),
+    )
+    append_audit(lines, f"{d}/audit")
+    listed = list_audit(spark, f"{d}/audit", "t0", date="2024-01-01", limit=500)
+    return listed.groupBy("tenantId", "date").count().orderBy("date")
