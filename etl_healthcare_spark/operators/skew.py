@@ -1,0 +1,38 @@
+"""Skew mitigation: salted two-level aggregation.
+
+AQE's skew handling covers *joins*; a single hot GROUP BY key still lands on
+one reducer.  The classic fix — salt the key, partially aggregate per
+(key, salt), then roll up per key — works for any algebraic aggregate
+(sum/count/min/max/decimal-sum).  One extra (tiny) shuffle whose input is at
+most |keys| x |buckets| rows, in exchange for bounding the largest reduce
+task at 1/buckets of the hot key.  This is the documented fallback of
+SCALE.md §4, as code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value: Column,
+    salt_source: Column,
+    buckets: int = 32,
+) -> DataFrame:
+    """sum(value) + count(*) per key, shuffled in two salted levels.
+
+    ``salt_source`` must be a column that varies *within* a key (a row id,
+    event id, content hash) so a hot key's rows spread across ``buckets``
+    reduce tasks; the salt is derived deterministically from it, never from
+    rand() (oracle determinism, SURVEY §7.3 — and a rerun-stable plan).
+    """
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(buckets)).alias("_salt")
+    partial = df.select(*keys, salt, value.alias("_v")).groupBy(*keys, "_salt").agg(
+        F.sum("_v").alias("_sum"), F.count("*").alias("_n")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_sum").alias("value_sum"), F.sum("_n").alias("n")
+    )

@@ -373,3 +373,33 @@ def sq_subqueries(spark, sf_dir):
           AND o_totalprice > (SELECT avg(o_totalprice) FROM sq_orders)
         """
     )
+
+
+@register(
+    "g12_salted_skew_agg",
+    sql="""
+    SELECT CASE WHEN user_id < 5 THEN 'hot' ELSE 'u' || CAST(user_id AS VARCHAR) END AS k,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Skew-safe aggregation: a deliberately hot key ('hot' absorbs users "
+    "0-4) aggregated through the salted two-level path "
+    "(operators/skew.salted_sum_count) — partial agg per (key, salt-of-"
+    "event_id) bounds the largest reduce task at 1/32 of the hot key; the "
+    "oracle computes the same totals with a plain GROUP BY, proving the "
+    "salting is semantics-free.",
+)
+def g12_salted_skew_agg(spark, sf_dir):
+    from ..operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") < 5, "hot")
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("k"),
+        F.col("value").cast("decimal(18,3)").alias("v"),
+        "event_id",
+    )
+    out = salted_sum_count(keyed, ["k"], F.col("v"), F.col("event_id"), buckets=32)
+    return out.select("k", F.col("value_sum").cast("double").alias("value_sum"), "n")

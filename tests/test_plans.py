@@ -1,0 +1,59 @@
+"""Physical-plan regression tests — the SCALE.md §2 shuffle inventory held as
+assertions, so a refactor that silently degrades a plan (broadcast lost,
+pushdown broken, top-k becoming a global sort) fails CI, not the cluster."""
+
+import io
+import contextlib
+import re
+
+from etl_healthcare_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "j6_star_join")
+    assert "SortMergeJoin" not in plan, "dimension joins must broadcast, not sort-merge"
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    for name in ("o2_topk", "q2_observations_by_patient", "sim_topk_cosine"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: limit+order must not plan a global sort"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "g7_tpch_q1")
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "l_shipdate" in m.group(1), "shipdate filter must push to the parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "j6_star_join")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    lineitem_cols = m.group(1)
+    assert "l_comment" not in lineitem_cols and "l_shipmode" not in lineitem_cols, (
+        "unprojected lineitem columns must be pruned from the scan"
+    )
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    plan = _plan(spark, "j5_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_aggregations_are_partially_aggregated(spark):
+    for name in ("g1_minute_counters", "g7_tpch_q1"):
+        plan = _plan(spark, name)
+        assert "partial" in plan.lower(), f"{name}: map-side combine missing"
