@@ -167,10 +167,19 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
-def rolling_fingerprint(text: Column, k: int = 5, width: int = 16) -> Column:
-    """Document fingerprint: min sha256-substring over k-word shingles
-    (winnowing-style content fingerprint; stable under small edits at the
-    ends of the document)."""
-    sh = word_shingles(text, k)
-    hashed = F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, width))
-    return F.array_min(hashed)
+def rolling_hash(text: Column, base: int = 1000003, mod: int = 2147483647) -> Column:
+    """Rabin-Karp polynomial rolling hash of the normalized token stream:
+    h = fold(h * base + ascii(c)) mod m over the characters of the
+    lowercased [a-z0-9]+ tokens joined by single spaces.
+
+    A true rolling fingerprint (vs the shingle-min fingerprint of
+    operators/textops.fingerprints): one in-task array fold, no shuffle, and
+    the incremental form extends to streaming chunk hashes.  Pure int64
+    arithmetic — bit-identical across engines."""
+    stream = F.array_join(tokens(text), " ")
+    chars = F.regexp_extract_all(stream, F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * base + F.ascii(c), F.lit(mod)),
+    )

@@ -450,3 +450,27 @@ def q_mm_frame_sample(spark, sf_dir):
         F.when(F.col("doc_id") % 2 == 0, 30).otherwise(24).alias("fps"),
     )
     return sample_frames(vid, "doc_id", "duration_s", "fps", max_frames=8)
+
+
+@register(
+    "text_rolling_hash",
+    sql="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 regexp_extract_all(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '), '.'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rhash
+    FROM documents WHERE doc_id < 2000
+    """,
+    doc="Rabin-Karp rolling hash of the normalized token stream "
+    "(functions/text.rolling_hash): polynomial fold in int64, in-task, no "
+    "shuffle — the incremental document fingerprint whose chunked form "
+    "serves streaming dedup; bit-identical fold in both engines.",
+)
+def q_text_rolling_hash(spark, sf_dir):
+    from ..functions.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
