@@ -1,4 +1,5 @@
-"""Text-analysis column helpers: tokenization, shingles, minhash, simhash.
+"""Text-analysis column helpers: tokenization, shingles, minhash, simhash
+(north-star LLM-pipeline layer, SURVEY §7.1 step 10; no reference analog).
 
 All pure column expressions (no Python UDFs) so they vectorize through
 whole-stage codegen and scale linearly with executors.  Hashes are built from

@@ -1,4 +1,5 @@
-"""Vector math over ArrayType(FloatType) embedding columns.
+"""Vector math over ArrayType(FloatType) embedding columns (north-star
+LLM-pipeline layer, SURVEY §7.1 step 10; no reference analog).
 
 Native `aggregate`/`zip_with` expressions — JVM-side, no Python UDFs — so
 similarity scans parallelize across executors and stay inside whole-stage

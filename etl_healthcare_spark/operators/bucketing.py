@@ -1,4 +1,6 @@
-"""Bucketed (co-located) table layout — the shuffle-free join path.
+"""Bucketed (co-located) table layout — the shuffle-free join path
+(SCALE.md §4; the scale generalization of the reference's precomputed GSI
+access paths, SURVEY §4).
 
 At 100 TB the dominant recurring cost of fact-to-fact joins is the shuffle.
 Bucketing both sides into the same number of buckets on the join key writes

@@ -1,4 +1,6 @@
-"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(north-star capability, SURVEY §7.1 step 10; the reference's closest analog
+is the opaque payload Buffer of libs/adapters, SURVEY §1.2).
 
 Design (north-star capability; no media libs in this container, so the decode
 kernels are STUBBED — the Spark-side plumbing is real and tested):

@@ -1,4 +1,5 @@
-"""Similarity search over embedding columns (north-star capability).
+"""Similarity search over embedding columns (north-star capability per
+BASELINE.json / SURVEY §7.1 step 10 — no reference analog).
 
 * brute-force cosine top-k — the exact baseline: broadcast the query vector,
   one scan, TakeOrderedAndProject.  Linear in corpus size but embarrassingly

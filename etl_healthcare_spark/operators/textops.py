@@ -1,5 +1,6 @@
-"""Text analysis operators over the documents table (north-star capability):
-language ID, quality scoring, token counting, document fingerprinting.
+"""Text analysis operators over the documents table (north-star capability
+per BASELINE.json / SURVEY §7.1 step 10 — no reference analog): language ID,
+quality scoring, token counting, document fingerprinting.
 All native column expressions (functions/text.py)."""
 
 from __future__ import annotations

@@ -1,6 +1,8 @@
-"""Registry batch: scalar-function surface (§2.11), approximate aggregates
-(scale path), streaming-mode query, and on-disk store operators (rows-only
-checks — filesystem side effects are not SQL-expressible)."""
+"""Registry batch: scalar-function surface (SURVEY §2.11 — the function
+families the reference exercises across its handlers), approximate
+aggregates (scale path), streaming-mode query, pivot/subquery surface, and
+on-disk store operators (rows-only checks — filesystem side effects are not
+SQL-expressible)."""
 
 from __future__ import annotations
 

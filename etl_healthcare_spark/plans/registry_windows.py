@@ -1,5 +1,6 @@
-"""Registry batch: window functions (§2.9), set operations (§2.10),
-sorts/limits/top-k/keyset pagination (§2.7)."""
+"""Registry batch: window functions (SURVEY §2.9 — the G6/Q3 latest-per-group
+of api-query/src/handler.ts:110-139 generalized), set operations (§2.10),
+sorts/limits/top-k/keyset pagination (§2.7, api-query/src/handler.ts:84-127)."""
 
 from __future__ import annotations
 
