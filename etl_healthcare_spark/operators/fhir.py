@@ -50,3 +50,26 @@ def map_to_fhir(dto: DataFrame, out_col: str = "fhir") -> DataFrame:
             F.col("patientId"), F.col("code"), F.col("value"), F.col("unit"), F.col("effectiveDateTime")
         ),
     )
+
+
+def fhir_json_to_dto(df: DataFrame, json_col: str) -> DataFrame:
+    """P6 inverse — ingest a FHIR R4 Observation resource (JSON string) back
+    into the flat DTO: the reference accepts FHIR payloads on the generic
+    JSON branch (README.md:3-4 ingestion formats; normalize/handler.ts
+    generic path); this is the typed parse for them.
+
+    `from_json` against the pruned R4 schema (schemas.FHIR_OBSERVATION) —
+    one projection, no UDFs; unparseable JSON yields NULL struct fields that
+    the V2/V3 gates then reject.
+    """
+    from ..schemas import FHIR_OBSERVATION
+
+    r = F.from_json(F.col(json_col), FHIR_OBSERVATION)
+    return df.select(
+        F.regexp_replace(r["subject"]["reference"], "^Patient/", "").alias("patientId"),
+        F.element_at(r["code"]["coding"], 1)["code"].alias("code"),
+        r["valueQuantity"]["value"].alias("value"),
+        r["valueQuantity"]["unit"].alias("unit"),
+        F.to_timestamp(r["effectiveDateTime"], "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("effectiveDateTime"),
+        r["status"].alias("status"),
+    )

@@ -527,3 +527,35 @@ def u2_batch_dedup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = dedup_batch(ev, order_col=["ts", "event_id"], keys=["user_id", "event_type"])
     return out.select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@register(
+    "p6b_fhir_roundtrip",
+    sql=WITH_OBS
+    + """
+    SELECT patientId, code, value, unit,
+           epoch_us(date_trunc('second', effectiveDateTime)) AS eff_us,
+           'final' AS status
+    FROM obs WHERE tenantId = 't5'
+    """,
+    doc="P6 inverse — FHIR JSON ingestion: serialize each observation to a "
+    "FHIR R4 Observation resource (to_json of the P6 struct), parse it back "
+    "through the typed from_json path (operators/fhir.fhir_json_to_dto), "
+    "and recover the DTO.  The oracle is the identity projection, so the "
+    "hash match proves parse(serialize(x)) == x at second precision — the "
+    "ingestion story for the reference's FHIR payload format (README.md:3-4).",
+)
+def p6b_fhir_roundtrip(spark, sf_dir):
+    from ..operators.fhir import fhir_json_to_dto, map_to_fhir
+
+    o = observations(spark, sf_dir).where(F.col("tenantId") == "t5")
+    as_json = map_to_fhir(o).select(F.to_json("fhir").alias("resource"))
+    dto = fhir_json_to_dto(as_json, "resource")
+    return dto.select(
+        "patientId",
+        "code",
+        "value",
+        "unit",
+        F.unix_micros("effectiveDateTime").alias("eff_us"),
+        "status",
+    )
