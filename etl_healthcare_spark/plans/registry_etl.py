@@ -559,3 +559,52 @@ def p6b_fhir_roundtrip(spark, sf_dir):
         F.unix_micros("effectiveDateTime").alias("eff_us"),
         "status",
     )
+
+
+@register(
+    "p13_patient_dto",
+    sql="""
+    WITH raw AS (
+      SELECT 'p' || CAST(c_custkey AS VARCHAR) AS patientId,
+             c_name AS name,
+             CASE WHEN c_custkey % 13 = 0 THEN printf('%02d/%02d/19%02d',
+                       CAST(c_custkey % 12 + 1 AS INT), CAST(c_custkey % 28 + 1 AS INT),
+                       CAST(c_custkey % 50 + 10 AS INT))
+                  ELSE printf('19%02d-%02d-%02d', CAST(c_custkey % 50 + 10 AS INT),
+                       CAST(c_custkey % 12 + 1 AS INT), CAST(c_custkey % 28 + 1 AS INT)) END
+               AS birthDate
+      FROM customer
+    )
+    SELECT patientId, name, birthDate,
+           regexp_full_match(birthDate, '\\d{4}-\\d{2}-\\d{2}') AS birth_ok,
+           CASE WHEN regexp_full_match(birthDate, '\\d{4}-\\d{2}-\\d{2}')
+                THEN CAST(substr(birthDate, 1, 4) AS INT) END AS birth_year
+    FROM raw
+    """,
+    doc="Patient DTO normalization: the second entity branch of the persist "
+    "store (normalized.patient.v1.json:4-12) — name projection plus the "
+    "birthDate ^\\d{4}-\\d{2}-\\d{2}$ pattern gate (the schema's regex "
+    "constraint as a predicate), deterministically-faulted rows rejected.",
+)
+def p13_patient_dto(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    bad = F.format_string(
+        "%02d/%02d/19%02d", (ck % 12 + 1).cast("int"), (ck % 28 + 1).cast("int"), (ck % 50 + 10).cast("int")
+    )
+    good = F.format_string(
+        "19%02d-%02d-%02d", (ck % 50 + 10).cast("int"), (ck % 12 + 1).cast("int"), (ck % 28 + 1).cast("int")
+    )
+    raw = c.select(
+        F.concat(F.lit("p"), ck.cast("string")).alias("patientId"),
+        F.col("c_name").alias("name"),
+        F.when(ck % 13 == 0, bad).otherwise(good).alias("birthDate"),
+    )
+    ok = F.col("birthDate").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    return raw.select(
+        "patientId",
+        "name",
+        "birthDate",
+        ok.alias("birth_ok"),
+        F.when(ok, F.substring("birthDate", 1, 4).cast("int")).alias("birth_year"),
+    )

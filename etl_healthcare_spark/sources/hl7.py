@@ -77,6 +77,13 @@ def parse_hl7_messages(msgs: DataFrame, batch_time: dt.datetime | None = None) -
             "unit"
         ),
         H.hl7_ts_to_timestamp(H.field(f, 14)).alias("obxTime"),
+        # OBX-7 reference range "lo-hi" — present in HL7 but IGNORED by the
+        # reference (field 7 is never read in libs/adapters/hl7/v2.ts; the
+        # fixture carries it, schema/examples/hl7/minimal.hl7:4-5).  Kept
+        # here as a declared extension: it feeds the J5 range join and an
+        # abnormal-value flag.
+        F.regexp_extract(H.field(f, 7), r"^([0-9.]+)-", 1).try_cast("double").alias("rangeLo"),
+        F.regexp_extract(H.field(f, 7), r"-([0-9.]+)$", 1).try_cast("double").alias("rangeHi"),
         content_hash(f).alias("ingestHash"),
     )
 
@@ -94,6 +101,12 @@ def parse_hl7_messages(msgs: DataFrame, batch_time: dt.datetime | None = None) -
         F.coalesce(F.col("obxTime"), F.lit(batch_time)).alias("effectiveDateTime"),
         F.lit(SOURCE_SYSTEM).alias("sourceSystem"),
         F.col("ingestHash"),
+        F.col("rangeLo"),
+        F.col("rangeHi"),
+        (
+            (F.col("valueRaw").try_cast("double") < F.col("rangeLo"))
+            | (F.col("valueRaw").try_cast("double") > F.col("rangeHi"))
+        ).alias("abnormal"),
     ).where(F.col("code").isNotNull())
 
 

@@ -79,3 +79,19 @@ def test_hl7_no_pid_unknown_patient(spark):
     msgs = spark.createDataFrame([(1, msg)], ["messageId", "message"])
     r = parse_hl7_messages(msgs).collect()[0]
     assert r.patientId == "unknown"  # v2.ts:74
+
+
+def test_hl7_obx7_reference_range(spark):
+    # OBX-7 "3.5-7.8" — ignored by the reference (v2.ts never reads field 7);
+    # engine extension: parsed lo/hi + abnormal flag for the J5 range join
+    msg = (
+        "MSH|^~\\&|A|B|C|D|20250101||ORU^R01|X|P|2.5\n"
+        "PID|1||p9||\n"
+        "OBX|1|NM|718-7^Glucose^LN||9.9|mmol/L|3.5-7.8|H|||F|||20250101080000\n"
+        "OBX|2|NM|8867-4^HR^LN||72|/min|60-100|N|||F|||20250101080000\n"
+    )
+    msgs = spark.createDataFrame([(1, msg)], ["messageId", "message"])
+    rows = {r.code: r for r in parse_hl7_messages(msgs).collect()}
+    assert rows["718-7"].rangeLo == 3.5 and rows["718-7"].rangeHi == 7.8
+    assert rows["718-7"].abnormal is True  # 9.9 > 7.8
+    assert rows["8867-4"].abnormal is False  # 72 in 60-100
