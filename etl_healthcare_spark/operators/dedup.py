@@ -202,3 +202,47 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a candidate-pair edge list: label every node
+    with the minimum reachable node id (= cluster id), so an LSH pair stage
+    becomes whole duplicate CLUSTERS, not just pairwise hits.
+
+    Min-label propagation to fixpoint: each round joins labels to the
+    (symmetrized) edges and takes the min over {self} ∪ neighbors.  Rounds
+    needed = graph diameter, which for near-dup clusters is tiny (dup groups
+    are dense); ``localCheckpoint`` truncates lineage each round so the plan
+    does not grow exponentially.  At 100 TB the same loop holds — each round
+    is one shuffle join on node id — and pathological chain-shaped graphs can
+    switch to large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce"), which squares the diameter away with the identical
+    DataFrame-join building blocks.
+
+    Returns (node, cluster_id) for every node that appears in >=1 pair.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))

@@ -14,6 +14,7 @@ from ..functions.text import (
     quality_metrics,
     token_count_bpe,
     token_count_ws,
+    tokens,
 )
 
 
@@ -63,3 +64,26 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataF
         shingles_from_tokens(F.col("t"), k), lambda s: F.substring(F.sha2(s, 256), 1, 16)
     )
     return tok.select(F.col(id_col), F.array_min(hashed).alias("fingerprint"))
+
+
+def rare_token_ratio(df: DataFrame, text_col: str, id_col: str, max_doc_freq: int = 2) -> DataFrame:
+    """Corpus-relative quality signal: per document, the share of token
+    occurrences whose corpus-wide DOCUMENT frequency is <= max_doc_freq.
+    High rare-token share flags OCR noise / gibberish / boilerplate-free
+    junk — the cheap integer-exact stand-in for an LM perplexity filter
+    (libm log() is not bit-stable across engines; this is).
+
+    Two aggregations + one join, all keyed on the token: doc-frequency table
+    (partial-aggregated, vocab-sized) joined back to the exploded token
+    stream.  rare_ppm is exact integer math (x*1e6 div n)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    docfreq = (
+        toks.distinct().groupBy("tok").agg(F.count("*").alias("df_count")).where(F.col("df_count") <= max_doc_freq)
+    )
+    per_doc = toks.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    rare = toks.join(docfreq, "tok").groupBy(id_col).agg(F.count("*").alias("n_rare"))
+    return (
+        per_doc.join(rare, id_col, "left")
+        .withColumn("n_rare", F.coalesce(F.col("n_rare"), F.lit(0)))
+        .withColumn("rare_ppm", F.expr("(1000000 * n_rare) div n_tokens"))
+    )

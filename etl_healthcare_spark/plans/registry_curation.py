@@ -1,0 +1,183 @@
+"""Registry batch: training-data curation operators (north star per
+BASELINE.json, beyond the reference's surface) — duplicate-cluster
+connected components, deterministic hash sampling / splits, corpus-relative
+rare-token quality, and int8 embedding quantization.
+
+Determinism conventions per plans/registry.py: sha256-only randomness,
+integer-exact or fixed-parse-tree IEEE double arithmetic, hex-string
+comparisons instead of hex→int casts (lexicographic == numeric at fixed
+width), recursive min-label CTE as the DuckDB twin of the iterative
+connected-components join loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datasets import load_table
+from ..operators.dedup import connected_components, minhash_lsh_pairs
+from ..operators.quantize import int8_quantize
+from ..operators.sampling import hash_fraction_hex, hash_split, stratified_sample
+from ..operators.textops import rare_token_ratio
+from .registry import register
+from .registry_llm import _minhash_oracle
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters = connected components over LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cc_clusters",
+    sql=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Whole duplicate clusters from minhash-LSH pairs: iterative min-label "
+    "propagation (one shuffle join per round, rounds = cluster diameter); "
+    "oracle = recursive min-reachable-id CTE over the identical pair SQL.",
+)
+def dedup_cc_clusters(spark, sf_dir):
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 0.5, "zh": 0.25}
+_DEFAULT_RATE = 0.125
+_SALT = "strat1"
+
+
+def _bucket_sql(salt: str) -> str:
+    return f"substr(sha256('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_bucket_sql(_SALT)} <
+      CASE lang WHEN 'en' THEN '{hash_fraction_hex(0.5)}'
+                WHEN 'zh' THEN '{hash_fraction_hex(0.25)}'
+                ELSE '{hash_fraction_hex(_DEFAULT_RATE)}' END
+    """,
+    doc="Per-language hash sampling (en 50%, zh 25%, rest 12.5%): pure "
+    "projection+filter, no shuffle, reproducible across runs/engines/cluster "
+    "sizes because the keep decision is sha256(salt, id), never rand().",
+)
+def sample_stratified(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang", _RATES, _DEFAULT_RATE, _SALT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "sample_hash_split",
+    sql=f"""
+    WITH s AS (
+      SELECT lang,
+        CASE WHEN {_bucket_sql("split1")} < '{hash_fraction_hex(0.98)}' THEN 'train'
+             WHEN {_bucket_sql("split1")} < '{hash_fraction_hex(0.99)}' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM s GROUP BY lang, split
+    """,
+    doc="Deterministic 98/1/1 train/val/test assignment by hash bucket; a "
+    "doc's split never changes as the corpus grows (no train/test leakage "
+    "across incremental curation runs).",
+)
+def sample_hash_split(spark, sf_dir):
+    docs = hash_split(_t(spark, sf_dir, "documents"), "doc_id", "split1", train=0.98, val=0.01)
+    return docs.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-relative quality: rare-token share
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rare_tokens",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    dfreq AS (
+      SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS df_count
+                       FROM toks GROUP BY tok)
+      WHERE df_count <= 2
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    rare AS (
+      SELECT t.doc_id, count(*) AS n_rare FROM toks t JOIN dfreq d USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT p.doc_id, p.n_tokens, coalesce(r.n_rare, 0) AS n_rare,
+           (1000000 * coalesce(r.n_rare, 0)) // p.n_tokens AS rare_ppm
+    FROM per_doc p LEFT JOIN rare r ON p.doc_id = r.doc_id
+    """,
+    doc="Per-doc share of token occurrences with corpus document-frequency "
+    "<= 2 — the integer-exact stand-in for a perplexity quality filter.  Two "
+    "token-keyed aggregations (both partial-aggregated) + one join; rare_ppm "
+    "is exact integer math.",
+)
+def text_rare_tokens(spark, sf_dir):
+    return rare_token_ratio(_t(spark, sf_dir, "documents"), "text", "doc_id", max_doc_freq=2)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_int8_quant",
+    sql="""
+    WITH raw AS (
+      SELECT vec_id, unnest(embedding) AS xf,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    ex AS (SELECT vec_id, pos, CAST(xf AS DOUBLE) AS x FROM raw),
+    stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    q AS (
+      SELECT e.vec_id, e.pos,
+        CASE WHEN s.mx = s.mn THEN 0
+             ELSE least(CAST(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT), 255)
+        END AS q
+      FROM ex e JOIN stats s ON e.pos = s.pos
+    )
+    SELECT vec_id, count(*) AS n_dims,
+           string_agg(CAST(q AS VARCHAR), ',' ORDER BY pos) AS code
+    FROM q GROUP BY vec_id
+    """,
+    doc="Scalar int8 quantization of the embedding corpus: per-dimension "
+    "min/max (one tiny ndims-group aggregation, broadcast back) then a "
+    "fixed-parse-tree IEEE quantize — 4x memory cut in front of IVF/LSH "
+    "search, bit-identical across engines.",
+)
+def sim_int8_quant(spark, sf_dir):
+    return int8_quantize(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")

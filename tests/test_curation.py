@@ -1,0 +1,90 @@
+"""Training-data curation operators: connected components finds whole
+clusters (including multi-hop chains), hash sampling is deterministic and
+rule-exact, rare-token quality is integer-exact, int8 quantization respects
+range bounds."""
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.dedup import connected_components
+from etl_healthcare_spark.operators.quantize import int8_quantize
+from etl_healthcare_spark.operators.sampling import (
+    hash_fraction_hex,
+    hash_split,
+    sample_bucket,
+    stratified_sample,
+)
+from etl_healthcare_spark.operators.textops import rare_token_ratio
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds) + island 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_stratified_sample_deterministic_and_rule_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)], ["doc_id", "lang"]
+    )
+    rates = {"en": 0.5}
+    a = stratified_sample(docs, "doc_id", "lang", rates, 0.1, "s").collect()
+    b = stratified_sample(docs, "doc_id", "lang", rates, 0.1, "s").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # every kept row individually satisfies the bucket < threshold rule
+    kept = docs.withColumn("bucket", sample_bucket(F.col("doc_id"), "s")).collect()
+    expect = {
+        r.doc_id
+        for r in kept
+        if r.bucket < (hash_fraction_hex(0.5) if r.lang == "en" else hash_fraction_hex(0.1))
+    }
+    assert {r.doc_id for r in a} == expect
+
+
+def test_hash_split_partitions_everything_stably(spark):
+    docs = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    out = hash_split(docs, "doc_id", "salt", train=0.8, val=0.1).collect()
+    assert len(out) == 300
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by_split) == {"train", "val", "test"}
+    # growing the corpus never reassigns an existing doc
+    bigger = hash_split(
+        spark.createDataFrame([(i,) for i in range(600)], ["doc_id"]), "doc_id", "salt",
+        train=0.8, val=0.1,
+    ).collect()
+    small = {r.doc_id: r.split for r in out}
+    assert all(small[r.doc_id] == r.split for r in bigger if r.doc_id in small)
+
+
+def test_rare_token_ratio_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rareword"),   # rareword df=1 <= 2 -> 1/3 rare
+            (2, "common common common"),     # 0/3 rare... but common df=3 > 2
+            (3, "common unique1 unique2 unique3"),  # 3/4 rare
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in rare_token_ratio(docs, "text", "doc_id").collect()}
+    assert (got[1].n_tokens, got[1].n_rare, got[1].rare_ppm) == (3, 1, 333333)
+    assert (got[2].n_tokens, got[2].n_rare, got[2].rare_ppm) == (3, 0, 0)
+    assert (got[3].n_tokens, got[3].n_rare, got[3].rare_ppm) == (4, 3, 750000)
+
+
+def test_int8_quantize_bounds_and_extremes(spark):
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [5.0, 20.0]), (3, [10.0, 20.0]), (4, [2.5, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r for r in int8_quantize(vecs, "embedding", "vec_id").collect()}
+    codes = {k: [int(x) for x in v.code.split(",")] for k, v in got.items()}
+    assert all(v.n_dims == 2 for v in got.values())
+    assert all(0 <= q <= 255 for qs in codes.values() for q in qs)
+    # corpus min maps to 0, corpus max to 255, in each dimension
+    assert codes[1][0] == 0 and codes[3][0] == 255   # dim0: min 0.0, max 10.0
+    assert codes[4][1] == 0 and codes[2][1] == 255   # dim1: min 5.0, max 20.0
+    assert codes[2][0] == 127                        # 5.0 -> floor(5*25.5) = 127
