@@ -246,3 +246,48 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keep_list(df: DataFrame, id_col: str, clusters: DataFrame) -> DataFrame:
+    """The final curation decision: every document labeled with its duplicate
+    cluster and a kept flag (keeper = min id in cluster; singletons keep
+    themselves).  One left join of the corpus against the (much smaller)
+    cluster map — the map side is broadcastable whenever the dup rate is low,
+    which is the common 100 TB case."""
+    cl = clusters.select(F.col("node"), F.col("cluster_id"))
+    joined = df.join(cl, df[id_col] == cl["node"], "left")
+    cid = F.coalesce(cl["cluster_id"], df[id_col])
+    return joined.select(
+        df[id_col], cid.alias("cluster_id"), (cid == df[id_col]).alias("kept")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame, eval_df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    DISTINCT k-word shingles appear anywhere in the eval/benchmark set.
+    contam_ppm is exact integer math; docs shorter than k tokens are out of
+    scope (no shingles).
+
+    Scale shape: the eval set's distinct shingles are tiny next to the corpus
+    (benchmarks are MBs, corpora are TBs) — broadcast them, so the corpus
+    pass is one scan + broadcast-hash semi-count, no corpus shuffle besides
+    the per-doc count."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    def distinct_shingles(df: DataFrame) -> DataFrame:
+        tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(F.size("t") >= k)
+        return tok.select(
+            F.col(id_col), F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("s")
+        )
+
+    corpus_sh = distinct_shingles(corpus)
+    eval_sh = distinct_shingles(eval_df).select("s").distinct()
+    total = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = corpus_sh.join(F.broadcast(eval_sh), "s").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    return (
+        total.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contam_ppm", F.expr("(1000000 * n_hits) div n_shingles"))
+    )

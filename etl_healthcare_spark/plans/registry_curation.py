@@ -181,3 +181,79 @@ def text_rare_tokens(spark, sf_dir):
 )
 def sim_int8_quant(spark, sf_dir):
     return int8_quantize(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# final dedup decision + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_list",
+    sql=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(cl.cluster_id, d.doc_id) = d.doc_id AS kept
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    """,
+    doc="End-to-end corpus dedup decision: every doc labeled with its LSH "
+    "duplicate cluster and kept = (doc is the min-id keeper); singletons "
+    "keep themselves.  Cluster map is broadcast-sized at low dup rates.",
+)
+def dedup_keep_list_q(spark, sf_dir):
+    from ..operators.dedup import dedup_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4)
+    return dedup_keep_list(docs, "doc_id", connected_components(pairs, "doc_a", "doc_b"))
+
+
+def _contam_shingle_cte(k: int = 5) -> str:
+    expr = " || ' ' || ".join(f"t[j+{i}]" for i in range(k)).replace("t[j+0]", "t[j]")
+    return f"""
+    tok AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+    idx AS (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
+            FROM tok WHERE len(t) >= {k}),
+    sh AS (SELECT DISTINCT doc_id, source, {expr} AS s FROM idx)
+    """
+
+
+@register(
+    "decontam_ngram",
+    sql=f"""
+    WITH {_contam_shingle_cte(5)},
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+    total AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, count(*) AS n_hits
+             FROM corpus c JOIN eval_sh e USING (s) GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+           (1000000 * coalesce(h.n_hits, 0)) // t.n_shingles AS contam_ppm
+    FROM total t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination (source='src0' plays the eval set): per "
+    "corpus doc, the share of its distinct 5-gram shingles found anywhere in "
+    "the benchmark.  Eval shingles broadcast (benchmarks are MBs vs corpus "
+    "TBs); exact integer ppm.",
+)
+def decontam_ngram(spark, sf_dir):
+    from ..operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.where(F.col("source") != "src0"), docs.where(F.col("source") == "src0"),
+        "text", "doc_id", k=5,
+    )

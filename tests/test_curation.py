@@ -88,3 +88,38 @@ def test_int8_quantize_bounds_and_extremes(spark):
     assert codes[1][0] == 0 and codes[3][0] == 255   # dim0: min 0.0, max 10.0
     assert codes[4][1] == 0 and codes[2][1] == 255   # dim1: min 5.0, max 20.0
     assert codes[2][0] == 127                        # 5.0 -> floor(5*25.5) = 127
+
+
+def test_dedup_keep_list_marks_cluster_keepers(spark):
+    from etl_healthcare_spark.operators.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    clusters = spark.createDataFrame(
+        [(2, 2), (3, 2), (5, 5), (6, 5)], ["node", "cluster_id"]
+    )
+    got = {r.doc_id: r for r in dedup_keep_list(docs, "doc_id", clusters).collect()}
+    assert {k: v.kept for k, v in got.items()} == {
+        1: True, 2: True, 3: False, 4: True, 5: True, 6: False,
+    }
+    assert got[3].cluster_id == 2 and got[6].cluster_id == 5
+    assert got[1].cluster_id == 1  # singleton keeps its own id
+
+
+def test_ngram_contamination_counts_eval_overlap(spark):
+    from etl_healthcare_spark.operators.dedup import ngram_contamination
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains eval 5-gram "alpha beta gamma delta epsilon" (+1 clean)
+            (1, "alpha beta gamma delta epsilon other words here now"),
+            (2, "totally clean document with no benchmark overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in ngram_contamination(corpus, eval_df, "text", "doc_id", k=5).collect()}
+    assert got[1].n_shingles == 5 and got[1].n_hits == 1
+    assert got[1].contam_ppm == 200000
+    assert got[2].n_hits == 0 and got[2].contam_ppm == 0
