@@ -221,30 +221,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
 
     Returns (node, cluster_id) for every node that appears in >=1 pair.
     """
+    # checkpoint BEFORE the symmetrizing union: both union branches read the
+    # materialized pairs instead of each re-running the upstream (LSH) plan
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    # labels are monotonically non-increasing, so sum(lbl) strictly decreases
+    # until the fixpoint — an O(1)-output agg is the convergence test, no join
+    prev_sum = None
     for _ in range(max_iter):
         prop = edges.join(labels, edges["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")
         )
-        new_labels = (
+        labels = (
             labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
 
 
