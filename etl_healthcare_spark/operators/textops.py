@@ -87,3 +87,79 @@ def rare_token_ratio(df: DataFrame, text_col: str, id_col: str, max_doc_freq: in
         .withColumn("n_rare", F.coalesce(F.col("n_rare"), F.lit(0)))
         .withColumn("rare_ppm", F.expr("(1000000 * n_rare) div n_tokens"))
     )
+
+
+def pack_sequences(df: DataFrame, text_col: str, id_col: str, part_col: str, budget: int = 2048) -> DataFrame:
+    """Sequence packing for training: assign each document to a contiguous
+    token-budget bin (context window) within its partition column, in
+    deterministic id order.  bin = tokens-before div budget — a single
+    window cumsum, no shuffle beyond the window partitioning.
+
+    At 100 TB the partition column (lang/source/date-bucket) bounds each
+    window partition; packing is embarrassingly parallel across them.  The
+    in-partition ORDER BY id is the determinism contract: re-runs, engines,
+    and cluster sizes all produce identical bins."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), F.col(part_col), n_tok.alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_bin", F.expr(f"cum_before div {budget}"))
+        .drop("cum_before")
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical text cleanup ahead of shingling/hashing: strip control
+    characters, collapse whitespace runs, trim.  Pure map-side column
+    expressions (JVM regex); the cleaned text is re-hashed so downstream
+    exact-dedup keys on the canonical form."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(cleaned).alias("clean_chars"),
+        (cleaned != F.col(text_col)).alias("changed"),
+        F.sha2(cleaned, 256).alias("clean_hash"),
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-language corpus dashboard: doc count, token mass, source spread,
+    exact-dup count, vocabulary size.  Everything is a partial-aggregable
+    count/sum; vocab is a two-level agg (distinct (lang, token) first) so no
+    Expand blow-up on the token stream."""
+    base = df.select(
+        F.col(id_col), F.col("lang"), F.col("source"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+    )
+    core = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dups = (
+        base.groupBy("lang", "h").agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .groupBy("lang").agg(F.sum(F.col("c") - 1).alias("n_dup_docs"))
+    )
+    vocab = (
+        df.select(F.col("lang"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .groupBy("lang").agg(F.count("*").alias("vocab_size"))
+    )
+    return (
+        core.join(dups, "lang", "left").join(vocab, "lang", "left")
+        .withColumn("n_dup_docs", F.coalesce(F.col("n_dup_docs"), F.lit(0)))
+    )

@@ -257,3 +257,99 @@ def decontam_ngram(spark, sf_dir):
         docs.where(F.col("source") != "src0"), docs.where(F.col("source") == "src0"),
         "text", "doc_id", k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing, normalization, corpus dashboard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // 2048 AS seq_bin
+    FROM t
+    """,
+    doc="Sequence packing: contiguous 2048-token context-window bins per "
+    "language in deterministic doc_id order — one window cumsum; packing is "
+    "independent across window partitions, so it parallelizes by lang/"
+    "source/date-bucket at scale.",
+)
+def pack_sequences_q(spark, sf_dir):
+    from ..operators.textops import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), "text", "doc_id", "lang", budget=2048)
+
+
+@register(
+    "text_normalize",
+    sql="""
+    WITH c AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS cleaned
+      FROM documents
+    )
+    SELECT doc_id, length(text) AS n_chars, length(cleaned) AS clean_chars,
+           cleaned <> text AS changed, sha256(cleaned) AS clean_hash
+    FROM c
+    """,
+    doc="Canonical text cleanup (strip control chars -> collapse whitespace "
+    "-> trim) ahead of shingling/hashing; map-only JVM regex, re-hashed so "
+    "exact dedup keys on the canonical form.  Control chars are stripped "
+    "FIRST so the engines' \\s dialect gap (\\x0b) never matters.",
+)
+def text_normalize_q(spark, sf_dir):
+    from ..operators.textops import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "corpus_stats",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             sha256(text) AS h
+      FROM documents
+    ),
+    core AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             count(DISTINCT source) AS n_sources
+      FROM base GROUP BY lang
+    ),
+    dups AS (
+      SELECT lang, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs FROM (
+        SELECT lang, h, count(*) AS c FROM base GROUP BY lang, h
+      ) WHERE c > 1 GROUP BY lang
+    ),
+    vocab AS (
+      SELECT lang, count(*) AS vocab_size FROM (
+        SELECT DISTINCT lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+      ) GROUP BY lang
+    )
+    SELECT c.lang, c.n_docs, c.total_tokens, c.n_sources,
+           coalesce(d.n_dup_docs, 0) AS n_dup_docs, v.vocab_size
+    FROM core c LEFT JOIN dups d USING (lang) LEFT JOIN vocab v USING (lang)
+    """,
+    doc="Per-language corpus dashboard: doc count, token mass, source "
+    "spread, exact-dup count, vocab size.  All partial-aggregable; vocab is "
+    "a two-level agg (distinct (lang, token) first) to avoid Expand.",
+)
+def corpus_stats_q(spark, sf_dir):
+    from ..operators.textops import corpus_stats
+
+    return corpus_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")

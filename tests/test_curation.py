@@ -123,3 +123,43 @@ def test_ngram_contamination_counts_eval_overlap(spark):
     assert got[1].n_shingles == 5 and got[1].n_hits == 1
     assert got[1].contam_ppm == 200000
     assert got[2].n_hits == 0 and got[2].contam_ppm == 0
+
+
+def test_pack_sequences_bins_by_cumulative_budget(spark):
+    from etl_healthcare_spark.operators.textops import pack_sequences
+
+    # 4 docs x 3 tokens in one lang, budget 5: cum_before 0,3,6,9 -> bins 0,0,1,1
+    docs = spark.createDataFrame(
+        [(i, "tok tok tok", "en") for i in range(1, 5)], ["doc_id", "text", "lang"]
+    )
+    got = {r.doc_id: r.seq_bin for r in pack_sequences(docs, "text", "doc_id", "lang", budget=5).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_normalize_text_collapses_and_flags(spark):
+    from etl_healthcare_spark.operators.textops import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "a\x01b   c\t\nd "), (2, "already clean")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in normalize_text(docs, "text", "doc_id").collect()}
+    assert got[1].changed and got[1].clean_chars == len("a b c d")
+    assert not got[2].changed and got[2].clean_chars == got[2].n_chars
+
+
+def test_corpus_stats_counts_dups_and_vocab(spark):
+    from etl_healthcare_spark.operators.textops import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "s1"),
+            (2, "alpha beta", "en", "s2"),   # exact dup of 1
+            (3, "alpha gamma", "en", "s1"),
+            (4, "delta", "de", "s1"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {r.lang: r for r in corpus_stats(docs, "text", "doc_id").collect()}
+    en, de = got["en"], got["de"]
+    assert (en.n_docs, en.total_tokens, en.n_sources, en.n_dup_docs, en.vocab_size) == (3, 6, 2, 1, 3)
+    assert (de.n_docs, de.n_dup_docs, de.vocab_size) == (1, 0, 1)
