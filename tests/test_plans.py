@@ -57,3 +57,34 @@ def test_aggregations_are_partially_aggregated(spark):
     for name in ("g1_minute_counters", "g7_tpch_q1"):
         plan = _plan(spark, name)
         assert "partial" in plan.lower(), f"{name}: map-side combine missing"
+
+
+def test_decontam_broadcasts_eval_shingles(spark):
+    plan = _plan(spark, "decontam_ngram")
+    assert "BroadcastHashJoin" in plan, "eval shingle set must broadcast, never shuffle the corpus"
+    assert "SortMergeJoin" not in plan.split("n_shingles")[0], (
+        "the corpus-vs-eval semi-count must not sort-merge"
+    )
+
+
+def test_quantize_broadcasts_dimension_stats(spark):
+    plan = _plan(spark, "sim_int8_quant")
+    assert "BroadcastHashJoin" in plan, "ndims-row stats table must broadcast back to the corpus"
+
+
+def test_stratified_sample_is_scan_plus_filter_no_shuffle(spark):
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan, "hash sampling must be map-only (no shuffle)"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), "unused text column must be pruned from the scan"
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    plan = _plan(spark, "pack_sequences")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, "packing is one window partitioning, nothing else"
+
+
+def test_corpus_stats_aggregates_partially(spark):
+    plan = _plan(spark, "corpus_stats")
+    assert "partial" in plan.lower()
