@@ -38,28 +38,20 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_bands(
-    df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4, width: int = 12
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 16, width: int = 12
 ) -> DataFrame:
-    """(id, band, key) — one row per document per band; empty-shingle docs are
-    dropped (they would otherwise all collide on the empty key).
-
-    Shape chosen for scale: explode shingles once, then derive the
-    ``bands*rows`` hash functions from ``ceil(n/5)`` sha256 digests per
-    shingle — disjoint 12-hex slices of one 64-hex digest are independent
-    hash functions under the random-oracle model, so 16 minhashes cost 4
-    sha256 calls, not 16 (measured 4.8s -> ~2s at sf0.1; the earlier
-    array-lambda-per-seed shape was 307s).  A single partial-aggregable
-    groupBy(doc) takes the mins.  min over the distinct set == min over the
-    multiset, so array_distinct before explode only shrinks the row count."""
-    n = bands * rows
+    """(doc, mh0..mh{n-1}) minhash signature columns; empty-shingle docs are
+    dropped.  The n hash functions are disjoint ``width``-hex slices of
+    ``ceil(n*width/64)`` sha256 digests per shingle — independent under the
+    random-oracle model, so 16 minhashes cost 4 sha256 calls (see
+    minhash_bands notes)."""
     # repartition by doc: small single-file inputs otherwise run the whole
     # hash stage on one core, and hashpartitioning(doc) already satisfies the
-    # downstream groupBy("doc") so the shuffle is not repeated
+    # downstream groupBy("doc") so the shuffle is not repeated.  Explicit
+    # partition count: AQE would coalesce a bare repartition("doc") down to
+    # ~2 tasks (it sizes by bytes) and serialize this CPU-bound stage.
     npart = df.sparkSession.sparkContext.defaultParallelism
-    # explicit partition count: AQE would coalesce a bare repartition("doc")
-    # down to ~2 tasks (it sizes by bytes, and token arrays are small) and
-    # serialize this CPU-bound hash stage
     tok = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")).repartition(npart, "doc")
     sh = tok.select(
         "doc",
@@ -74,7 +66,24 @@ def minhash_bands(
             for i in range(n)
         ],
     )
-    sig = hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)])
+    return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)])
+
+
+def minhash_bands(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4, width: int = 12
+) -> DataFrame:
+    """(id, band, key) — one row per document per band; empty-shingle docs are
+    dropped (they would otherwise all collide on the empty key).
+
+    Shape chosen for scale: explode shingles once, then derive the
+    ``bands*rows`` hash functions from ``ceil(n/5)`` sha256 digests per
+    shingle — disjoint 12-hex slices of one 64-hex digest are independent
+    hash functions under the random-oracle model, so 16 minhashes cost 4
+    sha256 calls, not 16 (measured 4.8s -> ~2s at sf0.1; the earlier
+    array-lambda-per-seed shape was 307s).  A single partial-aggregable
+    groupBy(doc) takes the mins.  min over the distinct set == min over the
+    multiset, so array_distinct before explode only shrinks the row count."""
+    sig = minhash_signatures(df, text_col, id_col, n=bands * rows, width=width)
     band_cols = [
         F.concat(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]).alias(f"band{b}")
         for b in range(bands)
@@ -289,4 +298,47 @@ def ngram_contamination(
         total.join(hits, id_col, "left")
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .withColumn("contam_ppm", F.expr("(1000000 * n_hits) div n_shingles"))
+    )
+
+
+def minhash_scored_pairs(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4, width: int = 12
+) -> DataFrame:
+    """LSH candidate pairs WITH their minhash Jaccard estimate: n_match =
+    number of agreeing signature slots, est_jaccard_ppm = n_match/n exact
+    integer ppm — the standard verify-cheaply-before-expensive-Jaccard
+    refinement.
+
+    The signature table is materialized once (localCheckpoint) and reused
+    three ways — band keys, then two sides of the scoring join — instead of
+    re-running the shingle+hash pipeline per use.  Pair generation stays the
+    in-bucket array-combination shape of minhash_lsh_pairs; the scoring join
+    keys on doc id against the (corpus-sized but narrow) signature table."""
+    n = bands * rows
+    sig = minhash_signatures(df, text_col, id_col, n=n, width=width).localCheckpoint(eager=True)
+    band_cols = [
+        F.concat(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    bands_df = sig.select("doc", *band_cols).selectExpr("doc", f"stack({bands}, {stack_expr}) AS (band, key)")
+    buckets = (
+        bands_df.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)])
+    b = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)])
+    n_match = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(n))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_match", n_match)
+        .withColumn("est_jaccard_ppm", F.expr(f"(1000000 * n_match) div {n}"))
+        .select("doc_a", "doc_b", "n_match", "est_jaccard_ppm")
     )

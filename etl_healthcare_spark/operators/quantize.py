@@ -56,3 +56,28 @@ def int8_quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
             ),
         ).alias("code"),
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Unit-normalize embeddings (cosine becomes plain dot product
+    downstream).  Map-only array expressions, no shuffle, no Python.
+
+    Cross-engine bit-exactness: the sum of squares is a LEFT FOLD in array
+    order (``F.aggregate`` with 0.0 init == DuckDB ``list_reduce``; 0.0 + x
+    is exact), sqrt and each division are single correctly-rounded IEEE ops,
+    and the emitted check column quantizes to ppm ints so the oracle
+    hash-compares integers, not float formatting."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    sumsq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: xd(x) * xd(x)), F.lit(0.0), lambda a, b: a + b
+    )
+    norm = F.sqrt(sumsq)
+    code = F.concat_ws(
+        ",",
+        F.transform(F.col(vec_col), lambda x: F.floor(xd(x) / norm * F.lit(1000000.0)).cast("string")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("n_dims"),
+        code.alias("unit_ppm_code"),
+    )

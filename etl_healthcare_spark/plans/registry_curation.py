@@ -353,3 +353,65 @@ def corpus_stats_q(spark, sf_dir):
     from ..operators.textops import corpus_stats
 
     return corpus_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# scored minhash pairs (Jaccard estimate from signature agreement)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_scored_oracle(bands: int = 4, rows: int = 4) -> str:
+    from .registry_llm import _minhash_ctes
+
+    n = bands * rows
+    match_expr = " + ".join(f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+    WITH {_minhash_ctes(bands, rows)}
+    SELECT doc_a, doc_b, n_match, (1000000 * n_match) // {n} AS est_jaccard_ppm
+    FROM (
+      SELECT p.doc_a, p.doc_b, {match_expr} AS n_match
+      FROM lsh_pairs p
+      JOIN mh x ON p.doc_a = x.doc_id
+      JOIN mh y ON p.doc_b = y.doc_id
+    )
+    """
+
+
+@register(
+    "dedup_minhash_scored",
+    sql=_minhash_scored_oracle(),
+    doc="LSH candidate pairs with their minhash Jaccard estimate (agreeing "
+    "signature slots / n, exact integer ppm) — the cheap verification score "
+    "before full-shingle Jaccard.  Signatures materialize once and are "
+    "reused for band keys and both sides of the scoring join.",
+)
+def dedup_minhash_scored(spark, sf_dir):
+    from ..operators.dedup import minhash_scored_pairs
+
+    return minhash_scored_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
+
+
+@register(
+    "sim_l2_normalize",
+    sql="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+        sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, len(embedding) AS n_dims,
+           array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000.0) AS BIGINT)), ',')
+             AS unit_ppm_code
+    FROM n
+    """,
+    doc="L2 unit-normalization of the embedding corpus (cosine -> dot "
+    "product downstream): map-only, zero shuffle.  Sum-of-squares is a "
+    "deterministic left fold in array order, so the engines agree bit-for-"
+    "bit; output quantized to ppm ints for the hash compare.",
+)
+def sim_l2_normalize(spark, sf_dir):
+    from ..operators.quantize import l2_normalize
+
+    return l2_normalize(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")

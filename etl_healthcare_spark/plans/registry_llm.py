@@ -49,7 +49,10 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
+def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12) -> str:
+    """The shared CTE chain (toks -> shingles -> mh signatures -> band keys ->
+    candidate pairs) — composed into different final SELECTs by the LSH-pair,
+    connected-components, keep-list, and scored-pair oracles."""
     n = bands * rows
     slices = 64 // width  # disjoint digest slices = independent hash fns
     mh_cols = ",\n        ".join(
@@ -62,8 +65,7 @@ def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
     ),
     idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
@@ -76,10 +78,18 @@ def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
     ),
     bands AS (
       {band_selects}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle(bands: int = 4, rows: int = 4, width: int = 12) -> str:
+    return f"""
+    WITH {_minhash_ctes(bands, rows, width)}
+    SELECT doc_a, doc_b FROM lsh_pairs
     """
 
 

@@ -163,3 +163,29 @@ def test_corpus_stats_counts_dups_and_vocab(spark):
     en, de = got["en"], got["de"]
     assert (en.n_docs, en.total_tokens, en.n_sources, en.n_dup_docs, en.vocab_size) == (3, 6, 2, 1, 3)
     assert (de.n_docs, de.n_dup_docs, de.vocab_size) == (1, 0, 1)
+
+
+def test_minhash_scored_pairs_score_planted_dup_highest(spark):
+    from etl_healthcare_spark.operators.dedup import minhash_scored_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("lazy", "sleepy")),
+         (4, "completely different content about spark shuffles and parquet row groups entirely")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_scored_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in rows
+    exact = rows[(1, 2)]
+    assert exact.n_match == 16 and exact.est_jaccard_ppm == 1000000
+    for r in rows.values():
+        assert 0 <= r.n_match <= 16
+
+
+def test_l2_normalize_unit_vectors(spark):
+    from etl_healthcare_spark.operators.quantize import l2_normalize
+
+    vecs = spark.createDataFrame([(1, [3.0, 4.0]), (2, [0.0, 2.0])], ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in l2_normalize(vecs, "embedding", "vec_id").collect()}
+    assert [int(x) for x in got[1].unit_ppm_code.split(",")] == [600000, 800000]
+    assert [int(x) for x in got[2].unit_ppm_code.split(",")] == [0, 1000000]
