@@ -405,3 +405,148 @@ def g12_salted_skew_agg(spark, sf_dir):
     )
     out = salted_sum_count(keyed, ["k"], F.col("v"), F.col("event_id"), buckets=32)
     return out.select("k", F.col("value_sum").cast("double").alias("value_sum"), "n")
+
+
+# ===========================================================================
+# TPC-H join/agg shapes beyond Q1 — classic analytics plans the optimizer
+# must get right at scale (broadcast dims, pushdown, partial agg, top-k)
+# ===========================================================================
+
+
+@register(
+    "g7b_tpch_q6",
+    sql="""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure scan+filter+aggregate — the pushdown "
+    "showcase: every predicate reaches the parquet scan (shipdate range, "
+    "discount band, quantity), zero joins, one partial-aggregated exchange "
+    "of a single row.  Revenue in exact int64 cents*cents, one final IEEE "
+    "division.",
+)
+def g7b_tpch_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")).cast("double") / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "g7c_tpch_q3",
+    sql="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter -> "
+    "broadcast customer into orders -> join lineitem -> grouped revenue -> "
+    "top-10 via TakeOrderedAndProject (no global sort).  Total tiebreak "
+    "(revenue desc, orderkey) keeps the LIMIT deterministic across engines.",
+)
+def g7c_tpch_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00")
+    )
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "g7d_tpch_q5",
+    sql="""
+    SELECT n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DOUBLE)
+             / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-way join where every "
+    "dimension (customer, supplier, nation, region) broadcasts and only the "
+    "orders-lineitem fact join shuffles; the c_nationkey = s_nationkey "
+    "equality rides the supplier broadcast.  Exact cents arithmetic.",
+)
+def g7d_tpch_q5(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"]) & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).cast("double")
+            / 10000.0
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

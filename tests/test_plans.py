@@ -88,3 +88,22 @@ def test_pack_sequences_single_window_exchange(spark):
 def test_corpus_stats_aggregates_partially(spark):
     plan = _plan(spark, "corpus_stats")
     assert "partial" in plan.lower()
+
+
+def test_tpch_q6_pushes_all_predicates_no_join(spark):
+    plan = _plan(spark, "g7b_tpch_q6")
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1) and "l_quantity" in m.group(1)
+    assert "Join" not in plan and "partial" in plan.lower()
+
+
+def test_tpch_q3_broadcasts_and_takeordered(spark):
+    plan = _plan(spark, "g7c_tpch_q3")
+    assert "TakeOrderedAndProject" in plan and "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q5_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "g7d_tpch_q5")
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
