@@ -550,3 +550,35 @@ def g7d_tpch_q5(spark, sf_dir):
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "stream_dedup",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+    doc="§2.12 streaming exact dedup: dropDuplicatesWithinWatermark over the "
+    "events stream (file source, availableNow) with the horizon wider than "
+    "the data, so the surviving key set provably equals batch DISTINCT.  "
+    "Only key columns are emitted — which physical row survives is arrival-"
+    "order dependent, the key set is not.  In production the horizon bounds "
+    "state to arrival-rate x watermark (SCALE.md §5).",
+)
+def stream_dedup(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import dedup_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    out = dedup_stream(stream, ["user_id", "event_type"], ts_col="ts", watermark="36500 days")
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_type")

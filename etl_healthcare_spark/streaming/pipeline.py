@@ -208,3 +208,22 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, emit_open_on_tim
     return events.groupBy("user_id").applyInPandasWithState(
         fn, SESSION_OUTPUT, SESSION_STATE, "append", timeout
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key seen within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the streaming
+    twin of batch ``u2_batch_dedup`` / ``dedup_exact``.
+
+    State is bounded: Spark evicts a key's entry once the watermark passes
+    it, so the state store holds ~(arrival rate x watermark) keys no matter
+    how long the stream runs — the property that keeps an at-least-once
+    source (the reference's SQS redelivery, messaging-stack.ts) exactly-once
+    downstream without unbounded memory.  Batch equivalent for the oracle:
+    min-per-key over the same horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -152,3 +152,32 @@ def test_sessionize_stream_applyinpandaswithstate(spark, tmp_path):
     assert s.session_start == dt.datetime(2025, 1, 1, 10, 0)
     assert s.session_end == dt.datetime(2025, 1, 1, 10, 40)  # last event + gap
     assert s.n_events == 2
+
+
+def test_dedup_stream_drops_redelivered_keys(spark, tmp_path):
+    from etl_healthcare_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "dedup_events")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), "a"),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 45), "a-redelivery"),
+            (2, dt.datetime(2024, 1, 1, 0, 1, 10), "b"),
+            (2, dt.datetime(2024, 1, 1, 0, 1, 11), "b-redelivery"),
+            (3, dt.datetime(2024, 1, 1, 0, 2, 0), "c"),
+        ],
+        "event_id long, ts timestamp, payload string",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = dedup_stream(stream, ["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dds")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dds").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]  # one survivor per key
