@@ -415,3 +415,30 @@ def sim_l2_normalize(spark, sf_dir):
     from ..operators.quantize import l2_normalize
 
     return l2_normalize(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+
+
+@register(
+    "text_token_topk",
+    sql="""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    doc="Corpus Zipf head: top-20 tokens by occurrence — explode + one "
+    "partial-aggregated shuffle on the token + TakeOrderedAndProject (never "
+    "a global sort).  Total tiebreak (count desc, token asc) keeps the "
+    "LIMIT deterministic.",
+)
+def text_token_topk(spark, sf_dir):
+    from ..functions.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )

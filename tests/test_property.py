@@ -23,7 +23,11 @@ from etl_healthcare_spark.operators.validate import dto_rules, tag_rejects
 # ---------------------------------------------------------------------------
 
 
-def _py_hl7_ts(s: str) -> dt.datetime | None:
+def _py_hl7_ts_micros(s: str) -> int | None:
+    # Model returns epoch MICROS, not datetime: the comparison stays JVM-side
+    # (unix_micros) because pyspark's collect() of a timestamp column goes
+    # through datetime.fromtimestamp, which overflows for years <= 1 even in
+    # UTC — an artifact of the Python conversion, not of the engine.
     import re
 
     m = re.match(r"^(\d{4,14})", s)
@@ -37,9 +41,10 @@ def _py_hl7_ts(s: str) -> dt.datetime | None:
     mi = int(d[10:12]) if len(d) >= 12 else 0
     ss = int(d[12:14]) if len(d) >= 14 else 0
     try:
-        return dt.datetime(y, mo, day, hh, mi, ss)
+        parsed = dt.datetime(y, mo, day, hh, mi, ss)
     except ValueError:
         return None  # e.g. month 13 — engine's try_to_timestamp also nulls
+    return (parsed - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
 
 
 ts_strings = st.one_of(
@@ -56,10 +61,14 @@ def test_hl7_ts_matches_python_model(spark, samples):
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, ts string")
     got = {
         r.i: r.parsed
-        for r in df.select("i", hl7_ts_to_timestamp(F.col("ts")).alias("parsed")).collect()
+        for r in df.select(
+            "i", F.unix_micros(hl7_ts_to_timestamp(F.col("ts"))).alias("parsed")
+        ).collect()
     }
     for i, s in enumerate(samples):
-        assert got[i] == _py_hl7_ts(s), f"ts={s!r}: engine={got[i]} model={_py_hl7_ts(s)}"
+        assert got[i] == _py_hl7_ts_micros(s), (
+            f"ts={s!r}: engine={got[i]} model={_py_hl7_ts_micros(s)}"
+        )
 
 
 # ---------------------------------------------------------------------------
