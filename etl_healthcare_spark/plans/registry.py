@@ -621,3 +621,4 @@ from . import registry_llm  # noqa: E402,F401
 from . import registry_misc  # noqa: E402,F401
 from . import registry_gates  # noqa: E402,F401
 from . import registry_curation  # noqa: E402,F401
+from . import registry_tpch  # noqa: E402,F401

@@ -107,3 +107,34 @@ def test_tpch_q5_broadcasts_every_dimension(spark):
     plan = _plan(spark, "g7d_tpch_q5")
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.MULTILINE)) >= 4
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    plan = _plan(spark, "g7e_tpch_q4")
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi-join, not an inner blowup"
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "o_orderdate" in m.group(1), "orderdate range must push to the orders scan"
+
+
+def test_tpch_q18_having_semi_join_and_takeordered(spark):
+    plan = _plan(spark, "g7g_tpch_q18")
+    assert "TakeOrderedAndProject" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_implied_predicates(spark):
+    plan = _plan(spark, "g7h_tpch_q19")
+    scans = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert any("l_quantity" in s for s in scans), (
+        "the quantity disjunction implied by all OR branches must reach the lineitem scan"
+    )
+    assert any("p_brand" in s and "p_size" in s for s in scans), (
+        "brand/size implications must reach the part scan"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q10_broadcasts_and_takeordered(spark):
+    plan = _plan(spark, "g7i_tpch_q10")
+    assert "TakeOrderedAndProject" in plan and "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
