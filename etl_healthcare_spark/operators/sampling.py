@@ -53,3 +53,25 @@ def hash_split(df: DataFrame, id_col: str, salt: str, train: float = 0.98, val: 
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def source_cap(df: DataFrame, id_col: str, source_col: str, cap: int, salt: str) -> DataFrame:
+    """Cap any one source's document count at ~`cap` by hash-downsampling
+    over-represented sources (rate = cap/count), keeping under-cap sources
+    whole — the domain-rebalancing step that stops one crawl domain from
+    dominating the training mixture.
+
+    The per-source keep rate is computed at runtime from the source counts
+    (a tiny aggregate, broadcast back), then turned into an 8-hex-digit
+    threshold with the same fixed-width-hex comparison contract as the rest
+    of this module: threshold = %08x of (cap * 2^32) div count, which is
+    < 2^32 exactly when count > cap (the only branch that compares).  The
+    keep decision stays a pure function of (salt, id, source counts), so the
+    capped corpus is reproducible across engines and cluster sizes."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("src_n"))
+    thr = F.format_string("%08x", F.expr(f"(CAST({cap} AS BIGINT) * 4294967296) div src_n"))
+    kept = (F.col("src_n") <= cap) | (sample_bucket(F.col(id_col), salt) < thr)
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .select(F.col(id_col), F.col(source_col), kept.alias("kept"))
+    )

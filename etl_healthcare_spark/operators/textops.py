@@ -163,3 +163,109 @@ def corpus_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         core.join(dups, "lang", "left").join(vocab, "lang", "left")
         .withColumn("n_dup_docs", F.coalesce(F.col("n_dup_docs"), F.lit(0)))
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: the duplicate-trigram
+    share (trigram occurrences beyond the first, over all trigrams) and the
+    top-bigram share (occurrences of the single most frequent bigram, over
+    all bigrams).  Highly repetitive docs (boilerplate, SEO spam, template
+    churn) spike on both; the thresholds live in downstream gates.
+
+    The duplicate-trigram side is pure array math in the task (size minus
+    size(array_distinct)) — zero shuffle.  The top-bigram side needs a
+    per-(doc, bigram) histogram, so it explodes and aggregates twice, both
+    partial-aggregated on keys that include the doc id (no skew: a document's
+    bigrams all live in one group family).  Ratios are exact integer ppm."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    tri = F.when(F.size(F.col("t")) >= 3, shingles_from_tokens(F.col("t"), 3)).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = toks.select(
+        F.col(id_col),
+        F.size(tri).alias("n_trigrams"),
+        (F.size(tri) - F.size(F.array_distinct(tri))).alias("n_dup_tri"),
+    ).withColumn("dup3_ppm", F.expr("(1000000 * n_dup_tri) div greatest(n_trigrams, 1)"))
+    bg = F.when(F.size(F.col("t")) >= 2, shingles_from_tokens(F.col("t"), 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    top2 = (
+        toks.select(F.col(id_col), F.explode(bg).alias("big"))
+        .groupBy(id_col, "big")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+        .withColumn("top2_ppm", F.expr("(1000000 * top_bigram_n) div n_bigrams"))
+    )
+    return (
+        base.join(top2, id_col, "left")
+        .withColumn("top_bigram_n", F.coalesce(F.col("top_bigram_n"), F.lit(0)))
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+        .withColumn("top2_ppm", F.coalesce(F.col("top2_ppm"), F.lit(0)))
+    )
+
+
+def span_overlap(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Cross-document repeated-span share: per document, the fraction of its
+    DISTINCT k-gram spans that also occur in at least one other document —
+    the sub-document dedup signal (quotations, syndicated boilerplate,
+    near-dup tails that whole-doc minhash misses).
+
+    Same two-aggregation shape as rare_token_ratio, but keyed on a 16-hex
+    span hash instead of the raw token: the span-frequency table is
+    partial-aggregated and vocabulary-sized, and only distinct (doc, span)
+    pairs flow into it, so a pathological doc repeating one span a million
+    times contributes one row.  Exact integer ppm."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias("h"),
+        )
+        .distinct()
+    )
+    shared = spans.groupBy("h").agg(F.count("*").alias("df_count")).where(F.col("df_count") >= 2)
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    hits = spans.join(shared, "h", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_shared")
+    )
+    return (
+        per_doc.join(hits, id_col, "left")
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .withColumn("shared_ppm", F.expr("(1000000 * n_shared) div n_spans"))
+    )
+
+
+def quality_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """First-failing-rule document quality gate (the curation twin of
+    operators/validate.py's DTO gate): too_short -> too_long ->
+    mean_word_len out of [2, 12] -> low_alpha, evaluated in that fixed
+    order; reject_reason is NULL for kept docs.  Every rule is an integer
+    cross-multiply over quality_metrics counts — no float ratios, so the
+    decision is bit-identical across engines and scales as a map-only
+    projection (predicates push into the scan)."""
+    from ..functions.text import quality_metrics, token_count_ws
+
+    m = quality_metrics(F.col(text_col))
+    n_tok = token_count_ws(F.col(text_col))
+    alnum = m["n_alpha"] + m["n_digit"]
+    reason = (
+        F.when(n_tok < 20, F.lit("too_short"))
+        .when(m["n_chars"] > 100000, F.lit("too_long"))
+        .when((alnum < 2 * n_tok) | (alnum > 12 * n_tok), F.lit("mean_word_len"))
+        .when(10 * m["n_alpha"] < 6 * m["n_chars"], F.lit("low_alpha"))
+    )
+    return df.select(
+        F.col(id_col),
+        m["n_chars"].alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        reason.alias("reject_reason"),
+        reason.isNull().alias("kept"),
+    )

@@ -442,3 +442,159 @@ def text_token_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition, cross-doc span overlap, quality gate, source capping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS s
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
+            FROM tok WHERE len(t) >= 3)
+    ),
+    base AS (
+      SELECT k.doc_id,
+             coalesce(x.n3, 0) AS n_trigrams,
+             coalesce(x.n3 - x.d3, 0) AS n_dup_tri
+      FROM tok k LEFT JOIN (
+        SELECT doc_id, count(*) AS n3, count(DISTINCT s) AS d3
+        FROM tri GROUP BY doc_id
+      ) x USING (doc_id)
+    ),
+    bg AS (
+      SELECT doc_id, t[j] || ' ' || t[j+1] AS s
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) AS j
+            FROM tok WHERE len(t) >= 2)
+    ),
+    top2 AS (
+      SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY doc_id, s)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_trigrams, b.n_dup_tri,
+           (1000000 * b.n_dup_tri) // greatest(b.n_trigrams, 1) AS dup3_ppm,
+           coalesce(t2.top_bigram_n, 0) AS top_bigram_n,
+           coalesce(t2.n_bigrams, 0) AS n_bigrams,
+           coalesce((1000000 * t2.top_bigram_n) // t2.n_bigrams, 0) AS top2_ppm
+    FROM base b LEFT JOIN top2 t2 USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals: duplicate-trigram share (pure "
+    "in-task array math, zero shuffle) + top-bigram share (two partial-"
+    "aggregated doc-keyed aggs); exact integer ppm "
+    "(operators/textops.py:repetition_stats).",
+)
+def text_repetition(spark, sf_dir):
+    from ..operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_span_overlap",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id,
+        substr(sha256(t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3]
+                      || ' ' || t[j+4]), 1, 16) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
+            FROM tok WHERE len(t) >= 5)
+    ),
+    shared AS (
+      SELECT h FROM (SELECT h, count(*) AS df_count FROM spans GROUP BY h)
+      WHERE df_count >= 2
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_shared
+      FROM spans s JOIN shared USING (h) GROUP BY s.doc_id
+    )
+    SELECT p.doc_id, p.n_spans, coalesce(x.n_shared, 0) AS n_shared,
+           (1000000 * coalesce(x.n_shared, 0)) // p.n_spans AS shared_ppm
+    FROM per_doc p LEFT JOIN hits x USING (doc_id)
+    """,
+    doc="Cross-document repeated-span share: per doc, the fraction of its "
+    "distinct 5-gram spans occurring in >= 2 docs — the sub-document dedup "
+    "signal whole-doc minhash misses.  Distinct (doc, span-hash) pairs only; "
+    "span-frequency table partial-aggregated, rejoined as a LEFT SEMI "
+    "(operators/textops.py:span_overlap).",
+)
+def dedup_span_overlap(spark, sf_dir):
+    from ..operators.textops import span_overlap
+
+    return span_overlap(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
+
+
+@register(
+    "text_quality_gate",
+    sql="""
+    WITH m AS (
+      SELECT doc_id,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> length(x) > 0)) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+      CASE WHEN n_tokens < 20 THEN 'too_short'
+           WHEN n_chars > 100000 THEN 'too_long'
+           WHEN (n_alpha + n_digit) < 2 * n_tokens
+             OR (n_alpha + n_digit) > 12 * n_tokens THEN 'mean_word_len'
+           WHEN 10 * n_alpha < 6 * n_chars THEN 'low_alpha'
+      END AS reject_reason,
+      CASE WHEN n_tokens < 20 THEN 'too_short'
+           WHEN n_chars > 100000 THEN 'too_long'
+           WHEN (n_alpha + n_digit) < 2 * n_tokens
+             OR (n_alpha + n_digit) > 12 * n_tokens THEN 'mean_word_len'
+           WHEN 10 * n_alpha < 6 * n_chars THEN 'low_alpha'
+      END IS NULL AS kept
+    FROM m
+    """,
+    doc="First-failing-rule quality gate (Gopher-ish): too_short -> too_long "
+    "-> mean_word_len in [2,12] -> low_alpha, all integer cross-multiplies "
+    "over exact char-class counts — map-only, bit-identical across engines "
+    "(operators/textops.py:quality_gate).",
+)
+def text_quality_gate(spark, sf_dir):
+    from ..operators.textops import quality_gate
+
+    return quality_gate(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "sample_source_cap",
+    sql="""
+    WITH cnt AS (SELECT source, count(*) AS src_n FROM documents GROUP BY source)
+    SELECT doc_id, source,
+      (src_n <= 15) OR
+      (substr(sha256('cap1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         < printf('%08x', (15 * 4294967296) // src_n)) AS kept
+    FROM documents JOIN cnt USING (source)
+    """,
+    doc="Domain rebalancing: cap every source at ~15 docs by hash-"
+    "downsampling over-represented sources (rate = cap/count), computed at "
+    "runtime from a tiny broadcast count table; keep decision is a pure "
+    "function of (salt, doc_id, counts) — reproducible across engines and "
+    "cluster sizes (operators/sampling.py:source_cap).",
+)
+def sample_source_cap(spark, sf_dir):
+    from ..operators.sampling import source_cap
+
+    return source_cap(_t(spark, sf_dir, "documents"), "doc_id", "source", cap=15, salt="cap1")

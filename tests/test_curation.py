@@ -189,3 +189,83 @@ def test_l2_normalize_unit_vectors(spark):
     got = {r.vec_id: r for r in l2_normalize(vecs, "embedding", "vec_id").collect()}
     assert [int(x) for x in got[1].unit_ppm_code.split(",")] == [600000, 800000]
     assert [int(x) for x in got[2].unit_ppm_code.split(",")] == [0, 1000000]
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    from etl_healthcare_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),           # one bigram repeated
+            (2, "one two three four five six seven eight"), # no repetition
+            (3, "ab"),                                      # < 2 tokens: all zeros
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs, "text", "doc_id").collect()}
+    # doc 1: 4 trigrams all identical -> 3 dup; 5 bigrams all identical
+    assert got[1].n_trigrams == 4 and got[1].n_dup_tri == 3
+    assert got[1].dup3_ppm == (1000000 * 3) // 4
+    assert got[1].top_bigram_n == 5 and got[1].top2_ppm == 1000000
+    assert got[2].n_dup_tri == 0 and got[2].top_bigram_n == 1
+    assert got[3].n_trigrams == 0 and got[3].n_bigrams == 0 and got[3].top2_ppm == 0
+
+
+def test_span_overlap_finds_shared_spans(spark):
+    from etl_healthcare_spark.operators.textops import span_overlap
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta theta iota kappa"),
+            (2, shared + " lambda mu nu xi omicron"),
+            (3, "pi rho sigma tau upsilon phi chi psi"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in span_overlap(docs, "text", "doc_id", k=5).collect()}
+    # docs 1 and 2 share exactly the one leading 5-gram; doc 3 shares nothing
+    assert got[1].n_shared == 1 and got[2].n_shared == 1
+    assert got[3].n_shared == 0 and got[3].shared_ppm == 0
+    assert got[1].shared_ppm == 1000000 // got[1].n_spans
+
+
+def test_quality_gate_first_failing_rule_order(spark):
+    from etl_healthcare_spark.operators.textops import quality_gate
+
+    ok = " ".join(["word"] * 30)
+    docs = spark.createDataFrame(
+        [
+            (1, ok),                              # kept
+            (2, "too short"),                     # too_short fires first
+            (3, " ".join(["x"] * 30)),            # mean word len 1 < 2
+            (4, " ".join(["....!!"] * 30)),       # n_tokens ok, alnum 0 -> mean_word_len
+            (5, " ".join(["a1234567890123"] * 30)),  # mean len 14 > 12
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.reject_reason for r in quality_gate(docs, "text", "doc_id").collect()}
+    assert got[1] is None
+    assert got[2] == "too_short"
+    assert got[3] == "mean_word_len"
+    assert got[4] == "mean_word_len"
+    assert got[5] == "mean_word_len"
+    kept = {r.doc_id: r.kept for r in quality_gate(docs, "text", "doc_id").collect()}
+    assert kept == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_source_cap_keeps_small_sources_whole(spark):
+    from etl_healthcare_spark.operators.sampling import source_cap
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_cap(docs, "doc_id", "source", cap=10, salt="s").collect()
+    assert len(out) == 205, "source_cap labels, never drops rows"
+    small_kept = [r.kept for r in out if r.source == "small"]
+    assert all(small_kept), "under-cap source must be kept whole"
+    big_kept = sum(r.kept for r in out if r.source == "big")
+    # rate = 10/200 = 5%; hash sampling is exact-in-expectation, loose bounds
+    assert 0 < big_kept < 60
+    # deterministic across invocations
+    again = source_cap(docs, "doc_id", "source", cap=10, salt="s").collect()
+    assert {(r.doc_id, r.kept) for r in again} == {(r.doc_id, r.kept) for r in out}

@@ -138,3 +138,15 @@ def test_tpch_q10_broadcasts_and_takeordered(spark):
     plan = _plan(spark, "g7i_tpch_q10")
     assert "TakeOrderedAndProject" in plan and "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_quality_gate_is_map_only(spark):
+    plan = _plan(spark, "text_quality_gate")
+    assert "Exchange" not in plan, "the quality gate is a projection — no shuffle"
+
+
+def test_source_cap_broadcasts_count_table(spark):
+    plan = _plan(spark, "sample_source_cap")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        "per-source counts must broadcast back, never shuffle the corpus"
+    )
