@@ -598,3 +598,135 @@ def sample_source_cap(spark, sf_dir):
     from ..operators.sampling import source_cap
 
     return source_cap(_t(spark, sf_dir, "documents"), "doc_id", "source", cap=15, salt="cap1")
+
+
+# ---------------------------------------------------------------------------
+# the composed curation pipeline (flagship: the operators chained end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from .registry_llm import _minhash_ctes
+
+    shingle5 = "t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3] || ' ' || t[j+4]"
+    return f"""
+    WITH RECURSIVE
+    corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    qm AS (
+      SELECT doc_id, text,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> length(x) > 0)) AS n_tokens
+      FROM corpus
+    ),
+    q AS (
+      SELECT doc_id, text FROM qm
+      WHERE NOT (n_tokens < 20 OR n_chars > 100000
+                 OR (n_alpha + n_digit) < 2 * n_tokens
+                 OR (n_alpha + n_digit) > 12 * n_tokens
+                 OR 10 * n_alpha < 6 * n_chars)
+    ),
+    exk AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+    ex_surv AS (SELECT q.doc_id, q.text FROM q
+                WHERE q.doc_id IN (SELECT doc_id FROM exk)),
+    {_minhash_ctes(src="ex_surv")},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+              UNION SELECT doc_b, doc_a FROM lsh_pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    nd_surv AS (
+      SELECT s.doc_id, s.text FROM ex_surv s LEFT JOIN cl ON s.doc_id = cl.node
+      WHERE coalesce(cl.cluster_id, s.doc_id) = s.doc_id
+    ),
+    ev_tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+               FROM documents WHERE source = 'src0'),
+    ev_idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
+               FROM ev_tok WHERE len(t) >= 5),
+    ev_sh AS (SELECT DISTINCT {shingle5} AS s FROM ev_idx),
+    c_tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM nd_surv),
+    c_idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
+              FROM c_tok WHERE len(t) >= 5),
+    c_sh AS (SELECT DISTINCT doc_id, {shingle5} AS s FROM c_idx),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM c_sh GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, count(*) AS n_hits
+             FROM c_sh c JOIN ev_sh e USING (s) GROUP BY c.doc_id),
+    final AS (
+      SELECT s.doc_id FROM nd_surv s
+      LEFT JOIN tot ON s.doc_id = tot.doc_id
+      LEFT JOIN hits ON s.doc_id = hits.doc_id
+      WHERE tot.doc_id IS NULL
+         OR (1000000 * coalesce(hits.n_hits, 0)) // tot.n_sh < 500000
+    )
+    SELECT 1 AS stage_ord, 'raw' AS stage, (SELECT count(*) FROM documents) AS n_docs
+    UNION ALL SELECT 2, 'eval_holdout', (SELECT count(*) FROM corpus)
+    UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM q)
+    UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM ex_surv)
+    UNION ALL SELECT 5, 'near_dedup', (SELECT count(*) FROM nd_surv)
+    UNION ALL SELECT 6, 'decontam', (SELECT count(*) FROM final)
+    """
+
+
+@register(
+    "curation_e2e",
+    sql=_funnel_oracle(),
+    doc="The composed curation pipeline, end-to-end: eval holdout (src0) -> "
+    "quality gate -> exact dedup (min-id keeper per sha256) -> minhash-LSH "
+    "near-dup keep-list (connected components over candidate pairs of the "
+    "SURVIVING set) -> 5-gram benchmark decontamination (>=50% contaminated "
+    "shingles dropped).  Returns the attrition funnel (stage, n_docs).  "
+    "Every stage reuses the registry operator it corresponds to; survivors "
+    "are persisted once per stage so the iterative CC loop and the six "
+    "counts do not recompute the chain.",
+)
+def curation_e2e(spark, sf_dir):
+    from ..operators.dedup import (
+        connected_components,
+        dedup_keep_list,
+        minhash_lsh_pairs,
+        ngram_contamination,
+    )
+    from ..operators.textops import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    gate = quality_gate(corpus, "text", "doc_id")
+    q = corpus.join(gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi")
+    exk = (
+        q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ex_surv = q.join(exk, "doc_id", "left_semi").persist()
+    pairs = minhash_lsh_pairs(ex_surv, "text", "doc_id", bands=4, rows=4)
+    keep = dedup_keep_list(ex_surv, "doc_id", connected_components(pairs, "doc_a", "doc_b"))
+    nd_surv = ex_surv.join(
+        keep.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    contam = ngram_contamination(nd_surv, eval_df, "text", "doc_id", k=5)
+    final = nd_surv.join(
+        contam.where(F.col("contam_ppm") >= 500000).select("doc_id"), "doc_id", "left_anti"
+    )
+    stages = [
+        ("raw", docs),
+        ("eval_holdout", corpus),
+        ("quality", q),
+        ("exact_dedup", ex_surv),
+        ("near_dedup", nd_surv),
+        ("decontam", final),
+    ]
+    out = None
+    for i, (name, sdf) in enumerate(stages, 1):
+        row = sdf.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), F.col("n_docs")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

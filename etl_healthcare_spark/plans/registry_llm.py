@@ -49,10 +49,11 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12) -> str:
+def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12, src: str = "documents") -> str:
     """The shared CTE chain (toks -> shingles -> mh signatures -> band keys ->
     candidate pairs) — composed into different final SELECTs by the LSH-pair,
-    connected-components, keep-list, and scored-pair oracles."""
+    connected-components, keep-list, scored-pair, and e2e-funnel oracles.
+    `src` is the (doc_id, text) relation the chain reads."""
     n = bands * rows
     slices = 64 // width  # disjoint digest slices = independent hash fns
     mh_cols = ",\n        ".join(
@@ -66,7 +67,7 @@ def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12) -> str:
         for b in range(bands)
     )
     return f"""toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
     ),
     idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
             FROM toks WHERE len(t) >= 3),

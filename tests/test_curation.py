@@ -269,3 +269,18 @@ def test_source_cap_keeps_small_sources_whole(spark):
     # deterministic across invocations
     again = source_cap(docs, "doc_id", "source", cap=10, salt="s").collect()
     assert {(r.doc_id, r.kept) for r in again} == {(r.doc_id, r.kept) for r in out}
+
+
+def test_curation_e2e_funnel_is_monotone(spark):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["curation_e2e"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.stage_ord,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "eval_holdout", "quality", "exact_dedup", "near_dedup", "decontam",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), "each stage only removes docs"
+    assert counts[0] > counts[-1] > 0, "the funnel must actually filter and keep something"
