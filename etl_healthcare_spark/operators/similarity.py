@@ -62,3 +62,56 @@ def ann_topk(
         .orderBy(F.col("cos").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-NN JOIN: for EVERY query vector, its top-k cosine neighbors in
+    the corpus (the batch form of topk_cosine — one query vector there, a
+    whole query table here).  Output: (query_id, neighbor_id, n_rank).
+
+    Shape: the query side broadcasts (a query batch is small next to the
+    corpus), the cross pairing is a BroadcastNestedLoopJoin evaluated in-task
+    (never a shuffled CartesianProduct), and the per-query top-k is one
+    window keyed on the query id — so corpus rows stream once, and the only
+    shuffle is |queries| * |corpus| scored pairs hashed on query id.  At
+    larger query batches, block both sides first (share an LSH bucket /
+    IVF cell — see ann_topk / ivf_topk) and apply the same window.
+
+    Cross-engine determinism: the score is dot/|corpus vec| (query norm is
+    rank-invariant within a query) with the sum computed as a 0.0-init LEFT
+    FOLD in array order == DuckDB list_reduce (bit-exact), so the (score
+    DESC, neighbor id) tiebreak totally orders rows identically in both
+    engines; only ids and ranks are emitted."""
+    from pyspark.sql import Window
+
+    xd = lambda x: x.cast("double")  # noqa: E731
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sumsq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: xd(x) * xd(x)), F.lit(0.0), lambda a, b: a + b
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(sumsq).alias("nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: xd(x) * xd(y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", (dot / F.col("nrm")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("n_rank", F.row_number().over(w))
+        .where(F.col("n_rank") <= k)
+        .select("query_id", "neighbor_id", "n_rank")
+    )

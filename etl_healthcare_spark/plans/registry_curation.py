@@ -730,3 +730,41 @@ def curation_e2e(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "sim_knn_join",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+        sqrt(list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_transform(generate_series(1, len(qv)),
+              i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)),
+            (x, y) -> x + y) / nrm AS score
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, n_rank
+    FROM (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS n_rank
+          FROM scored)
+    WHERE n_rank <= 3
+    """,
+    doc="Exact k-NN join (top-3 cosine neighbors for every query vector, "
+    "vec_id < 20 as the query batch): query side broadcast, in-task "
+    "BroadcastNestedLoopJoin pairing, one window on query_id — bit-exact "
+    "left-fold dot product makes the rank tiebreak deterministic across "
+    "engines (operators/similarity.py:knn_join).",
+)
+def sim_knn_join(spark, sf_dir):
+    from ..operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb.where(F.col("vec_id") < 20), emb, "embedding", "vec_id", k=3)

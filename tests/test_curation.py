@@ -284,3 +284,22 @@ def test_curation_e2e_funnel_is_monotone(spark):
     counts = [r.n_docs for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), "each stage only removes docs"
     assert counts[0] > counts[-1] > 0, "the funnel must actually filter and keep something"
+
+
+def test_knn_join_finds_planted_neighbors(spark):
+    from etl_healthcare_spark.operators.similarity import knn_join
+
+    # 2-d toy: vectors at known angles; cosine ranking is unambiguous
+    rows = [
+        (0, [1.0, 0.0]),    # query
+        (1, [1.0, 0.1]),    # nearest
+        (2, [1.0, 1.0]),    # second
+        (3, [0.0, 1.0]),    # orthogonal
+        (4, [-1.0, 0.0]),   # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.n_rank): r.neighbor_id
+        for r in knn_join(df.where("vec_id = 0"), df, "embedding", "vec_id", k=3).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3

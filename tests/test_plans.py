@@ -150,3 +150,13 @@ def test_source_cap_broadcasts_count_table(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
         "per-source counts must broadcast back, never shuffle the corpus"
     )
+
+
+def test_knn_join_broadcasts_queries_and_limits_window_partially(spark):
+    plan = _plan(spark, "sim_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan, (
+        "the query batch must broadcast; the pairing is evaluated in-task"
+    )
+    assert "WindowGroupLimit" in plan, (
+        "rank<=k must push below the shuffle so only top-k per query per partition ship"
+    )
