@@ -582,3 +582,59 @@ def stream_dedup(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name).select("user_id", "event_type")
+
+
+@register(
+    "stream_stream_join",
+    sql="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="§2.12 stream-stream interval join: click->purchase attribution "
+    "(same user, purchase within 30 min of the click) executed as a "
+    "watermarked Structured Streaming join (file sources, availableNow, "
+    "append) — the event-time bound is what lets Spark evict join state, "
+    "and the bounded-input output provably equals the batch self-join "
+    "(streaming/pipeline.py:interval_join_streams).",
+)
+def stream_stream_join(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_ssj_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+
+    def side(etype, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{d}/src")
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias))
+        )
+
+    clicks = side("click", "click_id", "c_ts")
+    purchases = side("purchase", "purchase_id", "p_ts")
+    joined = interval_join_streams(
+        clicks, purchases, "user_id", "c_ts", "p_ts",
+        horizon="30 minutes", watermark="36500 days",
+    )
+    out = joined.select(
+        "click_id", "purchase_id", clicks["user_id"].alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -227,3 +227,33 @@ def dedup_stream(
     downstream without unbounded memory.  Batch equivalent for the oracle:
     min-per-key over the same horizon."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval (event-time-bounded) inner join: pair each left
+    event with right events of the same key whose timestamp falls in
+    (left_ts, left_ts + horizon] — the click->purchase attribution shape.
+
+    Both sides carry a watermark and the join condition bounds right_ts
+    relative to left_ts, which is exactly what Structured Streaming needs to
+    evict state: a buffered left row is droppable once the right watermark
+    passes left_ts + horizon, so state is ~(arrival rate x (watermark +
+    horizon)) per side, independent of stream length.  The output of the
+    bounded-input run (availableNow) provably equals the batch self-join —
+    which is the oracle."""
+    l = left.withWatermark(left_ts, watermark)  # noqa: E741
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond)

@@ -181,3 +181,43 @@ def test_dedup_stream_drops_redelivered_keys(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("dds").collect()
     assert sorted(r.event_id for r in rows) == [1, 2, 3]  # one survivor per key
+
+
+def test_interval_join_streams_bounds(spark, tmp_path):
+    """Only right events in (left_ts, left_ts + horizon] pair up."""
+    import datetime as dt
+
+    from etl_healthcare_spark.streaming.pipeline import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "click", 100, t0),
+        (2, "purchase", 100, t0 + dt.timedelta(minutes=10)),   # in window
+        (3, "purchase", 100, t0 + dt.timedelta(minutes=40)),   # past horizon
+        (4, "purchase", 100, t0 - dt.timedelta(minutes=5)),    # before click
+        (5, "purchase", 200, t0 + dt.timedelta(minutes=5)),    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long, ts timestamp")
+    src = str(tmp_path / "ssj_src")
+    df.write.mode("overwrite").parquet(src)
+
+    def side(etype, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(id_alias), "user_id", F.col("ts").alias(ts_alias))
+        )
+
+    joined = interval_join_streams(
+        side("click", "click_id", "c_ts"), side("purchase", "purchase_id", "p_ts"),
+        "user_id", "c_ts", "p_ts", horizon="30 minutes", watermark="365 days",
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id) for r in spark.table("ssj_test").collect()}
+    assert got == {(1, 2)}
