@@ -160,3 +160,38 @@ def test_knn_join_broadcasts_queries_and_limits_window_partially(spark):
     assert "WindowGroupLimit" in plan, (
         "rank<=k must push below the shuffle so only top-k per query per partition ship"
     )
+
+
+def test_driver_window_spans_every_family_and_is_oracle_backed():
+    """External harnesses score REGISTRY insertion order with a bounded window;
+    the head must be the curated DRIVER_WINDOW — every family represented and
+    every entry carrying a DuckDB oracle (no rows-only checks in the window)."""
+    from etl_healthcare_spark.plans.registry import DRIVER_WINDOW
+
+    names = list(REGISTRY)
+    assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    assert len(DRIVER_WINDOW) == 50
+    assert all(REGISTRY[n].sql is not None for n in DRIVER_WINDOW)
+    # one representative from each major family must sit inside the window
+    for probe in (
+        "q1_",  # serving
+        "g1_",  # aggregation
+        "g7_",  # TPC-H
+        "j6_",  # joins
+        "w1_",  # windows
+        "set_ops",  # set operations
+        "o2_",  # sort/limit
+        "p1_",  # parsing
+        "v2_",  # validation
+        "u1_",  # upsert
+        "dedup_",  # dedup
+        "sim_",  # similarity
+        "text_",  # text analysis
+        "sample_",  # sampling
+        "curation_",  # curation funnel
+        "g10_",  # pivot
+        "sq_",  # subqueries
+        "scalar_",  # scalar surface
+        "stream_",  # streaming
+    ):
+        assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
