@@ -93,6 +93,43 @@ def minhash_bands(
     return wide.selectExpr("doc", f"stack({bands}, {stack_expr}) AS (band, key)")
 
 
+# LSH bucket cap: a (band, key) bucket of n docs expands to n*(n-1)/2 pairs
+# IN ONE TASK, so a degenerate mega-bucket (boilerplate cluster: licence
+# headers, templated pages) turns a linear stage quadratic at 100 TB.  Buckets
+# beyond the cap are dropped from pair expansion — near-dup members of such
+# clusters are still caught by exact_dedup (identical text) or by their other
+# bands; the cap only bounds the worst case.  Never silent: pass an
+# ``Observation`` to get dropped_buckets / dropped_docs counters on the same
+# action (no extra job), and the default is deliberately conservative.
+DEFAULT_MAX_BUCKET = 512
+
+
+def _lsh_buckets(
+    bands_df: DataFrame,
+    max_bucket: int | None,
+    observation=None,
+) -> DataFrame:
+    """(band, key, ds) buckets of size >= 2, capped at ``max_bucket`` docs.
+    ``observation`` (a ``pyspark.sql.Observation``) is attached BEFORE the cap
+    filter so the dropped-bucket counters see the oversize buckets."""
+    buckets = (
+        bands_df.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    if observation is not None:
+        over = F.size("ds") > F.lit(max_bucket if max_bucket is not None else 2**31 - 1)
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+            F.coalesce(F.sum(F.when(over, F.size("ds")).otherwise(0)), F.lit(0)).alias("dropped_docs"),
+            F.coalesce(F.max(F.size("ds")), F.lit(0)).alias("max_bucket_seen"),
+        )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ds") <= max_bucket)
+    return buckets
+
+
 def _pair_combos(ds: Column) -> Column:
     """All (a, b) index-ordered pairs from a sorted array — the in-bucket pair
     generator.  Two-parameter lambda is intentional here: the second transform
@@ -108,22 +145,26 @@ def _pair_combos(ds: Column) -> Column:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4) -> DataFrame:
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) sharing >=1 LSH band.
 
     Pairs are generated inside each (band, key) bucket via groupBy +
     collect_list + array combinations — NOT a self-join: a self-join would
     re-evaluate the whole minhash pipeline for both branches (measured 2x
     cost) and shuffle the bands twice.  One shuffle to buckets, pairs expand
-    in-task.  Bucket sizes are bounded by LSH construction; a production run
-    at 100 TB would additionally drop degenerate mega-buckets (boilerplate
-    clusters) before expansion."""
+    in-task.  Typical bucket sizes are bounded by LSH construction; degenerate
+    mega-buckets (boilerplate clusters) are dropped at ``max_bucket`` docs so
+    no task ever expands quadratically — see _lsh_buckets for the counters."""
     b = minhash_bands(df, text_col, id_col, bands, rows)
-    buckets = (
-        b.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-        .where(F.size("ds") >= 2)
-    )
+    buckets = _lsh_buckets(b, max_bucket, observation)
     return (
         buckets.select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -302,7 +343,14 @@ def ngram_contamination(
 
 
 def minhash_scored_pairs(
-    df: DataFrame, text_col: str, id_col: str, bands: int = 4, rows: int = 4, width: int = 12
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    width: int = 12,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs WITH their minhash Jaccard estimate: n_match =
     number of agreeing signature slots, est_jaccard_ppm = n_match/n exact
@@ -322,11 +370,7 @@ def minhash_scored_pairs(
     ]
     stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
     bands_df = sig.select("doc", *band_cols).selectExpr("doc", f"stack({bands}, {stack_expr}) AS (band, key)")
-    buckets = (
-        bands_df.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-        .where(F.size("ds") >= 2)
-    )
+    buckets = _lsh_buckets(bands_df, max_bucket, observation)
     pairs = (
         buckets.select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))

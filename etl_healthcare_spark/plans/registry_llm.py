@@ -53,7 +53,12 @@ def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12, src: str = "do
     """The shared CTE chain (toks -> shingles -> mh signatures -> band keys ->
     candidate pairs) — composed into different final SELECTs by the LSH-pair,
     connected-components, keep-list, scored-pair, and e2e-funnel oracles.
-    `src` is the (doc_id, text) relation the chain reads."""
+    `src` is the (doc_id, text) relation the chain reads.
+
+    Mirrors the engine's mega-bucket cap (operators/dedup.py DEFAULT_MAX_BUCKET):
+    buckets larger than the cap are excluded from pair expansion in BOTH
+    engines, so the oracle compare exercises the capped semantics."""
+    from ..operators.dedup import DEFAULT_MAX_BUCKET
     n = bands * rows
     slices = 64 // width  # disjoint digest slices = independent hash fns
     mh_cols = ",\n        ".join(
@@ -80,10 +85,15 @@ def _minhash_ctes(bands: int = 4, rows: int = 4, width: int = 12, src: str = "do
     bands AS (
       {band_selects}
     ),
+    big_buckets AS (
+      SELECT band, key FROM bands GROUP BY 1, 2 HAVING count(*) > {DEFAULT_MAX_BUCKET}
+    ),
     lsh_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM big_buckets g
+                        WHERE g.band = a.band AND g.key = a.key)
     )"""
 
 

@@ -122,3 +122,46 @@ def test_multimodal_resize_and_frames(spark):
     assert len(frames) == 8  # 48 frames, stride 6 -> 8 samples
     assert [f.frame_idx for f in frames] == [0, 6, 12, 18, 24, 30, 36, 42]
     assert frames[1].ts_s == 6 / 24 and len(frames[0].frame_sha) == 64
+
+
+def test_minhash_lsh_mega_bucket_capped_and_counted(spark):
+    """A boilerplate cluster (many identical docs) lands every member in the
+    same (band, key) buckets; uncapped that expands n^2/2 pairs in ONE task.
+    The cap drops those buckets — bounded expansion — while the Observation
+    reports exactly what was dropped (no silent caps), and ordinary near-dup
+    pairs outside the cluster are unaffected."""
+    from pyspark.sql import Observation
+
+    boiler = [(100 + i, "standard licence header text repeated verbatim on every page", "en")
+              for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, BASE, "en"), (2, BASE, "en"), (3, NEAR, "en"), *boiler],
+        ["doc_id", "text", "lang"],
+    )
+    obs = Observation("lsh")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket=10, observation=obs
+        ).collect()
+    }
+    # the 40-doc boilerplate cluster is capped out: no pair touches it
+    assert not any(a >= 100 or b >= 100 for a, b in pairs)
+    # normal near-dups still found
+    assert (1, 2) in pairs
+    # counters: 4 bands x 1 oversize bucket each, 40 docs per bucket
+    assert obs.get["dropped_buckets"] == 4
+    assert obs.get["dropped_docs"] == 160
+    assert obs.get["max_bucket_seen"] == 40
+
+
+def test_minhash_lsh_cap_default_leaves_small_corpora_unchanged(spark):
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id", max_bucket=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id").collect()
+    }
+    assert uncapped == capped
