@@ -190,6 +190,31 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc, shingle) — the distinct k-word shingle set of every document,
+    fanned out of single-file partitions (see minhash_bands note)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+        .repartition(npart, "doc")
+        .select("doc", F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"))
+    )
+
+
+def _jaccard_tail(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """inter(doc_a, doc_b, inter) x sizes(doc, n_shingles) -> thresholded
+    exact-Jaccard rows.  inter/union are exact ints; the ratio is a single
+    double division — cross-engine bit-exact."""
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return jac.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -197,10 +222,18 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.2,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity over distinct k-word shingles for pairs within a
-    blocking key (lang, LSH bucket, ...).  inter/union are exact ints; the
-    ratio is a single double division — cross-engine bit-exact."""
+    blocking key.  The blocking key must keep per-(block, shingle) posting
+    lists small — an LSH bucket id qualifies, a whole language does NOT (a
+    stop-shingle shared by 1% of an English corpus is a quadratic posting
+    list).  For coarse blocks pass ``max_df``: shingles whose document
+    frequency within the block exceeds it are excluded from intersection
+    counts (they carry no discriminating signal; sizes stay uncapped, so
+    jaccard is a documented lower bound for pairs touching dropped shingles).
+    For the exact production shape, verify LSH candidates instead:
+    ``ngram_jaccard_verify(df, minhash_lsh_pairs(df, ...))``."""
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("blk"),
@@ -211,7 +244,16 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("blk", "shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("blk", "shingle")
+        )
+        joinable = sh.join(rare, ["blk", "shingle"], "left_semi")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(
             b,
@@ -222,14 +264,35 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    return _jaccard_tail(inter, sizes, threshold)
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to a candidate-pair set (doc_a, doc_b)
+    — the verification stage after LSH.  This is the 100 TB shape: the
+    expensive exact intersection runs only on |candidates| pairs, every join
+    keys on document ids (plus shingle on the already-pair-bounded side), and
+    no shingle posting list is ever self-joined.  Cost is
+    O(|pairs| x shingles/doc), independent of corpus-wide shingle skew."""
+    sh = _distinct_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    p = pairs.select("doc_a", "doc_b")
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        p.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return jac.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+    return _jaccard_tail(inter, sizes, threshold)
 
 
 def embedding_near_dup_pairs(

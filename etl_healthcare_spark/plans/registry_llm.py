@@ -148,21 +148,18 @@ def dedup_simhash(spark, sf_dir):
     return simhash_dup_groups(docs, "text", "doc_id")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    sql="""
-    WITH toks AS (
-      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-      FROM documents
-    ),
-    idx AS (SELECT doc_id, lang, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
-            FROM toks WHERE len(t) >= 3),
-    sh AS (SELECT DISTINCT doc_id, lang, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS shingle FROM idx),
+def _ngram_jaccard_verify_oracle() -> str:
+    """Exact Jaccard over LSH candidate pairs: reuses the minhash CTE chain
+    (`shingle` carries per-doc shingles with dups; dedupe for the set math)."""
+    return f"""
+    WITH {_minhash_ctes()},
+    sh AS (SELECT DISTINCT doc_id, s AS shingle FROM shingle),
     sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT p.doc_a, p.doc_b, count(*) AS inter
+      FROM lsh_pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, inter, sa.n_shingles AS na, sb.n_shingles AS nb,
@@ -171,15 +168,24 @@ def dedup_simhash(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - inter) >= 0.2
-    """,
-    doc="n-gram Jaccard near-dup verification: distinct 3-word shingles, "
-    "lang-blocked pair intersection counts; jaccard = single int-ratio "
-    "division (cross-engine exact).",
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=_ngram_jaccard_verify_oracle(),
+    doc="n-gram Jaccard near-dup VERIFICATION over LSH candidates: exact "
+    "distinct-3-shingle intersection computed only for pairs sharing a "
+    "minhash band (capped buckets).  The 100 TB shape — no shingle posting "
+    "list is self-joined, cost is O(|candidates| x shingles/doc); jaccard = "
+    "single int-ratio division (cross-engine exact).",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", block_col="lang", threshold=0.2
-    )
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4).localCheckpoint(eager=False)
+    return ngram_jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.2)
 
 
 @register(

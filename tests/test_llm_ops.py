@@ -165,3 +165,43 @@ def test_minhash_lsh_cap_default_leaves_small_corpora_unchanged(spark):
         for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id").collect()
     }
     assert uncapped == capped
+
+
+def test_ngram_jaccard_verify_matches_blocked_form_on_candidates(spark):
+    """Verification over an explicit pair list computes the same exact jaccard
+    as the blocked all-pairs form restricted to those pairs."""
+    from etl_healthcare_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = _docs(spark)
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.0).collect()
+    }
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.0).collect()
+    }
+    # (1, 4) shares no shingle -> no intersection row, same as the blocked form
+    assert set(got) == {(1, 2), (1, 3)}
+    for k, v in got.items():
+        assert abs(v - brute[k]) == 0.0
+
+
+def test_ngram_jaccard_max_df_drops_only_common_shingles(spark):
+    """With max_df high enough to keep every shingle the capped result equals
+    the uncapped one; with max_df=1 no shared shingle survives, so no pairs."""
+    docs = _docs(spark)
+    base = {
+        (r.doc_a, r.doc_b): r.inter
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.0).collect()
+    }
+    hi = {
+        (r.doc_a, r.doc_b): r.inter
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", "lang", threshold=0.0, max_df=100
+        ).collect()
+    }
+    assert hi == base
+    lo = ngram_jaccard_pairs(docs, "text", "doc_id", "lang", threshold=0.0, max_df=1).collect()
+    assert lo == []

@@ -195,3 +195,14 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "stream_",  # streaming
     ):
         assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
+
+
+def test_ngram_jaccard_verifies_lsh_candidates_not_blocked_self_join(spark):
+    """The registered jaccard query must be the verification shape: exact
+    intersections only for LSH candidate pairs.  A blocked shingle self-join
+    (the old lang-blocked form) goes quadratic on common shingles at scale."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "lang" not in plan, "jaccard must not block on a whole language"
+    # the LSH candidate list is materialized once (localCheckpoint -> RDD scan)
+    # and joined to per-doc shingles — never a shingle-keyed self-join
+    assert "ExistingRDD" in plan, "candidates must be the materialized LSH pair list"
