@@ -2,8 +2,7 @@
 (north-star capability, SURVEY §7.1 step 10; the reference's closest analog
 is the opaque payload Buffer of libs/adapters, SURVEY §1.2).
 
-Design (north-star capability; no media libs in this container, so the decode
-kernels are STUBBED — the Spark-side plumbing is real and tested):
+Design:
 
 * storage: ``binary`` payload column + a metadata struct (modality, mime,
   width/height/duration, byte_len, sha256) — the schema a 100 TB multimodal
@@ -13,14 +12,27 @@ kernels are STUBBED — the Spark-side plumbing is real and tested):
 * compute: `mapInPandas` over Arrow batches — the only sanctioned Python
   hot path.  Batch shape (pandas DataFrame per partition slice) is exactly
   what a real decode (PIL/ffmpeg/torchcodec) would consume.
+
+Two kinds of kernel:
+
+* ``decode_media_meta`` — a REAL decode: container headers (PNG IHDR, BMP
+  DIB, GIF logical screen, JPEG SOF, RIFF/WAVE fmt chunk) parsed from the
+  payload bytes in pure Python, emitting genuine width/height/sample-rate.
+  No media libraries needed; malformed payloads degrade to kind='unknown'.
+* ``decode_features`` — pixel/sample-level feature extraction.  The only
+  kernel shippable in this container is the deterministic ``fake`` one, and
+  it must be requested EXPLICITLY (``kernel="fake"``) so pseudo-features can
+  never be mistaken for real ones; a production deployment registers a PIL/
+  soundfile kernel under its own name with the identical Arrow contract.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -79,12 +91,21 @@ def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """mapInPandas decode stage: Arrow-batched, partition-parallel.
+def decode_features(df: DataFrame, id_col: str, payload_col: str, *, kernel: str) -> DataFrame:
+    """mapInPandas feature-extraction stage: Arrow-batched, partition-parallel.
 
-    Raises NotImplementedError only from a *real* decode request (modality
-    kernels are stubbed); the deterministic fake keeps the pipeline testable.
-    """
+    ``kernel`` is mandatory and currently only ``"fake"`` is registered (the
+    deterministic payload-byte pseudo-feature — this container has no media
+    libraries).  Requiring the flag keeps the stub impossible to mistake for
+    a real pixel decode; real kernels plug in with the same batch contract.
+    For genuine header-level decode (width/height/sample-rate) use
+    :func:`decode_media_meta`, which is fully implemented."""
+    if kernel != "fake":
+        raise ValueError(
+            f"unknown feature kernel {kernel!r}: only 'fake' is registered in "
+            "this environment (no media libs); real header decode is "
+            "decode_media_meta"
+        )
     src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,6 +113,174 @@ def decode_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             yield _fake_decode_batch(b)
 
     return src.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+# --- real header decode ------------------------------------------------------
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # png|bmp|gif|jpeg|wav|unknown
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+    ]
+)
+
+_NONE6 = ("unknown", None, None, None, None, None)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_media_header(b: bytes):
+    """(kind, width, height, sample_rate, channels, bits) from container
+    magic + header fields — PNG IHDR, BMP DIB, GIF logical screen descriptor,
+    JPEG SOFn segment, RIFF/WAVE fmt chunk.  Pure byte arithmetic (struct
+    unpack), no media libraries; anything malformed is kind='unknown'."""
+    if b is None:
+        return _NONE6
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", w, h, None, None, None)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h), None, None, None)  # negative h = top-down rows
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", w, h, None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off = 12
+            while off + 8 <= len(b):
+                cid = b[off : off + 4]
+                sz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+                if cid == b"fmt " and sz >= 16 and off + 24 <= len(b):
+                    ch, sr = struct.unpack("<HI", b[off + 10 : off + 16])
+                    bits = struct.unpack("<H", b[off + 22 : off + 24])[0]
+                    return ("wav", None, None, sr, ch, bits)
+                off += 8 + sz + (sz & 1)  # chunks are word-aligned
+            return _NONE6
+        if b[:2] == b"\xff\xd8":
+            off = 2
+            while off + 4 <= len(b):
+                if b[off] != 0xFF:
+                    break
+                marker = b[off + 1]
+                if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                seglen = struct.unpack(">H", b[off + 2 : off + 4])[0]
+                if marker in _JPEG_SOF and off + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                    return ("jpeg", w, h, None, None, None)
+                off += 2 + seglen
+    except (struct.error, IndexError):
+        pass
+    return _NONE6
+
+
+def decode_media_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL media decode at the container-header level: width/height for
+    PNG/BMP/GIF/JPEG, sample-rate/channels/bit-depth for WAV — parsed from
+    the opaque ``binary`` payload inside the same Arrow-batched mapInPandas
+    slot a pixel kernel occupies.  Map-only: embarrassingly parallel at any
+    scale, no shuffle, payload bytes never leave the executor."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parsed = [parse_media_header(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "byte_len": b["payload"].map(lambda p: 0 if p is None else len(p)),
+                    "kind": pd.Series([p[0] for p in parsed], dtype="object"),
+                    "width": pd.Series([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.Series([p[2] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.Series([p[3] for p in parsed], dtype="Int32"),
+                    "channels": pd.Series([p[4] for p in parsed], dtype="Int32"),
+                    "bits": pd.Series([p[5] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=MEDIA_HEADER_SCHEMA)
+
+
+# --- payload synthesis (test fixtures as column expressions) ----------------
+# Genuine container headers built byte-for-byte from metadata columns — what
+# lets an oracle predict decode_media_meta's output arithmetically while the
+# engine parses real bytes.  CRC fields are zeroed (header parsers ignore
+# them; only a full pixel decode would object).
+
+
+def _be32(c) -> Column:
+    return F.lpad(F.hex(c.cast("long")), 8, "0")
+
+
+def _le32(c) -> Column:
+    h = F.lpad(F.hex(c.cast("long")), 8, "0")
+    return F.concat(F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le16(c) -> Column:
+    h = F.lpad(F.hex(c.cast("long")), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def synth_png(width, height) -> Column:
+    """33-byte PNG: signature + IHDR(width, height, 8-bit RGB)."""
+    return F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A"),  # signature
+            F.lit("0000000D49484452"),  # IHDR length + type
+            _be32(width),
+            _be32(height),
+            F.lit("0802000000"),  # bit depth 8, color RGB, no interlace
+            F.lit("00000000"),  # CRC (unchecked by header parse)
+        )
+    )
+
+
+def synth_bmp(width, height) -> Column:
+    """54-byte BMP: BITMAPFILEHEADER + BITMAPINFOHEADER(width, height, 24bpp)."""
+    return F.unhex(
+        F.concat(
+            F.lit("424D"),  # 'BM'
+            _le32(F.lit(54)),  # file size (header only)
+            F.lit("00000000"),  # reserved
+            _le32(F.lit(54)),  # pixel data offset
+            _le32(F.lit(40)),  # DIB header size
+            _le32(width),
+            _le32(height),
+            F.lit("01001800"),  # planes=1, bpp=24
+            F.lit("00" * 24),  # compression/size/ppm/colors
+        )
+    )
+
+
+def synth_wav(sample_rate, channels) -> Column:
+    """44-byte canonical WAV: RIFF/WAVE + PCM fmt chunk + empty data chunk."""
+    byte_rate = sample_rate * channels * F.lit(2)
+    block_align = channels * F.lit(2)
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),  # 'RIFF'
+            _le32(F.lit(36)),  # riff size
+            F.lit("57415645"),  # 'WAVE'
+            F.lit("666D7420"),  # 'fmt '
+            _le32(F.lit(16)),  # fmt chunk size
+            F.lit("0100"),  # PCM
+            _le16(channels),
+            _le32(sample_rate),
+            _le32(byte_rate),
+            _le16(block_align),
+            F.lit("1000"),  # 16 bits/sample
+            F.lit("64617461"),  # 'data'
+            _le32(F.lit(0)),  # empty data
+        )
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -202,10 +391,3 @@ def sample_frames(
     return src.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def real_decode(*_args, **_kwargs):
-    """Placeholder for the production decode kernel."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "container; wire PIL/soundfile/ffmpeg here and reuse decode_features' "
-        "mapInPandas plumbing"
-    )

@@ -665,7 +665,8 @@ DRIVER_WINDOW: list[str] = [
     "set_ops",
     # sort / limit / pagination (O family)
     "o2_topk",
-    "o4_keyset_page",
+    # multimodal (real header decode)
+    "mm_header_decode",
     # parsing (P family)
     "p1_csv_to_dto",
     "p4_hl7_obx_dto",

@@ -393,7 +393,7 @@ def q_text_fingerprint(spark, sf_dir):
     """,
     doc="Multimodal binary-column stats: opaque payload treated as bytes — "
     "byte length, content sha, magic-bytes prefix (the typed-metadata layer "
-    "of operators/multimodal.py; decode kernels are stubbed mapInPandas).",
+    "of operators/multimodal.py; header-level decode is mm_header_decode).",
 )
 def q_mm_binary_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -405,6 +405,43 @@ def q_mm_binary_stats(spark, sf_dir):
         F.sha2(b, 256).alias("payload_sha"),
         F.lower(F.substring(F.hex(b), 1, 8)).alias("magic_prefix"),
     )
+
+
+@register(
+    "mm_header_decode",
+    sql="""
+    SELECT doc_id AS id,
+           CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END AS byte_len,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 3 < 2 THEN CAST(64 + doc_id % 512 AS INT) END AS width,
+           CASE WHEN doc_id % 3 < 2 THEN CAST(48 + doc_id % 384 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+           CASE WHEN doc_id % 3 = 2 THEN CAST(16 AS INT) END AS bits
+    FROM documents WHERE doc_id < 3000
+    """,
+    doc="REAL multimodal header decode: genuine PNG/BMP/WAV container bytes "
+    "are synthesized per document (operators/multimodal.synth_*), then "
+    "parse_media_header extracts width/height/sample-rate from the raw bytes "
+    "inside the Arrow-batched mapInPandas kernel (decode_media_meta) — the "
+    "oracle predicts every field arithmetically, so a parser bug cannot "
+    "hash-match.  Map-only at any scale.",
+)
+def q_mm_header_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_media_meta, synth_bmp, synth_png, synth_wav
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 3000)
+    d = F.col("doc_id")
+    w, h = F.lit(64) + d % 512, F.lit(48) + d % 384
+    sr, ch = F.lit(8000) + (d % 8) * 4000, F.lit(1) + d % 2
+    media = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, synth_png(w, h))
+        .when(d % 3 == 1, synth_bmp(w, h))
+        .otherwise(synth_wav(sr, ch))
+        .alias("payload"),
+    )
+    return decode_media_meta(media, "doc_id", "payload")
 
 
 @register(
@@ -425,21 +462,23 @@ def q_mm_binary_stats(spark, sf_dir):
                 ELSE height END AS new_height
     FROM img
     """,
-    doc="Multimodal image resize: aspect-preserving fit into 224px computed "
-    "inside the mapInPandas batch a real PIL kernel would occupy "
-    "(operators/multimodal.resize_plan); the geometry is exact, so the "
-    "Arrow-batched Python stage hash-matches the SQL oracle.",
+    doc="Multimodal image resize: dimensions come from a REAL header decode "
+    "(synthesized PNG bytes -> decode_media_meta parses IHDR), then the "
+    "aspect-preserving fit into 224px is computed inside the mapInPandas "
+    "batch a PIL kernel would occupy (operators/multimodal.resize_plan); "
+    "the oracle derives the same dimensions arithmetically, so both the "
+    "parser and the geometry are checked.",
 )
 def q_mm_resize_plan(spark, sf_dir):
-    from ..operators.multimodal import resize_plan
+    from ..operators.multimodal import decode_media_meta, resize_plan, synth_png
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    d = F.col("doc_id")
     img = docs.select(
-        "doc_id",
-        (F.lit(64) + F.col("doc_id") % 512).cast("int").alias("width"),
-        (F.lit(48) + F.col("doc_id") % 384).cast("int").alias("height"),
+        "doc_id", synth_png(F.lit(64) + d % 512, F.lit(48) + d % 384).alias("payload")
     )
-    return resize_plan(img, "doc_id", "width", "height", max_side=224)
+    meta = decode_media_meta(img, "doc_id", "payload")
+    return resize_plan(meta, "id", "width", "height", max_side=224)
 
 
 @register(

@@ -101,9 +101,89 @@ def test_multimodal_plumbing(spark):
     assert m[1].modality == "image" and m[1].byte_len == 15 and len(m[1].sha256) == 64
     assert m[2].byte_len == 0
 
-    decoded = {r.id: r for r in decode_features(df, "id", "payload").collect()}
+    decoded = {r.id: r for r in decode_features(df, "id", "payload", kernel="fake").collect()}
     assert decoded[1].byte_len == 15 and decoded[1].feat_dim == 64
     assert decoded[1].feat_mean is not None and decoded[2].feat_mean is None
+
+    # pseudo-features must be requested explicitly — no silent fake kernel
+    import pytest
+
+    with pytest.raises(TypeError):
+        decode_features(df, "id", "payload")
+    with pytest.raises(ValueError):
+        decode_features(df, "id", "payload", kernel="pil")
+
+
+def _png(w, h):
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+
+
+def _wav(sr, ch, bits=16):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+    return b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+        + b"data" + struct.pack("<I", 0)
+
+
+def test_parse_media_header_real_formats():
+    """The header parser reads genuine container bytes — including ones
+    produced by other writers (struct-packed here), not just our synth_*."""
+    import struct
+
+    from etl_healthcare_spark.operators.multimodal import parse_media_header
+
+    assert parse_media_header(_png(640, 480)) == ("png", 640, 480, None, None, None)
+    assert parse_media_header(_wav(44100, 2)) == ("wav", None, None, 44100, 2, 16)
+    # BMP with negative (top-down) height normalizes to positive
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + struct.pack("<Iii", 40, 800, -600) \
+        + struct.pack("<HH", 1, 24) + b"\x00" * 24
+    assert parse_media_header(bmp) == ("bmp", 800, 600, None, None, None)
+    assert parse_media_header(b"GIF89a" + struct.pack("<HH", 320, 200)) == (
+        "gif", 320, 200, None, None, None,
+    )
+    # JPEG: SOI + APP0 skipped, SOF0 carries height/width big-endian
+    jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" \
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03"
+    assert parse_media_header(jpeg) == ("jpeg", 1920, 1080, None, None, None)
+    # WAV whose fmt chunk comes after a LIST chunk (chunk-walk, not fixed offset)
+    wav2 = b"RIFF" + struct.pack("<I", 50) + b"WAVE" + b"LIST" + struct.pack("<I", 4) + b"INFO" \
+        + b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    assert parse_media_header(wav2) == ("wav", None, None, 8000, 1, 16)
+    # malformed payloads degrade, never raise
+    for junk in (None, b"", b"BM", b"\x89PNG\r\n\x1a\n short", b"RIFFxxxxWAVE", b"\xff\xd8\xff"):
+        assert parse_media_header(junk)[0] == "unknown"
+
+
+def test_decode_media_meta_roundtrips_synth_payloads(spark):
+    """Spark-synthesized header bytes parse back to the exact metadata they
+    were built from — the end-to-end contract mm_header_decode hash-checks."""
+    from etl_healthcare_spark.operators.multimodal import (
+        decode_media_meta,
+        synth_bmp,
+        synth_png,
+        synth_wav,
+    )
+
+    base = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, synth_png(F.lit(123), F.lit(456)))
+        .when(F.col("doc_id") == 1, synth_bmp(F.lit(1920), F.lit(1080)))
+        .otherwise(synth_wav(F.lit(22050), F.lit(2)))
+        .alias("payload"),
+    )
+    rows = {r.id: r for r in decode_media_meta(media, "doc_id", "payload").collect()}
+    assert (rows[0].kind, rows[0].width, rows[0].height) == ("png", 123, 456)
+    assert (rows[1].kind, rows[1].width, rows[1].height) == ("bmp", 1920, 1080)
+    assert (rows[2].kind, rows[2].sample_rate, rows[2].channels, rows[2].bits) == ("wav", 22050, 2, 16)
+    # synth payloads are byte-exact canonical sizes
+    assert rows[0].byte_len == 33 and rows[1].byte_len == 54 and rows[2].byte_len == 44
 
 
 def test_multimodal_resize_and_frames(spark):

@@ -189,6 +189,7 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "text_",  # text analysis
         "sample_",  # sampling
         "curation_",  # curation funnel
+        "mm_",  # multimodal
         "g10_",  # pivot
         "sq_",  # subqueries
         "scalar_",  # scalar surface
