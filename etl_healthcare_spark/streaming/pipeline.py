@@ -32,16 +32,22 @@ from pyspark.sql.streaming import StreamingQuery
 MAX_RECEIVES = 5  # messaging-stack.ts:47
 RETRY_COL = "_retry_count"
 REASON_COL = "_reject_reason"
+QID_COL = "_q_id"  # unique per quarantined row — the redrive/delete key
 
 
 def quarantine_rejects(rejects: DataFrame, quarantine_dir: str) -> None:
     """Append reject rows (carrying REASON_COL) with an incremented retry
-    count — the DLQ analog with its receive counter."""
+    count and a unique quarantine id — the DLQ analog with its receive
+    counter and message id.  The id is what makes redrive exact: selection,
+    the redrive write, and the delete all key on it, so identical duplicate
+    payloads are distinct DLQ entries (as they are distinct SQS messages)."""
     out = rejects
     if RETRY_COL not in out.columns:
         out = out.withColumn(RETRY_COL, F.lit(1))
     else:
         out = out.withColumn(RETRY_COL, F.col(RETRY_COL) + 1)
+    if QID_COL not in out.columns:
+        out = out.withColumn(QID_COL, F.expr("uuid()"))
     out.write.mode("append").parquet(quarantine_dir)
 
 
@@ -54,23 +60,43 @@ def redrive_quarantine(
     """S10: move <=N quarantined rows back into a stage input dir (DLQ
     redrive, services/dlq-retry-api/src/handler.ts:44-72; clamp 1..100).
     Rows past MAX_RECEIVES are not redriven (they would immediately bounce).
-    Returns the number of rows redriven."""
+    Returns the number of rows redriven.
+
+    Exactness: the eligible subset is chosen by a DETERMINISTIC order
+    (oldest quarantine id first), materialized ONCE (localCheckpoint), and
+    removed from quarantine by an id-keyed filter against that materialized
+    set — never by re-evaluating the selection (an unordered limit() can
+    pick a different subset per scan) and never by an all-columns anti-join
+    (which deletes every identical duplicate while redriving one).  The
+    redrive write lands before the quarantine rewrite, so a crash between
+    the two leaves at-least-once delivery for the idempotent merge sink to
+    absorb, not message loss."""
+    from pyspark.errors import AnalysisException
+
     max_messages = max(1, min(100, max_messages))
     try:
         q = spark.read.parquet(quarantine_dir)
-    except Exception:
+    except AnalysisException:  # path-does-not-exist == empty DLQ; real IO errors bubble
         return 0
-    eligible = q.where(F.col(RETRY_COL) < MAX_RECEIVES).limit(max_messages)
-    rows = eligible.drop(REASON_COL).cache()
-    n = rows.count()
-    if n:
-        rows.write.mode("append").parquet(target_dir)
-        # remove redriven rows: rewrite quarantine without them (anti-join on
-        # all columns); at scale this is a Delta DELETE — parquet fallback
-        remaining = q.join(eligible, on=list(eligible.columns), how="left_anti")
-        remaining.localCheckpoint().write.mode("overwrite").parquet(quarantine_dir)
-    rows.unpersist()
-    return n
+    if QID_COL not in q.columns:
+        # legacy quarantine written without ids: stamp + materialize once so
+        # this run's selection and delete agree on them
+        q = q.withColumn(QID_COL, F.expr("uuid()")).localCheckpoint(eager=True)
+    eligible = (
+        q.where(F.col(RETRY_COL) < MAX_RECEIVES)
+        .orderBy(QID_COL)
+        .limit(max_messages)
+        .localCheckpoint(eager=True)
+    )
+    ids = [r[0] for r in eligible.select(QID_COL).collect()]  # <=100 rows by clamp
+    if not ids:
+        return 0
+    eligible.drop(REASON_COL, QID_COL).write.mode("append").parquet(target_dir)
+    # remove exactly the redriven ids: at scale this is a Delta DELETE WHERE
+    # id IN (...) — parquet fallback rewrites the (small) quarantine table
+    remaining = q.where(~F.col(QID_COL).isin(ids))
+    remaining.localCheckpoint().write.mode("overwrite").parquet(quarantine_dir)
+    return len(ids)
 
 
 def file_stream(

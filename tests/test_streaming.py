@@ -221,3 +221,24 @@ def test_interval_join_streams_bounds(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.click_id, r.purchase_id) for r in spark.table("ssj_test").collect()}
     assert got == {(1, 2)}
+
+
+def test_redrive_exact_with_identical_duplicate_payloads(spark, tmp_path):
+    """Two byte-identical quarantined payloads are distinct DLQ entries:
+    redriving one must leave the other parked (the all-columns anti-join bug
+    deleted both), and repeated redrives drain the queue exactly."""
+    from etl_healthcare_spark.streaming.pipeline import quarantine_rejects
+
+    quarantine = str(tmp_path / "dlq")
+    target = str(tmp_path / "in")
+    dup = _rows(spark, [_row("e1", 1.0)]).withColumn("_reject_reason", F.lit("x"))
+    quarantine_rejects(dup, quarantine)
+    quarantine_rejects(dup, quarantine)  # identical payload, separate message
+
+    assert redrive_quarantine(spark, quarantine, target, max_messages=1) == 1
+    assert spark.read.parquet(target).count() == 1
+    assert spark.read.parquet(quarantine).count() == 1  # the twin stays
+
+    assert redrive_quarantine(spark, quarantine, target, max_messages=1) == 1
+    assert spark.read.parquet(target).count() == 2
+    assert spark.read.parquet(quarantine).count() == 0
