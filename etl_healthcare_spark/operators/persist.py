@@ -99,13 +99,23 @@ class ParquetStateStore:
         self.keys = keys or MERGE_KEYS
 
     def exists(self) -> bool:
-        from py4j.protocol import Py4JJavaError  # noqa: F401
+        """True iff an initialized store exists at ``path``.
+
+        Only genuine absence maps to False: PATH_NOT_FOUND (never written) or
+        UNABLE_TO_INFER_SCHEMA (an empty directory).  Anything else — corrupt
+        footers, permission or transport failures — RAISES: treating a
+        damaged store as "absent" would make the next merge silently
+        re-initialize (and so destroy) it."""
+        from pyspark.errors import AnalysisException
 
         try:
             self.spark.read.parquet(self.path).limit(0).collect()
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+            if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return False
+            raise
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
@@ -146,7 +156,11 @@ class ParquetStateStore:
             .repartition("tenantId")
             .sortWithinPartitions("patientId", "effectiveDateTime")
             .write.mode("overwrite")
+            # per-write, NOT session-conf-dependent: under the default static
+            # mode this same overwrite would silently delete every non-batch
+            # tenant partition of the store
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("tenantId")
-            .parquet(self.path)  # dynamic partitionOverwriteMode: only batch tenants rewritten
+            .parquet(self.path)
         )
         return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))

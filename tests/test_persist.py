@@ -70,3 +70,79 @@ def test_within_batch_dedup_last_wins(spark, tmp_path):
     log = store.merge(b, updated_at=dt.datetime(2025, 1, 3))
     assert [(r.action, r.version) for r in log.collect()] == [("insert", 1)]
     assert store.read().collect()[0].value == 2.0
+
+
+def test_exists_raises_on_corrupt_store_instead_of_reinitializing(spark, tmp_path):
+    """A store with a corrupt file must RAISE from exists()/merge(), never
+    read as 'absent' — the absent path re-initializes (destroys) the store."""
+    import pytest
+
+    store_dir = tmp_path / "state"
+    store_dir.mkdir()
+    (store_dir / "part-00000.parquet").write_bytes(b"definitely not parquet bytes")
+    store = ParquetStateStore(spark, str(store_dir))
+    with pytest.raises(Exception) as ei:
+        store.exists()
+    assert "AnalysisException" not in type(ei.value).__name__  # bubbled raw, not swallowed
+    # absent and empty still read as uninitialized
+    assert ParquetStateStore(spark, str(tmp_path / "never_written")).exists() is False
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert ParquetStateStore(spark, str(empty)).exists() is False
+
+
+def test_merge_survives_static_partition_overwrite_session_conf(spark, tmp_path):
+    """The dynamic-overwrite guarantee must be per-write: with the session
+    conf forced to the (default) static mode, a 1-tenant merge must still
+    leave other tenants' partitions alive."""
+    t0 = dt.datetime(2025, 1, 1)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store.merge(
+        _batch(spark, [_row(tenant="t1", idk="k1"), _row(tenant="t2", idk="k1")]), updated_at=t0
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        store.merge(_batch(spark, [_row(tenant="t1", value=5.0, idk="k9")]), updated_at=t0)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    state = {r.tenantId: (r.value, r.version) for r in store.read().collect()}
+    assert state["t2"] == (1.0, 1), "static overwrite mode deleted the non-batch tenant"
+    assert state["t1"] == (5.0, 2)
+
+
+def test_merge_reads_and_rewrites_only_batch_tenant_partitions(spark, tmp_path):
+    """The 100 TB claim (SCALE.md §2) held as an assertion: merging one
+    tenant's batch into a multi-tenant store (a) partition-prunes the state
+    scan to that tenant and (b) leaves other tenants' files untouched on
+    disk (byte-identical, same mtime)."""
+    import io
+    import contextlib
+    import os
+
+    t0 = dt.datetime(2025, 1, 1)
+    path = str(tmp_path / "state")
+    store = ParquetStateStore(spark, path)
+    store.merge(
+        _batch(spark, [_row(tenant="t1", idk="k1"), _row(tenant="t2", idk="k1")]), updated_at=t0
+    )
+
+    def t2_files():
+        d = os.path.join(path, "tenantId=t2")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in sorted(os.listdir(d))}
+
+    before = t2_files()
+
+    # (a) read side: the state scan a merge performs prunes to batch tenants
+    state_scan = store.read().where(F.col("tenantId").isin(["t1"]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        state_scan.explain("formatted")
+    plan = buf.getvalue()
+    # (inputFiles() lists the relation pre-pruning, so the plan's
+    # PartitionFilters entry is the authoritative read-side evidence)
+    assert "PartitionFilters" in plan and "tenantId" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # (b) write side: a t1-only merge leaves t2's files byte-for-byte alone
+    store.merge(_batch(spark, [_row(tenant="t1", value=5.0, idk="k9")]), updated_at=t0)
+    assert t2_files() == before
