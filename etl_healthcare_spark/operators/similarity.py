@@ -64,6 +64,92 @@ def ann_topk(
     )
 
 
+def _lit_vec(v: list[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def assign_cells(df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment by cosine, ties to the
+    lowest cell id.  The centroid set is a tiny literal (nlist x dim), so
+    assignment is map-only — no shuffle, no join."""
+    v = F.col(vec_col).cast("array<double>")
+    scores = [cosine(v, _lit_vec(c)) for c in centroids]
+    pick = F.array_max(
+        F.array(*[F.struct(s.alias("s"), F.lit(-j).alias("nc")) for j, s in enumerate(scores)])
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), (-pick["nc"]).alias("cell")
+    )
+
+
+def ivf_cells(
+    df: DataFrame, vec_col: str, id_col: str, nlist: int = 8, iters: int = 2
+) -> list[list[float]]:
+    """Deterministic k-means-lite coarse quantizer: seeds = the ``nlist``
+    lowest-id vectors, then ``iters`` Lloyd rounds (map-only assignment, one
+    (cell, pos) shuffle for the means).  Each round fetches nlist x dim
+    doubles to the driver — O(small), like the hyperplane fetch.  At 100 TB
+    the cell id becomes a partition column written once (index build); probes
+    then prune to nprobe partitions."""
+    seeds = df.orderBy(id_col).limit(nlist).select(F.col(vec_col).cast("array<double>")).collect()
+    centroids = [list(r[0]) for r in seeds]
+    for _ in range(iters):
+        a = assign_cells(df, vec_col, id_col, centroids)
+        rows = (
+            a.select("cell", F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        ).collect()
+        got = {r.cell: list(r.centroid) for r in rows}
+        centroids = [got.get(j, centroids[j]) for j in range(nlist)]  # empty cell keeps its seed
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: k-means cells, probe the ``nprobe`` nearest cells to the
+    query, exact cosine top-k inside the probed cells only — per-query work
+    is ~corpus * nprobe/nlist.
+
+    Exactness gate: with ``nprobe == nlist`` the probe set covers every cell,
+    so the result MUST equal exact brute-force top-k for ANY data — that
+    configuration verifies the assignment/probe/score/union machinery against
+    the brute-force oracle (and is immune to float jitter in centroid means,
+    since membership no longer matters).  Partial probe is the scale path;
+    its recall depends on how clustered the corpus is (tested on planted
+    clusters in test_llm_ops)."""
+    import math
+
+    centroids = ivf_cells(df, vec_col, id_col, nlist, iters)
+
+    def cosp(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda j: (-cosp(query_vec, centroids[j]), j))
+    probed = order[: max(1, min(nprobe, len(centroids)))]
+    cand = assign_cells(df, vec_col, id_col, centroids).where(F.col("cell").isin(probed))
+    q = _lit_vec(query_vec)
+    return (
+        cand.select("id", cosine(F.col("vec").cast("array<double>"), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

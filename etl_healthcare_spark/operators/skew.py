@@ -15,6 +15,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_latest_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    salt_source: Column,
+    buckets: int = 32,
+) -> DataFrame:
+    """G6/Q3 (latest full row per group) with the hot-key story wired in:
+    ``max_by`` is algebraic, so the same two-level trick applies — per
+    (key, salt) partial max_by bounds any one reduce task at ~1/buckets of
+    the hottest key, then a tiny per-key rollup picks the global latest.
+    Output == queries.latest_per_group (bit-identical rows); only the
+    shuffle topology changes."""
+    cols = df.columns
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(buckets)).alias("_salt")
+    partial = (
+        df.select(*cols, salt)
+        .groupBy(*group_cols, "_salt")
+        .agg(F.max_by(F.struct(*cols), F.col(order_col)).alias("r"))
+    )
+    return (
+        partial.groupBy(*group_cols)
+        .agg(F.max_by(F.col("r"), F.col(f"r.{order_col}")).alias("r"))
+        .select("r.*")
+    )
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: list[str],

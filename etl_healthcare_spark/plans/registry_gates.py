@@ -393,47 +393,32 @@ def s10_dlq_redrive(spark, sf_dir):
 
 @register(
     "sim_ivf_topk",
-    sql=None,  # approximate by construction: rows-only
-    doc="IVF-style ANN: coarse quantizer = per-label centroid (posexplode + "
-    "grouped mean, one shuffle), probe the 2 nearest centroids, brute-force "
-    "cosine only inside the probed cells — the inverted-file layout that "
-    "keeps 100 TB ANN from scanning every vector.  Approximate by "
-    "construction, so rows-only.",
+    sql="""
+    SELECT vec_id AS id
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(
+      embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+      vec_id
+    LIMIT 10
+    """,
+    doc="IVF ANN with its exactness gate: deterministic k-means cells "
+    "(operators/similarity.ivf_cells), probe cells nearest the query, exact "
+    "cosine inside probed cells only.  Registered at nprobe == nlist, where "
+    "IVF must equal brute-force top-k for ANY data — the oracle is the exact "
+    "query, so the assignment/probe/score/union machinery is hash-verified "
+    "(testdata embeddings are isotropic: the true top-10 spans every cell, "
+    "so no partial probe can reach recall 1.0 here; partial-probe recall is "
+    "covered on planted clusters in test_llm_ops).  At 100 TB the cell id is "
+    "a partition column: probes prune to nprobe partitions.",
 )
 def sim_ivf_topk(spark, sf_dir):
+    from ..operators.similarity import ivf_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-    # centroids: mean per (label, dim) — scales as one shuffle on (label, pos)
-    pos = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-        return dot / (na * nb)
-
-    # probe: 2 nearest centroids to the query (tiny frame, broadcast both ways)
-    probed = (
-        cent.crossJoin(F.broadcast(q))
-        .select("label", cos(F.col("centroid").cast("array<double>"), F.col("qv").cast("array<double>")).alias("csim"))
-        .orderBy(F.desc("csim"), "label")
-        .limit(2)
-        .select("label")
-    )
-    cand = emb.join(F.broadcast(probed), "label").where(F.col("vec_id") != 0)
-    scored = cand.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        "label",
-        cos(F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")).alias("csim"),
-    )
-    return scored.orderBy(F.desc("csim"), "vec_id").limit(10)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    return ivf_topk(corpus, "embedding", "vec_id", qvec, nlist=8, nprobe=8, k=10).select("id")
 
 
 @register(
