@@ -33,6 +33,11 @@ HEADLINE = [
     "sim_topk_cosine",       # brute-force vector scan
     "text_stats",            # regex-heavy doc metrics
     "dedup_exact",           # content-hash groupBy
+    # round-2 additions (the shared 12 above stay cross-round comparable)
+    "g7c_tpch_q3",           # 3-way join + grouped agg + top-k
+    "g7d_tpch_q5",           # 6-way join with two broadcast dims
+    "sim_knn_join",          # batch k-NN: BNLJ + window group limit
+    "curation_e2e",          # gate -> exact dedup -> LSH keep-list -> decontam
 ]
 
 
