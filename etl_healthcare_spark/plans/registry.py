@@ -622,6 +622,7 @@ from . import registry_misc  # noqa: E402,F401
 from . import registry_gates  # noqa: E402,F401
 from . import registry_curation  # noqa: E402,F401
 from . import registry_tpch  # noqa: E402,F401
+from . import registry_tpch2  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
