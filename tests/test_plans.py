@@ -207,3 +207,31 @@ def test_ngram_jaccard_verifies_lsh_candidates_not_blocked_self_join(spark):
     # the LSH candidate list is materialized once (localCheckpoint -> RDD scan)
     # and joined to per-doc shingles — never a shingle-keyed self-join
     assert "ExistingRDD" in plan, "candidates must be the materialized LSH pair list"
+
+
+def test_tpch_q21_exists_notexists_are_semi_then_anti(spark):
+    plan = _plan(spark, "g7u_tpch_q21")
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join (one probe per l1 row)"
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as an anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_decorrelated_min_is_agg_plus_join(spark):
+    plan = _plan(spark, "g7j_tpch_q2")
+    assert "BroadcastHashJoin" in plan  # dims + the per-part min rejoin broadcast
+    assert "partial_min" in plan or "min(bal_cents" in plan  # the decorrelated aggregate
+    assert "TakeOrderedAndProject" in plan  # top-100 never a global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_left_outer_survives_with_infilter(spark):
+    plan = _plan(spark, "g7p_tpch_q13")
+    assert "LeftOuter" in plan, "the priority filter must stay in the join, not drop empty customers"
+    assert plan.count("HashAggregate") >= 4  # two logical aggregates, partial+final each
+
+
+def test_tpch_q11_global_threshold_is_broadcast_scalar(spark):
+    plan = _plan(spark, "g7n_tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
