@@ -269,3 +269,76 @@ def quality_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         reason.alias("reject_reason"),
         reason.isNull().alias("kept"),
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b word boundaries only.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\+\d[\d-]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Map-only PII scrub: e-mail / IPv4 / phone patterns replaced by typed
+    placeholders, with exact per-kind match counts (counted BEFORE
+    replacement, so overlapping classes report what each pattern saw).
+    Native regexp_replace/regexp_extract_all — no Python, no shuffle;
+    embarrassingly parallel at any corpus size."""
+    t = F.col(text_col)
+    counts = {
+        kind: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = t
+    for kind, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{kind}]")
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        counts["EMAIL"].alias("n_email"),
+        counts["IP"].alias("n_ip"),
+        counts["PHONE"].alias("n_phone"),
+    )
+
+
+def sentence_dup_stats(df: DataFrame, text_col: str, id_col: str, min_len: int = 20) -> DataFrame:
+    """Cross-document sentence-level dedup stats (the CCNet/Gopher boilerplate
+    signal): split to sentences, hash each, count how many of a document's
+    sentences appear in >= 2 documents.  Two shuffles total — one groupBy on
+    the sentence hash (corpus-wide frequency) and one per-doc rollup; the
+    frequency table joins back by hash.  dup_ppm is exact integer math."""
+    sent = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\.\s+")).alias("s"),
+    ).select("doc", F.trim(F.col("s")).alias("s")).where(F.length("s") >= min_len)
+    sent = sent.select("doc", F.sha2(F.col("s"), 256).alias("h")).distinct()
+    freq = sent.groupBy("h").agg(F.count_distinct("doc").alias("ndocs"))
+    per_doc = (
+        sent.join(freq, "h")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_duped"),
+        )
+        .withColumn("dup_ppm", F.expr("(1000000 * n_duped) div n_sentences"))
+    )
+    return per_doc
+
+
+def url_parts(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL decomposition with native regexp_extract (identical under Java and
+    RE2): scheme, host, path, and the registrable-domain-ish last two host
+    labels — the key a per-domain cap/dedup stage groups on.  Map-only."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    return df.select(
+        F.col(id_col),
+        F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+    )

@@ -768,3 +768,136 @@ def sim_knn_join(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_join(emb.where(F.col("vec_id") < 20), emb, "embedding", "vec_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / sentence-level dedup / URL decomposition (curation breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pii_redact",
+    sql=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' at 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                              '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             '\+\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+             AS n_email,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(t, '\+\d[\d-]{7,}\d')) AS n_phone
+    FROM seeded
+    """,
+    doc="PII redaction (curation gate): e-mail / IPv4 / phone patterns "
+    "replaced by typed placeholders with exact per-kind match counts — "
+    "deterministic PII is seeded per document so the redactor provably "
+    "fires; patterns restricted to the Java-regex/RE2 common subset; "
+    "map-only, no shuffle (operators/textops.redact_pii).",
+)
+def q_text_pii_redact(spark, sf_dir):
+    from ..operators.textops import redact_pii
+
+    d = F.col("doc_id")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com or +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."), (d % 256).cast("string"), F.lit("."), (d % 100).cast("string"),
+        ).alias("t"),
+    )
+    return redact_pii(seeded, "t", "doc_id")
+
+
+@register(
+    "dedup_sentence_level",
+    sql=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '. '
+               || CASE WHEN doc_id % 3 = 0
+                       THEN 'this boilerplate sentence appears in many documents. '
+                       ELSE '' END
+               || 'unique sentence identifier ' || doc_id || ' end' AS t
+      FROM documents
+    ),
+    sent AS (
+      SELECT DISTINCT doc_id AS doc, sha256(trim(s)) AS h
+      FROM seeded, unnest(string_split_regex(t, '\.\s+')) AS u(s)
+      WHERE len(trim(s)) >= 20
+    ),
+    freq AS (SELECT h, count(DISTINCT doc) AS ndocs FROM sent GROUP BY 1)
+    SELECT doc, count(*) AS n_sentences,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_duped,
+           CAST((1000000 * sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM sent JOIN freq USING (h)
+    GROUP BY 1
+    """,
+    doc="Cross-document sentence-level dedup stats (the CCNet/Gopher "
+    "boilerplate signal): sentences hashed corpus-wide, per-document duped "
+    "fraction as exact ppm.  A boilerplate sentence is planted in every "
+    "third document so the signal is non-vacuous; two shuffles total "
+    "(hash-frequency groupBy + per-doc rollup) at any corpus size "
+    "(operators/textops.sentence_dup_stats).",
+)
+def q_dedup_sentence_level(spark, sf_dir):
+    from ..operators.textops import sentence_dup_stats
+
+    d = F.col("doc_id")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40), F.lit(". "),
+            F.when(d % 3 == 0, F.lit("this boilerplate sentence appears in many documents. "))
+            .otherwise(F.lit("")),
+            F.lit("unique sentence identifier "), d.cast("string"), F.lit(" end"),
+        ).alias("t"),
+    )
+    return sentence_dup_stats(seeded, "t", "doc_id")
+
+
+@register(
+    "text_url_extract",
+    sql="""
+    WITH seeded AS (
+      SELECT doc_id,
+             'https://' || source || '.news.example.com/articles/' || doc_id
+               || '?ref=feed' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS domain
+    FROM seeded
+    """,
+    doc="URL decomposition for per-domain curation (caps, blocklists, "
+    "domain dedup keys): scheme/host/path/registrable-domain via "
+    "regexp_extract in the Java/RE2 common subset — map-only "
+    "(operators/textops.url_parts).",
+)
+def q_text_url_extract(spark, sf_dir):
+    from ..operators.textops import url_parts
+
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".news.example.com/articles/"),
+            F.col("doc_id").cast("string"), F.lit("?ref=feed"),
+        ).alias("url"),
+    )
+    return url_parts(seeded, "url", "doc_id")

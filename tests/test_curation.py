@@ -303,3 +303,53 @@ def test_knn_join_finds_planted_neighbors(spark):
         for r in knn_join(df.where("vec_id = 0"), df, "embedding", "vec_id", k=3).collect()
     }
     assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from etl_healthcare_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.smith+x@corp.example.org or +1-555-0011 from 10.0.0.7 please"),
+            (2, "nothing sensitive here at all, just words"),
+        ],
+        ["doc_id", "t"],
+    )
+    rows = {r.doc_id: r for r in redact_pii(df, "t", "doc_id").collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ip == 1 and rows[1].n_phone == 1
+    assert "[EMAIL]" in rows[1].redacted and "[IP]" in rows[1].redacted and "[PHONE]" in rows[1].redacted
+    assert "jo.smith" not in rows[1].redacted and "10.0.0.7" not in rows[1].redacted
+    assert rows[2].redacted == "nothing sensitive here at all, just words"
+    assert rows[2].n_email == rows[2].n_ip == rows[2].n_phone == 0
+
+
+def test_sentence_dup_stats_flags_boilerplate(spark):
+    from etl_healthcare_spark.operators.textops import sentence_dup_stats
+
+    boiler = "subscribe to our newsletter for daily updates"
+    df = spark.createDataFrame(
+        [
+            (1, f"the first unique sentence of doc one. {boiler}. closing remark unique to one"),
+            (2, f"a different opening sentence for doc two. {boiler}. final words unique to two"),
+            (3, "totally standalone document with one long sentence only"),
+        ],
+        ["doc_id", "t"],
+    )
+    rows = {r.doc: r for r in sentence_dup_stats(df, "t", "doc_id").collect()}
+    assert rows[1].n_sentences == 3 and rows[1].n_duped == 1
+    assert rows[2].n_duped == 1
+    assert rows[3].n_duped == 0 and rows[3].dup_ppm == 0
+    assert rows[1].dup_ppm == 1000000 // 3
+
+
+def test_url_parts_decomposes(spark):
+    from etl_healthcare_spark.operators.textops import url_parts
+
+    df = spark.createDataFrame(
+        [(1, "https://blog.sub.example.co/a/b/c?x=1#frag"), (2, "not a url at all")],
+        ["doc_id", "url"],
+    )
+    rows = {r.doc_id: r for r in url_parts(df, "url", "doc_id").collect()}
+    assert rows[1].scheme == "https" and rows[1].host == "blog.sub.example.co"
+    assert rows[1].path == "/a/b/c" and rows[1].domain == "example.co"
+    assert rows[2].host == "" and rows[2].domain == ""
