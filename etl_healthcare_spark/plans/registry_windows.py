@@ -311,3 +311,145 @@ def g11_median(spark, sf_dir):
         F.min("l_extendedprice").cast("double").alias("min_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "w7_interpolate",
+    sql="""
+    WITH src AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events WHERE user_id < 100
+    ),
+    ctx AS (
+      SELECT user_id, event_id, ts_us, v,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wp AS pt,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wn AS nt
+      FROM src
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + ((nv - pv) * CAST(ts_us - pt AS DOUBLE))
+                          / CAST(nt - pt AS DOUBLE)
+           END AS v_interp
+    FROM ctx
+    """,
+    doc="Linear-interpolation gap-fill (the numeric complement of w6's LOCF): "
+    "NULL runs replaced by the time-weighted line between the neighboring "
+    "observations — two mirrored ignoreNulls window passes over one "
+    "partition shuffle; leading/trailing gaps fall back to nearest "
+    "observation.  The interpolation expression is structured identically "
+    "in both engines (one multiply, one divide, one add on doubles), so "
+    "results are bit-exact.",
+)
+def w7_interpolate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(F.col("value")).alias("v"),
+    )
+    wp = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(W.currentRow, W.unboundedFollowing)
+    nn_ts = F.when(F.col("v").isNotNull(), F.col("ts_us"))
+    ctx = src.select(
+        "user_id", "event_id", "ts_us", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(nn_ts, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(nn_ts, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.col("pv") + (
+        (F.col("nv") - F.col("pv")) * (F.col("ts_us") - F.col("pt")).cast("double")
+    ) / (F.col("nt") - F.col("pt")).cast("double")
+    return ctx.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("v_interp"),
+    )
+
+
+@register(
+    "g13_sliding_window",
+    sql="""
+    WITH ks AS (SELECT unnest(generate_series(0, 1)) AS k),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS w_start,
+             event_type, value, ts
+      FROM events, ks
+      WHERE ts >= time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+        AND ts < time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+              + INTERVAL '2 minutes'
+    )
+    SELECT epoch_us(w_start) AS w_start_us, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) window aggregation: 2-minute windows every 1 "
+    "minute — each event lands in exactly two windows (Spark's window() "
+    "with a slide; the oracle expands the window membership explicitly).  "
+    "Decimal-exact sums; the same shape runs unchanged as a watermarked "
+    "streaming query.",
+)
+def g13_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,3)")).cast("double").alias("value_sum"),
+        )
+        .select(F.unix_micros("w.start").alias("w_start_us"), "event_type", "n", "value_sum")
+    )
+
+
+@register(
+    "u5_incremental_agg",
+    sql="""
+    SELECT user_id,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS BIGINT)
+             AS total_milli,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental aggregate maintenance: a materialized per-key partial "
+    "state (sum/count over the historical 80%) merged with a new delta "
+    "batch by RE-AGGREGATING PARTIALS — the algebraic-aggregate update that "
+    "avoids rescanning history at 100 TB.  The oracle recomputes from "
+    "scratch; matching hashes prove partial-merge == full recompute "
+    "(exact int64 milli-units make the equality safe).",
+)
+def u5_incremental_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    milli = (F.col("value").cast("decimal(18,3)") * 1000).cast("long")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.sum(milli).alias("total_milli"), F.count("*").alias("n")
+        )
+
+    state = partial(ev.where(F.col("event_id") % 5 < 4))   # the materialized history
+    delta = partial(ev.where(F.col("event_id") % 5 == 4))  # the incoming micro-batch
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("total_milli").alias("total_milli"), F.sum("n").alias("n"))
+    )
