@@ -342,7 +342,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    # seed labels with the ONE-HOP minimum (min of self and all neighbors)
+    # instead of self: near-dup clusters are near-cliques (LSH expands
+    # all-pairs inside a bucket), so for a clique this seed IS the fixpoint
+    # and the loop exits after a single confirming round — typically saving
+    # one full propagate round versus identity seeding.  Correctness is
+    # unchanged: labels stay >= the min-reachable fixpoint and monotonically
+    # non-increasing.
+    labels = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("lbl"))
+    )
     # labels are monotonically non-increasing, so sum(lbl) strictly decreases
     # until the fixpoint — an O(1)-output agg is the convergence test, no join
     prev_sum = None
