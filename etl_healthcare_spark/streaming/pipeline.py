@@ -150,13 +150,19 @@ def windowed_counters_stream(
     metric_col: str = "event_type",
     watermark: str = "10 minutes",
     window: str = "1 minute",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Streaming G1: watermarked tumbling-window counters — the [capability]
-    late-data extension of the health metrics (reference itself has no
-    watermarks, SURVEY §2.12)."""
+    """Streaming G1/G13: watermarked windowed counters — tumbling by default,
+    hopping when ``slide`` < ``window`` (each event then lands in
+    window/slide overlapping windows, exactly the batch g13_sliding_window
+    semantics).  State per open window is evicted once the watermark passes
+    its end, so memory is ~|open windows x metrics| regardless of stream
+    length.  The [capability] late-data extension of the health metrics
+    (the reference itself has no watermarks, SURVEY §2.12)."""
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(metric_col).alias("metric"))
+        .groupBy(win.alias("w"), F.col(metric_col).alias("metric"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
         .select(F.col("w.start").alias("minute"), "metric", "n", "value_sum")
     )

@@ -242,3 +242,41 @@ def test_redrive_exact_with_identical_duplicate_payloads(spark, tmp_path):
     assert redrive_quarantine(spark, quarantine, target, max_messages=1) == 1
     assert spark.read.parquet(target).count() == 2
     assert spark.read.parquet(quarantine).count() == 0
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """The hopping-window stream (2 min windows every 1 min) over a bounded
+    source must equal the batch sliding-window aggregation — every event in
+    exactly two windows, decimal-exact sums."""
+    src = str(tmp_path / "slide_src")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 1, 10), "click", 2.0),
+            (3, dt.datetime(2024, 1, 1, 0, 2, 45), "error", 4.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_counters_stream(stream, window="2 minutes", slide="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sws")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.minute, r.metric): (r.n, r.value_sum) for r in spark.table("sws").collect()}
+    batch = {
+        ((r_w := r["w"])["start"], r.event_type): (r.n, r.value_sum)
+        for r in events.groupBy(
+            F.window("ts", "2 minutes", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .collect()
+    }
+    assert got == batch
+    # each event contributes to exactly two windows
+    assert sum(n for n, _ in got.values()) == 2 * 3
