@@ -164,3 +164,46 @@ class ParquetStateStore:
             .parquet(self.path)
         )
         return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    partition_col: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Lake maintenance: rewrite a parquet dataset into ~target-sized files.
+
+    Small-files buildup is the classic failure mode of micro-batch sinks
+    (every trigger appends a file per partition; a year of 5-second triggers
+    is millions of tiny files whose open/footer cost dominates scans).
+    Compaction = one read, one repartition to ceil(rows/target) even chunks
+    (hash on a synthetic uniform key — never a key column, which would skew
+    chunk sizes), optional in-file sort to restore min/max-stat data
+    skipping, one atomic-ish overwrite.  Returns {files_before, files_after,
+    rows} so callers can log the effect; at 100 TB this runs per partition
+    (pass partition_col) so each rewrite touches one partition's files.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = len(df.inputFiles())
+    n_files = max(1, math.ceil(rows / max(1, target_rows_per_file)))
+    out = df.repartition(n_files, F.sha2(F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns]), 256))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    # write-then-swap: parquet cannot atomically overwrite the directory it
+    # is being read from, so the rewrite lands beside it and replaces it only
+    # after fully committing — a crash mid-compaction leaves the original
+    writer.parquet(path + ".compact_tmp")
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(path + ".compact_tmp", path)
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

@@ -146,3 +146,22 @@ def test_merge_reads_and_rewrites_only_batch_tenant_partitions(spark, tmp_path):
     # (b) write side: a t1-only merge leaves t2's files byte-for-byte alone
     store.merge(_batch(spark, [_row(tenant="t1", value=5.0, idk="k9")]), updated_at=t0)
     assert t2_files() == before
+
+
+def test_compact_small_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    """Micro-batch sinks accumulate tiny files; compaction must collapse them
+    to ~rows/target files with the data byte-identical as a multiset."""
+    from etl_healthcare_spark.operators.persist import compact_small_files
+
+    path = str(tmp_path / "lake")
+    # 20 single-row appends — the small-files pathology
+    for i in range(20):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    stats = compact_small_files(spark, path, target_rows_per_file=10)
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before and stats["rows"] == 20
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] == 2  # ceil(20/10)

@@ -144,3 +144,29 @@ def test_validation_first_failing_rule(spark, dtos):
     tagged = {r.i: r._reject_reason for r in tag_rejects(df, dto_rules()).collect()}
     for i, (p, c, v, u, has_ts, h) in enumerate(dtos):
         assert tagged[i] == _py_first_reject(p, c, v, u, has_ts, h), f"row {i}"
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=128))
+def test_parse_media_header_never_raises_on_arbitrary_bytes(payload):
+    """Fuzz: the header parser must degrade to 'unknown' (or parse), never
+    raise — it runs inside executor tasks where an exception fails the job."""
+    from etl_healthcare_spark.operators.multimodal import parse_media_header
+
+    kind, w, h, sr, ch, bits = parse_media_header(payload)
+    assert isinstance(kind, str)
+    for v in (w, h, sr, ch, bits):
+        assert v is None or isinstance(v, int)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.sampled_from([b"\x89PNG\r\n\x1a\n", b"BM", b"GIF89a", b"RIFF", b"\xff\xd8"]),
+)
+def test_parse_media_header_never_raises_on_truncated_magic(tail, magic):
+    """Fuzz the hard case: a valid magic followed by arbitrary bytes — every
+    length-check branch in the parser gets exercised."""
+    from etl_healthcare_spark.operators.multimodal import parse_media_header
+
+    parse_media_header(magic + tail)  # must not raise
