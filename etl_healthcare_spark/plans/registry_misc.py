@@ -195,6 +195,63 @@ def stream_g1_windowed(spark, sf_dir):
 
 
 @register(
+    "stream_g13_sliding",
+    sql="""
+    WITH ks AS (SELECT unnest(generate_series(0, 1)) AS k),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute' AS w_start,
+             event_type, value, ts
+      FROM events, ks
+      WHERE ts >= time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+        AND ts < time_bucket(INTERVAL '1 minute', ts) - k * INTERVAL '1 minute'
+              + INTERVAL '2 minutes'
+    )
+    SELECT epoch_us(w_start) AS w_start_us, event_type AS metric,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value_sum
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc="§2.12 streaming G13: hopping windows (2-minute windows every minute) "
+    "as a Structured Streaming job (file source, availableNow, complete "
+    "mode) — each event lands in exactly two open windows and the output "
+    "provably equals the batch sliding aggregation; watermark eviction "
+    "bounds state at |open windows x metrics|.",
+)
+def stream_g13_sliding(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import windowed_counters_stream
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_g13_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    agg = windowed_counters_stream(
+        stream.withColumn("value", F.col("value").cast("decimal(18,3)")),
+        watermark="10 minutes",
+        window="2 minutes",
+        slide="1 minute",
+    )
+    name = f"sg13_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.unix_micros("minute").alias("w_start_us"),
+        "metric",
+        "n",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
+@register(
     "u1b_store_merge_twice",
     sql=None,  # filesystem side effects: rows-only
     doc="U1 on disk: ParquetStateStore double-merge — batch 1 inserts, "
