@@ -235,3 +235,31 @@ def test_tpch_q11_global_threshold_is_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    """Whole-registry plan hygiene: no query may plan a CartesianProduct
+    (unbounded pair blowup) or BatchEvalPython (row-at-a-time Python UDF —
+    the non-Arrow slow path).  Arrow-batched Python (mapInPandas) is allowed
+    only where declared: the multimodal decode kernels.  Queries with side
+    effects (tempdir streams, state stores) execute eagerly, so only
+    pure-plan queries are audited — that still covers the whole analytic
+    surface."""
+    SIDE_EFFECTING = {
+        "stream_g1_windowed", "stream_g13_sliding", "stream_dedup", "stream_stream_join",
+        "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
+        "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
+        "p8_format_routing", "u1_idempotent_merge",
+    }
+    ARROW_OK = {"mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample"}
+    audited = 0
+    for name in REGISTRY:
+        if name in SIDE_EFFECTING:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            assert name in ARROW_OK, f"{name} uses Python outside the declared kernels"
+        audited += 1
+    assert audited >= 115
