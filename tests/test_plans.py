@@ -263,3 +263,25 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
             assert name in ARROW_OK, f"{name} uses Python outside the declared kernels"
         audited += 1
     assert audited >= 115
+
+
+def test_key_plan_shapes_stable_at_sf01(spark):
+    """The plan guarantees must hold at the largest local SF too — a shape
+    that silently degrades when statistics grow 100x is exactly the bug the
+    100 TB lens cares about."""
+    def plan_at(name, sf):
+        df = REGISTRY[name].fn(spark, f"/root/testdata/{sf}")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan_at("j6_star_join", "sf0.1")
+    assert "SortMergeJoin" not in p and p.count("BroadcastHashJoin") >= 5
+    p = plan_at("g7c_tpch_q3", "sf0.1")
+    assert "TakeOrderedAndProject" in p and "CartesianProduct" not in p
+    p = plan_at("o2_topk", "sf0.1")
+    assert "TakeOrderedAndProject" in p
+    p = plan_at("g7_tpch_q1", "sf0.1")
+    m = re.search(r"PushedFilters: \[(.*?)\]", p)
+    assert m and "l_shipdate" in m.group(1)
