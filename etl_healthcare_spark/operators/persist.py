@@ -207,3 +207,118 @@ def compact_small_files(
     shutil.move(path + ".compact_tmp", path)
     files_after = len(spark.read.parquet(path).inputFiles())
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+class SnapshotStateStore(ParquetStateStore):
+    """ParquetStateStore with ATOMIC commits and time travel — the native
+    stand-in for a Delta/Iceberg table when neither is on the cluster.
+
+    Layout::
+
+        <path>/v00000001/...parquet     immutable snapshot directories
+        <path>/v00000002/...parquet
+        <path>/_current                 tiny pointer file naming the live one
+
+    A merge writes the ENTIRE next snapshot beside the live one, then
+    replaces the pointer via write-temp + os.replace (atomic on POSIX).
+    Readers resolve the pointer once per read, so they always see a complete
+    snapshot: a crash mid-write leaves a dangling (unreferenced) directory,
+    never a half-visible table — the parquet dynamic-overwrite path cannot
+    make that guarantee.  Old snapshots stay readable (``read(version=n)``)
+    until ``vacuum(keep_last=...)`` drops them.
+
+    Trade-off vs the partition-overwrite store: commits are whole-table
+    copies, so this fits dimension/state tables (the reference's serving
+    store) rather than append-heavy facts; at fact scale the same pointer
+    discipline is applied per partition (or by a real Delta/Iceberg commit
+    log, whose MERGE INTO this merge() maps onto 1:1).
+    """
+
+    POINTER = "_current"
+
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, self.POINTER)
+
+    def current_version(self) -> int:
+        """0 = uninitialized; pointer file holds the live snapshot number."""
+        import os
+
+        try:
+            with open(self._pointer_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+        except ValueError as e:
+            raise RuntimeError(f"corrupt snapshot pointer at {self._pointer_path()}") from e
+
+    def _snap_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"v{version:08d}")
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v <= 0:
+            raise ValueError(f"no snapshot at {self.path}")
+        return self.spark.read.parquet(self._snap_dir(v))
+
+    def versions(self) -> list[int]:
+        import os
+        import re as _re
+
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(m.group(1))
+            for d in os.listdir(self.path)
+            if (m := _re.fullmatch(r"v(\d{8})", d))
+        )
+
+    def merge(self, batch: DataFrame, updated_at, order_col: str = "effectiveDateTime") -> DataFrame:
+        """U1+U2+U3 with snapshot isolation: same merge semantics as the
+        parent, but committed as next-snapshot-then-pointer-flip."""
+        import os
+        import tempfile
+
+        batch = dedup_batch(batch, order_col=order_col, keys=self.keys)
+        v = self.current_version()
+        if v == 0:
+            state = (
+                self.spark.createDataFrame([], batch.schema)
+                .withColumn("version", F.lit(1).cast("long"))
+                .withColumn("updatedAt", F.lit(updated_at).cast("timestamp"))
+            )
+        else:
+            state = self.read()
+        merged = merge_frames(state, batch, updated_at, keys=self.keys).localCheckpoint()
+        (
+            merged.drop(ACTION_COL)
+            .repartition("tenantId")
+            .sortWithinPartitions("patientId", "effectiveDateTime")
+            .write.mode("overwrite")
+            .parquet(self._snap_dir(v + 1))
+        )
+        # atomic pointer flip: readers see v fully, then v+1 fully — never a mix
+        os.makedirs(self.path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._current.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v + 1))
+        os.replace(tmp, self._pointer_path())
+        return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop snapshots older than the newest ``keep_last``; never the live
+        one.  Returns the dropped version numbers."""
+        import shutil
+
+        live = self.current_version()
+        vs = self.versions()
+        drop = [x for x in vs[:-keep_last] if x != live] if keep_last > 0 else []
+        for x in drop:
+            shutil.rmtree(self._snap_dir(x), ignore_errors=True)
+        return drop

@@ -165,3 +165,44 @@ def test_compact_small_files_reduces_file_count_preserving_rows(spark, tmp_path)
     assert after == before and stats["rows"] == 20
     assert stats["files_before"] >= 20
     assert stats["files_after"] == 2  # ceil(20/10)
+
+
+def test_snapshot_store_atomic_commits_and_time_travel(spark, tmp_path):
+    """SnapshotStateStore: same merge semantics as the parquet store, plus
+    (a) a reader holding the old pointer keeps a complete consistent view
+    while a merge commits, (b) time travel to any retained snapshot,
+    (c) vacuum drops old snapshots but never the live one."""
+    from etl_healthcare_spark.operators.persist import SnapshotStateStore
+
+    t0 = dt.datetime(2025, 1, 1)
+    store = SnapshotStateStore(spark, str(tmp_path / "snap"))
+    assert store.exists() is False
+
+    log1 = store.merge(_batch(spark, [_row(value=1.0, idk="k1")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log1.collect()] == [("insert", 1)]
+    assert store.current_version() == 1
+
+    # a reader resolved BEFORE the next commit keeps its full old snapshot
+    old_reader = store.read(version=1)
+    log2 = store.merge(_batch(spark, [_row(value=7.0, idk="k2")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log2.collect()] == [("update", 2)]
+    assert store.current_version() == 2
+    assert old_reader.collect()[0].value == 1.0          # snapshot isolation
+    assert store.read().collect()[0].value == 7.0        # live view
+    assert store.read(version=1).collect()[0].value == 1.0  # time travel
+
+    # idempotent retry on the snapshot path too
+    log3 = store.merge(_batch(spark, [_row(value=99.0, idk="k2")]), updated_at=t0)
+    assert [(r.action, r.version) for r in log3.collect()] == [("noop", 2)]
+    assert store.versions() == [1, 2, 3]
+
+    dropped = store.vacuum(keep_last=1)
+    assert dropped == [1, 2] and store.versions() == [3]
+    assert store.read().collect()[0].value == 7.0
+
+    # corrupt pointer raises rather than silently re-initializing
+    import pytest
+
+    (tmp_path / "snap" / "_current").write_text("not-a-number")
+    with pytest.raises(RuntimeError):
+        store.current_version()
