@@ -21,23 +21,29 @@ def salted_latest_per_group(
     order_col: str,
     salt_source: Column,
     buckets: int = 32,
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """G6/Q3 (latest full row per group) with the hot-key story wired in:
     ``max_by`` is algebraic, so the same two-level trick applies — per
     (key, salt) partial max_by bounds any one reduce task at ~1/buckets of
     the hottest key, then a tiny per-key rollup picks the global latest.
     Output == queries.latest_per_group (bit-identical rows); only the
-    shuffle topology changes."""
+    shuffle topology changes.  ``tiebreak`` columns make the pick total
+    under order-col ties (essential here: without one, the partial and
+    rollup levels could legitimately pick DIFFERENT tied rows)."""
     cols = df.columns
+    tb = tiebreak or []
     salt = F.pmod(F.xxhash64(salt_source), F.lit(buckets)).alias("_salt")
+    key = F.struct(F.col(order_col), *[F.col(c) for c in tb])
     partial = (
         df.select(*cols, salt)
         .groupBy(*group_cols, "_salt")
-        .agg(F.max_by(F.struct(*cols), F.col(order_col)).alias("r"))
+        .agg(F.max_by(F.struct(*cols), key).alias("r"))
     )
+    rollup_key = F.struct(F.col(f"r.{order_col}"), *[F.col(f"r.{c}") for c in tb])
     return (
         partial.groupBy(*group_cols)
-        .agg(F.max_by(F.col("r"), F.col(f"r.{order_col}")).alias("r"))
+        .agg(F.max_by(F.col("r"), rollup_key).alias("r"))
         .select("r.*")
     )
 

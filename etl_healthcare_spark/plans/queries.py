@@ -69,13 +69,21 @@ def latest_observation(obs: DataFrame, tenant_id: str, patient_id: str, code: st
     )
 
 
-def latest_per_group(obs: DataFrame, group_cols: list[str], order_col: str = "effectiveDateTime") -> DataFrame:
+def latest_per_group(
+    obs: DataFrame,
+    group_cols: list[str],
+    order_col: str = "effectiveDateTime",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
     """G6 generalized: newest full row per group via max_by (beats the
-    row_number window at scale — partial aggregation map-side, no sort)."""
+    row_number window at scale — partial aggregation map-side, no sort).
+    Pass ``tiebreak`` columns to make the pick total under order-col ties
+    (max_by alone is free to return any tied row)."""
     cols = obs.columns
+    key = F.struct(F.col(order_col), *[F.col(c) for c in (tiebreak or [])])
     return (
         obs.groupBy(*group_cols)
-        .agg(F.max_by(F.struct(*cols), F.col(order_col)).alias("r"))
+        .agg(F.max_by(F.struct(*cols), key).alias("r"))
         .select("r.*")
     )
 

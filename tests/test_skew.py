@@ -74,3 +74,18 @@ def test_salted_latest_per_group_wires_q3_shape(spark):
         for r in salted_latest_per_group(df, ["tenantId", "code"], "ts", F.col("event_id"), BUCKETS).collect()
     }
     assert salted == plain and len(salted) == 51 * 97
+
+
+def test_salted_latest_total_under_ties(spark):
+    """With duplicate timestamps in a group, the tiebreak column must make
+    both the plain and salted variants pick the SAME row deterministically."""
+    rows = [("t1", 1, i, float(i), "2024-01-01 00:00:00") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "tenantId string, code int, event_id long, value double, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    plain = latest_per_group(df, ["tenantId", "code"], "ts", tiebreak=["event_id"]).collect()
+    salted = salted_latest_per_group(
+        df, ["tenantId", "code"], "ts", F.col("event_id"), BUCKETS, tiebreak=["event_id"]
+    ).collect()
+    assert len(plain) == 1 and len(salted) == 1
+    assert plain[0].event_id == 49 and salted[0].event_id == 49
