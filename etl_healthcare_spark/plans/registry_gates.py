@@ -418,7 +418,7 @@ def sim_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     corpus = emb.where(F.col("vec_id") != 0)
-    return ivf_topk(corpus, "embedding", "vec_id", qvec, nlist=8, nprobe=8, k=10).select("id")
+    return ivf_topk(corpus, "embedding", "vec_id", qvec, nlist=8, nprobe=8, k=10, iters=1).select("id")
 
 
 @register(
