@@ -1,0 +1,89 @@
+"""Statistical anomaly flagging (z-score outliers) with EXACT integer
+arithmetic (north-star analytics layer; reference analog is the threshold
+alarm G3, services/metrics/src/alarms.ts:30-52, generalized from a fixed
+threshold to a distribution-relative one).
+
+The naive form  (v - mean)/stddev > z  is float math whose accumulation
+order differs per engine.  Cross-multiplying removes every division and
+square root: with per-group  n, s = sum(v), q = sum(v^2)  in int64 cents,
+
+    z^2 > Z^2   <=>   (n*v - s)^2 * (n - 1)  >  Z^2 * n * (n*q - s^2)
+
+— all integer products, evaluated in decimal(38,0) (Spark) / HUGEINT
+(DuckDB), so the flag decision is bit-for-bit identical on any engine, with
+no boundary jitter ever.
+
+Scale shape: one partial-aggregated shuffle over the group key for (n, s, q)
+— the moment sketch is tiny and mergeable — then the flagging pass is a
+broadcast join + map-only predicate.  The decimal headroom holds to ~10^12
+rows per group x 10^6 cents; past that, pre-aggregate per partition or step
+down to double with an epsilon band (documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(c: Column) -> Column:
+    """Exact int64 cents via the repo-wide decimal(18,2) convention."""
+    return (c.cast("decimal(18,2)") * 100).cast("long")
+
+
+def group_moments(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, n, s, q): count, sum and sum-of-squares of cents — the exact,
+    mergeable 2nd-moment sketch."""
+    v = _cents(F.col(value_col))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+
+
+def zscore_flags(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, z: int = 3
+) -> DataFrame:
+    """Rows whose value exceeds the group mean by more than ``z`` sample
+    standard deviations (one-sided, the fraud/spike direction).
+
+    Exact decision: (n*v - s) > 0  AND  (n*v-s)^2 * (n-1) > z^2 * n * (n*q - s^2).
+    """
+    moments = group_moments(df, group_col, value_col)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = _cents(F.col(value_col))
+    joined = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp"), v.alias("v_cents")
+    ).join(F.broadcast(moments), "grp")
+    dev = dec(F.col("n") * F.col("v_cents") - F.col("s"))
+    lhs = dev * dev * dec(F.col("n") - 1)
+    rhs = dec(F.lit(z * z) * F.col("n")) * dec(F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return joined.where((F.col("n") > 1) & (dev > 0) & (lhs > rhs)).select(
+        "grp", "id", "v_cents", "n"
+    )
+
+
+def zscore_oracle_sql(
+    table: str, group_col: str, value_col: str, id_col: str, z: int = 3
+) -> str:
+    """DuckDB twin: identical cents quantization and HUGEINT cross-multiply."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM {table}
+    ),
+    m AS (
+      SELECT grp, count(*) AS n, sum(v) AS s, sum(v * v) AS q
+      FROM src GROUP BY grp
+    )
+    SELECT src.grp, src.id, src.v AS v_cents, m.n
+    FROM src JOIN m USING (grp)
+    WHERE m.n > 1
+      AND (m.n * src.v - m.s) > 0
+      AND CAST(m.n * src.v - m.s AS HUGEINT) * CAST(m.n * src.v - m.s AS HUGEINT)
+            * CAST(m.n - 1 AS HUGEINT)
+          > CAST({z * z} AS HUGEINT) * CAST(m.n AS HUGEINT)
+            * CAST(m.n * m.q - m.s * m.s AS HUGEINT)
+    """

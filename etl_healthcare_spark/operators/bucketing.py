@@ -33,3 +33,45 @@ def write_bucketed(
     w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
     w = w.sortBy(*(sort_cols or bucket_cols))
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional data clustering
+# ---------------------------------------------------------------------------
+#
+# A table range-partitioned/sorted on ONE key prunes scans on that key only.
+# Interleaving the bits of two keys into a single Morton code and sorting on
+# it co-locates rows that are close in BOTH dimensions, so min/max footer
+# stats prune scans filtered on either key (the Delta/Iceberg OPTIMIZE ZORDER
+# idea, reproduced as a plain column expression + sortWithinPartitions —
+# no table format required).  Pure integer bit math: engine-independent.
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def morton_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Interleave the low `bits` of x (even positions) and y (odd): an exact
+    int64 Z-curve index, as a fixed fold of shift/and/or ops."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def morton_key_sql(x: str, y: str, bits: int = 10) -> str:
+    """The DuckDB twin expression of morton_key (same shifts, same sum)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}::BIGINT >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y}::BIGINT >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 10) -> DataFrame:
+    """Attach the z-value and return the frame sorted for writing: repartition
+    by z-range then sort within partitions — each output file then covers a
+    tight (x, y) rectangle, giving footer-stat pruning on both columns."""
+    z = df.withColumn("zvalue", morton_key(F.col(x_col), F.col(y_col), bits))
+    return z.repartitionByRange(F.col("zvalue")).sortWithinPartitions("zvalue")

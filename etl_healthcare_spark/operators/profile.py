@@ -1,0 +1,61 @@
+"""Dataset profiling: per-column quality stats in ONE pass over the table —
+the first thing a data engineer runs against a new 100 TB drop (north-star
+LLM-pipeline layer; reference analog is the per-batch counters the validate
+stage emits, services/validate/handler.ts:41-66, generalized to columns).
+
+Shape: a single wide aggregate computes every (column x metric) cell, then a
+`stack` unpivots driver-side constants into the long format — so the table is
+scanned ONCE regardless of how many columns are profiled.  The one caveat is
+exact `count(distinct)` over multiple columns: Catalyst plans k distinct
+aggregates as an Expand (k x row multiplier) before the partial aggregate.
+That is the honest cost of EXACT profiling; the sketch-based alternative
+(operators/sketch.py hll_distinct) profiles distincts in one non-expanded
+pass at ~6.5% error, and SCALE.md documents when to switch.
+
+min/max are emitted as strings so heterogeneous columns share one schema;
+only integer/string columns are profiled (float formatting is not
+cross-engine-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format profile: (column, n_rows, n_null, n_distinct, min_s, max_s)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [f"'{c}'", f"_null_{c}", f"_nd_{c}", f"_min_{c}", f"_max_{c}"]
+    long = wide.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS (column_name, n_null, n_distinct, min_s, max_s)"
+        ),
+    )
+    return long.select("column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+def profile_oracle_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin: one UNION ALL branch per column (the oracle does not need
+    to be one-pass — only to agree)."""
+    branches = [
+        f"""
+    SELECT '{c}' AS column_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+    FROM {table}"""
+        for c in cols
+    ]
+    return "\n    UNION ALL".join(branches)

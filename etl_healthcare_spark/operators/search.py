@@ -1,0 +1,122 @@
+"""Full-text relevance search (BM25-family) over the documents corpus
+(north-star LLM-pipeline layer, SURVEY §7.1 step 10; no reference analog —
+the reference's closest surface is the admin listing filter,
+services/api-query/src/handler.ts:64-108, which is exact-match only).
+
+Scale shape: scoring a fixed query against N docs is ONE map-only pass over
+the corpus (per-doc term frequencies come from the already-materialized token
+array — no explode, no posting-list shuffle) plus one O(1)-row corpus-stats
+aggregate that broadcasts back.  At 100 TB this is scan-bound and
+embarrassingly parallel; the only shuffle is the final top-k, which
+TakeOrderedAndProject reduces to per-partition heaps + a driver merge.
+
+Determinism: the classic BM25 idf is ln((N-df+.5)/(df+.5)); `ln` is libm-
+dependent and NOT guaranteed bit-identical across engines, so we use the
+ln-free rational idf  (2N-2df+1)/(2df+1)  — the same argument ratio without
+the log (monotone in the standard idf, always positive).  Every factor is an
+exact int64 ratio evaluated as ONE IEEE-754 double division, products are
+single IEEE multiplications, and the per-term partial scores are summed in a
+fixed left-associated order — bit-identical in any IEEE-754 engine, so the
+oracle hash-compares raw double scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# BM25 constants k1=1.2, b=0.75 as exact rationals: with dl/avgdl = dl*N/L,
+#   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))  ==  22*L*tf / (10*L*tf + 3*L + 9*dl*N)
+# (multiply through by 10*L; 22 = 10*(k1+1), 10*k1*(1-b) = 3, 10*k1*b = 9).
+
+
+def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document BM25 score for a fixed bag of query terms.
+
+    Returns (id, dl, tf_<term>..., score) — callers top-k or threshold it.
+    """
+    def eq_term(term: str):
+        # single-parameter closure (a defaulted 2nd param would make Spark
+        # bind it to the array index — see functions/text.py NOTE)
+        def f(x):
+            return x == F.lit(term)
+
+        return f
+
+    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    base = toks.select(
+        "id",
+        F.size("t").alias("dl"),
+        *[F.size(F.filter("t", eq_term(term))).alias(f"tf{i}") for i, term in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("l"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}") for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        idf = ((2 * F.col("n") - 2 * F.col(f"df{i}") + 1).cast("double")) / (
+            (2 * F.col(f"df{i}") + 1).cast("double")
+        )
+        tf = F.col(f"tf{i}")
+        tfn = (22 * F.col("l") * tf).cast("double") / (
+            (10 * F.col("l") * tf + 3 * F.col("l") + 9 * F.col("dl") * F.col("n")).cast("double")
+        )
+        return idf * tfn
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)  # fixed left-associated sum order
+    return scored.select("id", "dl", *[f"tf{i}" for i in range(len(terms))], score.alias("score"))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10, **kw) -> DataFrame:
+    """Top-k BM25 hits (docs matching >=1 term), total order via (score desc, id)."""
+    s = bm25_scores(docs, terms, **kw)
+    return (
+        s.where(s["score"] > 0)
+        .select("id", "score")
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(terms: list[str], k: int = 10, src: str = "documents") -> str:
+    """The DuckDB twin of bm25_topk — identical arithmetic, identical
+    association order, so raw double scores hash-compare."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(terms))
+    )
+    term_exprs = [
+        f"(CAST(2*n - 2*df{i} + 1 AS DOUBLE) / CAST(2*df{i} + 1 AS DOUBLE))"
+        f" * (CAST(22*l*tf{i} AS DOUBLE) / CAST(10*l*tf{i} + 3*l + 9*dl*n AS DOUBLE))"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(term_exprs)  # SQL + is left-associative: same order
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    base AS (
+      SELECT id, len(t) AS dl,
+             {tf_cols}
+      FROM toks
+    ),
+    stats AS (
+      SELECT count(*) AS n, sum(dl) AS l,
+             {df_cols}
+      FROM base
+    ),
+    scored AS (
+      SELECT id, {score} AS score FROM base, stats
+    )
+    SELECT id, score FROM scored WHERE score > 0
+    ORDER BY score DESC, id LIMIT {k}
+    """

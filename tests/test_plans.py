@@ -285,3 +285,36 @@ def test_key_plan_shapes_stable_at_sf01(spark):
     p = plan_at("g7_tpch_q1", "sf0.1")
     m = re.search(r"PushedFilters: \[(.*?)\]", p)
     assert m and "l_shipdate" in m.group(1)
+
+
+def test_bm25_is_map_pass_plus_takeordered(spark):
+    """BM25: no posting-list shuffle — the only hash exchange would betray an
+    explode+groupBy shape; stats ride a 1-row broadcast, top-k is a heap."""
+    plan = _plan(spark, "search_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan, "tf must come from the token array, not a shuffle"
+    assert "BatchEvalPython" not in plan
+
+
+def test_anomaly_flags_broadcast_moments(spark):
+    """Z-score flagging: one shuffle for the moment sketch, broadcast back."""
+    plan = _plan(spark, "anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffle (the moment-sketch aggregate); broadcasts excluded
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)) == 1
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key adds zero exchanges beyond the final top-k heap."""
+    plan = _plan(spark, "layout_zorder")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Assignment must broadcast the k centroid rows (BNLJ against the
+    corpus), never shuffle the corpus against them."""
+    plan = _plan(spark, "cluster_kmeans")
+    # one BNLJ per assignment pass (tree + detail sections each mention it)
+    assert len(re.findall(r"BroadcastNestedLoopJoin[^\n]*\(\d+\)", plan)) == 2
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan

@@ -1,0 +1,205 @@
+"""Scale-analytics operators: BM25 ranks planted relevance, profiling counts
+exactly, HLL lands within its error bound and merges by MAX, int8 k-means
+recovers planted clusters, z-score flags planted spikes, Morton keys
+interleave correctly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.anomaly import zscore_flags
+from etl_healthcare_spark.operators.bucketing import morton_key
+from etl_healthcare_spark.operators.clustering import kmeans_int8
+from etl_healthcare_spark.operators.profile import profile_columns
+from etl_healthcare_spark.operators.search import bm25_topk
+from etl_healthcare_spark.operators.sketch import hll_distinct, hll_estimate, hll_registers
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),        # dense in the query term
+            (2, "spark appears once here with lots of other words padding it out"),
+            (3, "no relevant content at all"),
+            (4, "spark shuffle spark"),              # dense + short
+        ],
+        ["doc_id", "text"],
+    )
+    hits = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r.id for r in hits]
+    assert 3 not in ids  # no match -> no hit
+    assert ids[0] in (1, 4)  # term-dense short docs outrank the padded one
+    assert ids.index(2) == len(ids) - 1
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # "rare" appears in 1 of 4 docs, "common" in all: a doc matching only
+    # "rare" must outscore a doc matching only "common" (idf dominance)
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common alpha beta"),
+            (3, "common gamma delta"),
+            (4, "common epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    scores = {r.id: r.score for r in bm25_topk(docs, ["rare", "common"], k=10).collect()}
+    assert scores[1] > scores[2]
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], ["k", "s"]
+    )
+    prof = {r.column_name: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"].n_rows == 4
+    assert prof["k"].n_null == 1 and prof["k"].n_distinct == 2
+    assert prof["k"].min_s == "1" and prof["k"].max_s == "2"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_s == "a" and prof["s"].max_s == "b"
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5000
+    df = spark.range(n).select(F.lit("g").alias("grp"), F.col("id").alias("item"))
+    row = hll_distinct(df, "grp", "item").collect()[0]
+    # m=256 -> standard error 6.5%; allow 4 sigma
+    assert abs(row.hll_estimate - n) / n < 0.26
+    assert row.used_registers <= 256
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sharded registers combined by MAX == registers of the union — the
+    property that makes the sketch a distributed one-pass aggregate."""
+    a = spark.range(0, 3000).select(F.lit("g").alias("grp"), F.col("id").alias("item"))
+    b = spark.range(2000, 6000).select(F.lit("g").alias("grp"), F.col("id").alias("item"))
+    merged = (
+        hll_registers(a, "grp", "item")
+        .union(hll_registers(b, "grp", "item"))
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("rank"))
+    )
+    direct = hll_registers(a.union(b), "grp", "item")
+    est_merged = hll_estimate(merged).collect()[0]
+    est_direct = hll_estimate(direct).collect()[0]
+    assert est_merged.s_scaled == est_direct.s_scaled
+    assert est_merged.hll_estimate == est_direct.hll_estimate
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    once = spark.range(500).select(F.lit("g").alias("grp"), F.col("id").alias("item"))
+    thrice = once.union(once).union(once)
+    assert (
+        hll_distinct(once, "grp", "item").collect()[0].s_scaled
+        == hll_distinct(thrice, "grp", "item").collect()[0].s_scaled
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # two tight blobs in 4-d; k=2 must split them exactly
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(10 + i % 3), 10.0, 0.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 0.0, float(10 + i % 3), 10.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    assigned = kmeans_int8(df, "embedding", "vec_id", k=2, rounds=2).collect()
+    clusters = {r.id: r.cluster for r in assigned}
+    blob1 = {clusters[i] for i in range(10)}
+    blob2 = {clusters[i] for i in range(10, 20)}
+    assert len(blob1) == 1 and len(blob2) == 1 and blob1 != blob2
+
+
+def test_kmeans_is_deterministic(spark):
+    df = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.conv(F.substring(F.sha2(F.concat_ws(":", F.col("id").cast("string"), i.cast("string")), 256), 1, 4), 16, 10).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    r1 = sorted((r.id, r.cluster, r.dist2) for r in kmeans_int8(df, "embedding", "vec_id", k=4).collect())
+    r2 = sorted((r.id, r.cluster, r.dist2) for r in kmeans_int8(df, "embedding", "vec_id", k=4).collect())
+    assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# z-score anomalies
+# ---------------------------------------------------------------------------
+
+
+def test_zscore_flags_planted_spike_only(spark):
+    base = [(i, "g", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    spike = [(100, "g", 500.0)]
+    df = spark.createDataFrame(base + spike, ["event_id", "event_type", "value"])
+    flags = zscore_flags(df, "event_type", "value", "event_id", z=3).collect()
+    assert [r.id for r in flags] == [100]
+
+
+def test_zscore_no_flags_on_uniform_group(spark):
+    # uniform distribution: max |z| ~ 1.73 < 3 -> nothing flags
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(100)], ["event_id", "event_type", "value"]
+    )
+    assert zscore_flags(df, "event_type", "value", "event_id", z=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Morton keys
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "x,y,expected",
+    [
+        (0, 0, 0),
+        (1, 0, 1),       # x bits land on even positions
+        (0, 1, 2),       # y bits on odd
+        (3, 3, 15),      # 0b11 interleaved with 0b11 = 0b1111
+        (5, 3, 0b011011),  # x=101, y=011 -> y2x2 y1x1 y0x0 = 01 10 11
+    ],
+)
+def test_morton_interleaves_bits(spark, x, y, expected):
+    row = spark.range(1).select(morton_key(F.lit(x), F.lit(y), bits=10).alias("z")).collect()[0]
+    assert row.z == expected
+
+
+def test_morton_locality_prunes_both_dims(spark):
+    """Rows sorted by z-value and chunked: each chunk's (x, y) bounding box
+    is tight in BOTH dimensions — the footer-stat pruning property."""
+    df = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    z = df.select("x", "y", morton_key(F.col("x"), F.col("y"), bits=5).alias("z"))
+    rows = sorted((r.z, r.x, r.y) for r in z.collect())
+    # 16 chunks of 64 rows = the 8x8 z-curve cells: each spans exactly 8x8
+    for c in range(16):
+        chunk = rows[c * 64 : (c + 1) * 64]
+        xs = [r[1] for r in chunk]
+        ys = [r[2] for r in chunk]
+        assert max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7
