@@ -87,3 +87,64 @@ def zscore_oracle_sql(
           > CAST({z * z} AS HUGEINT) * CAST(m.n AS HUGEINT)
             * CAST(m.n * m.q - m.s * m.s AS HUGEINT)
     """
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exact dyadic exponential smoothing
+# ---------------------------------------------------------------------------
+#
+# EWMA with alpha = 1/2 over the last K points:  s = sum_k v_{t-k} / 2^(k+1).
+# Every weight is a power of two, so scaling by 2^K turns the whole sum into
+# EXACT int64 arithmetic (cents * 2^(K-1-k), summed order-free), closed by a
+# single IEEE division — bit-identical across engines, unlike float-recursive
+# smoothing whose result depends on accumulation order.  The K-point
+# truncation under-weights by at most 2^-K (K=16 -> 1.5e-5 relative).
+#
+# Scale shape: a row_number window bounds state to K rows per key BEFORE the
+# collect (never an unbounded per-key array), then one groupBy fold.
+
+
+def ewma_latest(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str, id_col: str, k: int = 16
+) -> DataFrame:
+    """(key, n_used, ewma): alpha=1/2 EWMA of the newest <=K values per key,
+    ordered newest-first by (ts, id)."""
+    from pyspark.sql import Window as W
+
+    v = _cents(F.col(value_col))
+    recent = (
+        df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("rn", F.row_number().over(W.partitionBy("key").orderBy(F.col("ts").desc(), F.col("id").desc())))
+        .where(F.col("rn") <= k)
+    )
+    # newest first: weight of rn=r is 2^(K-r); scaled sum is exact int64
+    # (v <= 1e6 cents, K=16 -> term <= 2^15 * 1e6 < 2^36, sum < 2^41)
+    term = F.col("v") * F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - rn)")
+    agg = recent.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_used"), F.sum(term).alias("s_scaled")
+    )
+    return agg.select(
+        "key",
+        "n_used",
+        (F.col("s_scaled").cast("double") / F.lit(float(1 << k))).alias("ewma_cents"),
+    )
+
+
+def ewma_oracle_sql(
+    table: str, key_col: str, ts_col: str, value_col: str, id_col: str, k: int = 16
+) -> str:
+    """DuckDB twin: same window bound, same dyadic integer weights."""
+    return f"""
+    WITH src AS (
+      SELECT {key_col} AS key, {ts_col} AS ts, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY {key_col}
+                                ORDER BY {ts_col} DESC, {id_col} DESC) AS rn
+      FROM {table}
+    )
+    SELECT key, count(*) AS n_used,
+           CAST(sum(v * (1::BIGINT << ({k} - rn))) AS DOUBLE) / {float(1 << k)!r}
+             AS ewma_cents
+    FROM src WHERE rn <= {k}
+    GROUP BY key
+    """

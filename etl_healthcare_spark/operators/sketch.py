@@ -121,3 +121,168 @@ def hll_oracle_sql(group_col: str, item_col: str, src_cte: str) -> str:
              AS hll_estimate
     FROM summed
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimates
+# ---------------------------------------------------------------------------
+#
+# Like the HLL above, the sketch is defined purely by sha256 bits, so the
+# approximate counters (and therefore the min-estimate) are bit-identical on
+# any engine — an oracle-checkable approximate operator.  Counters merge by
+# element-wise SUM across shards/batches (the streaming property).  Scale
+# shape: one groupBy((row, bucket)) with full partial aggregation — the
+# sketch table is d x w rows per group regardless of stream length; point
+# queries then broadcast-join it.
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 256  # buckets per row (2 hex chars)
+
+
+def _cm_bucket(item, row: int):
+    """Bucket of `item` in hash row `row`: 2 hex chars of seeded sha256."""
+    return F.substring(F.sha2(F.concat(F.lit(f"cm{row}:"), item.cast("string")), 256), 1, 2)
+
+
+def countmin_table(df: DataFrame, item_col: str) -> DataFrame:
+    """(row, bucket, cnt) counters over the item stream."""
+    rows = [
+        df.select(F.lit(r).alias("row"), _cm_bucket(F.col(item_col), r).alias("bucket"))
+        for r in range(CM_DEPTH)
+    ]
+    u = rows[0]
+    for x in rows[1:]:
+        u = u.unionByName(x)
+    return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimates(df: DataFrame, item_col: str, candidates: list[str]) -> DataFrame:
+    """(item, est, exact): count-min upper-bound estimate (min over the
+    depth rows' counters) next to the exact count for each candidate item.
+    The candidate frame is CM_DEPTH x |candidates| rows — broadcast side."""
+    sk = countmin_table(df, item_col)
+    cand = None
+    for r in range(CM_DEPTH):
+        part = (
+            df.sparkSession.createDataFrame([(c,) for c in candidates], ["item"])
+            .select("item", F.lit(r).alias("row"), _cm_bucket(F.col("item"), r).alias("bucket"))
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    # LEFT join from the candidates: an empty bucket is a 0 counter, which
+    # must drive the min-estimate to 0 (absent items), not drop the row
+    est = (
+        cand.join(sk, ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
+    exact = (
+        df.where(F.col(item_col).isin(candidates))
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+    )
+
+
+def countmin_oracle_sql(item_expr_cte: str, candidates: list[str]) -> str:
+    """DuckDB twin.  `item_expr_cte` must define items(item)."""
+    cand_rows = ", ".join(f"('{c}')" for c in candidates)
+    row_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS row, substr(sha256('cm{r}:' || CAST(item AS VARCHAR)), 1, 2) AS bucket FROM items"
+        for r in range(CM_DEPTH)
+    )
+    cand_union = "\n      UNION ALL\n      ".join(
+        f"SELECT item, {r} AS row, substr(sha256('cm{r}:' || item), 1, 2) AS bucket FROM cand"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+    WITH {item_expr_cte},
+    hashed AS (
+      {row_union}
+    ),
+    sk AS (SELECT row, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+    cand(item) AS (VALUES {cand_rows}),
+    cand_b AS (
+      {cand_union}
+    ),
+    est AS (
+      SELECT cand_b.item, min(coalesce(sk.cnt, 0)) AS est
+      FROM cand_b LEFT JOIN sk ON sk.row = cand_b.row AND sk.bucket = cand_b.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT item, count(*) AS exact FROM items
+      WHERE item IN (SELECT item FROM cand) GROUP BY 1
+    )
+    SELECT est.item, est.est, coalesce(exact.exact, 0) AS exact
+    FROM est LEFT JOIN exact ON est.item = exact.item
+    """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles — mergeable, integer-exact
+# ---------------------------------------------------------------------------
+#
+# The deterministic counterpart to approx_percentile: equal-width integer
+# bins (cents // bin_width) aggregate to a tiny mergeable histogram per
+# group; a quantile is then the lower edge of the first bin whose cumulative
+# count reaches ceil(p * n).  Everything is integer, the error bound is
+# exactly the bin width, and histograms from shards merge by summing bin
+# counts.  One skinny (grp, bin) shuffle at any scale.
+
+
+def histogram_quantiles(
+    df: DataFrame, group_col: str, value_col: str, bin_cents: int = 500, ps=(50, 90, 99)
+) -> DataFrame:
+    """(grp, n, q<p>_lo_cents... ) — per-group histogram-quantile lower edges."""
+    v = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("grp"), (v / F.lit(bin_cents)).cast("long").alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = hist.select(
+        "grp",
+        "bin",
+        F.sum("cnt").over(W.partitionBy("grp").orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy("grp")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for p in ps:
+        # target rank ceil(p*n/100) as exact ints: (p*n + 99) div 100
+        target = ((F.lit(p) * F.col("n") + 99) / 100).cast("long")
+        aggs.append(
+            (F.min(F.when(F.col("cum") >= target, F.col("bin"))) * bin_cents).alias(
+                f"q{p}_lo_cents"
+            )
+        )
+    return cum.groupBy("grp").agg(*aggs)
+
+
+def histogram_oracle_sql(
+    table: str, group_col: str, value_col: str, bin_cents: int = 500, ps=(50, 90, 99)
+) -> str:
+    qs = ",\n           ".join(
+        f"min(CASE WHEN cum >= ({p} * n + 99) // 100 THEN bin END) * {bin_cents} AS q{p}_lo_cents"
+        for p in ps
+    )
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) // {bin_cents} AS bin
+      FROM {table}
+    ),
+    hist AS (SELECT grp, bin, count(*) AS cnt FROM src GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, bin,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+      FROM hist
+    )
+    SELECT grp, CAST(max(n) AS BIGINT) AS n,
+           {qs}
+    FROM cum GROUP BY grp
+    """

@@ -147,3 +147,61 @@ def layout_zorder(spark, sf_dir):
         morton_key(F.col("l_partkey"), F.col("l_suppkey"), bits=11).alias("zvalue"),
     )
     return z.orderBy("zvalue", "l_orderkey", "l_linenumber").limit(100)
+
+
+from ..operators.anomaly import ewma_latest, ewma_oracle_sql  # noqa: E402
+from ..operators.sketch import (  # noqa: E402
+    countmin_estimates,
+    countmin_oracle_sql,
+    histogram_oracle_sql,
+    histogram_quantiles,
+)
+
+CM_CANDIDATES = ["the", "spark", "merge", "customer", "qqqabsent"]
+
+
+@register(
+    "sketch_countmin",
+    sql=countmin_oracle_sql(
+        "items AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item FROM documents)",
+        CM_CANDIDATES,
+    ),
+    doc="Count-min frequency sketch (d=4 x w=256, sha256 buckets) over the "
+    "token stream with exact counts alongside: the APPROXIMATE upper-bound "
+    "estimates are bit-identical across engines because the bucket bits are "
+    "sha256's, not engine-internal (operators/sketch.py).  Counters merge "
+    "by element-wise SUM — the streaming/sharded property; the sketch is "
+    "d x w rows however long the stream.",
+)
+def sketch_countmin(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return countmin_estimates(items, "item", CM_CANDIDATES)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    sql=histogram_oracle_sql("events", "event_type", "value", bin_cents=500),
+    doc="Mergeable fixed-bin histogram quantiles per event type: integer "
+    "cents // 500 bins aggregate to a tiny histogram (one skinny shuffle), "
+    "p50/p90/p99 read off the cumulative counts at rank ceil(p*n/100) — "
+    "deterministic approx-percentile with error exactly one bin width, "
+    "unlike approx_percentile's engine-internal sketch "
+    "(operators/sketch.py:histogram_quantiles).",
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    return histogram_quantiles(_t(spark, sf_dir, "events"), "event_type", "value", bin_cents=500)
+
+
+@register(
+    "w8_ewma",
+    sql=ewma_oracle_sql("events", "event_type", "ts", "value", "event_id", k=16),
+    doc="Exact dyadic EWMA (alpha=1/2, last 16 points) per event type: "
+    "power-of-two weights turn exponential smoothing into int64 arithmetic "
+    "closed by one IEEE division — bit-identical across engines, free of "
+    "the accumulation-order drift of float-recursive smoothing "
+    "(operators/anomaly.py:ewma_latest).  A row_number window bounds "
+    "per-key state to K rows before any aggregation.",
+)
+def w8_ewma(spark, sf_dir):
+    return ewma_latest(_t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", k=16)

@@ -203,3 +203,89 @@ def test_morton_locality_prunes_both_dims(spark):
         xs = [r[1] for r in chunk]
         ys = [r[2] for r in chunk]
         assert max(xs) - min(xs) == 7 and max(ys) - min(ys) == 7
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_estimate_upper_bounds_exact(spark):
+    from etl_healthcare_spark.operators.sketch import countmin_estimates
+
+    rows = [("a",)] * 50 + [("b",)] * 10 + [(f"noise{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["item"])
+    est = {r.item: (r.est, r.exact) for r in countmin_estimates(df, "item", ["a", "b", "zzz"]).collect()}
+    assert est["a"][1] == 50 and est["b"][1] == 10 and est["zzz"][1] == 0
+    # count-min never underestimates
+    for e, x in est.values():
+        assert e >= x
+
+
+def test_countmin_tables_merge_by_sum(spark):
+    from etl_healthcare_spark.operators.sketch import countmin_table
+    from pyspark.sql import functions as F2
+
+    a = spark.createDataFrame([(f"x{i % 17}",) for i in range(300)], ["item"])
+    b = spark.createDataFrame([(f"y{i % 13}",) for i in range(300)], ["item"])
+    merged = (
+        countmin_table(a, "item")
+        .unionByName(countmin_table(b, "item"))
+        .groupBy("row", "bucket")
+        .agg(F2.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_table(a.unionByName(b), "item")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_bound_true_percentile(spark):
+    from etl_healthcare_spark.operators.sketch import histogram_quantiles
+
+    # values 0.00 .. 99.99 in cents -> exact percentiles known
+    df = spark.createDataFrame(
+        [(i, "g", i / 100.0) for i in range(10000)], ["event_id", "event_type", "value"]
+    )
+    row = histogram_quantiles(df, "event_type", "value", bin_cents=500).collect()[0]
+    assert row.n == 10000
+    # true p50 = 50.00 (rank 5000 -> cents 4999); bin lower edge within one bin
+    assert 4999 - 500 < row.q50_lo_cents <= 4999
+    assert 8999 - 500 < row.q90_lo_cents <= 8999
+    assert 9899 - 500 < row.q99_lo_cents <= 9899
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_weights_newest_most(spark):
+    from etl_healthcare_spark.operators.anomaly import ewma_latest
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, "k", t0 + dt.timedelta(minutes=i), 10.0) for i in range(20)]
+    rows.append((99, "k", t0 + dt.timedelta(hours=10), 100.0))  # newest spike
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "value"])
+    row = ewma_latest(df, "key", "ts", "value", "event_id", k=16).collect()[0]
+    # newest point has weight 1/2: ewma ~ 0.5*100 + 0.5*10 = 55 (truncation -> slightly less)
+    assert row.n_used == 16
+    assert 54.9 * 100 < row.ewma_cents < 55.0 * 100
+
+
+def test_ewma_constant_series_converges_to_value(spark):
+    from etl_healthcare_spark.operators.anomaly import ewma_latest
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, "k", t0 + dt.timedelta(minutes=i), 42.0) for i in range(30)],
+        ["event_id", "key", "ts", "value"],
+    )
+    row = ewma_latest(df, "key", "ts", "value", "event_id", k=16).collect()[0]
+    # sum of 16 dyadic weights = 1 - 2^-16: exact expected value
+    assert row.ewma_cents == 4200 * (1 - 2 ** -16)
