@@ -641,7 +641,6 @@ DRIVER_WINDOW: list[str] = [
     "q1_get_patient",
     "q2_observations_by_patient",
     "q3_latest_observation",
-    "q5_health_report",
     # aggregation (G family)
     "g1_minute_counters",
     "g5_percentiles",
@@ -652,10 +651,8 @@ DRIVER_WINDOW: list[str] = [
     "g7c_tpch_q3",
     "g7d_tpch_q5",
     "g7g_tpch_q18",
-    "g7i_tpch_q10",
     # joins (J family)
     "j2_orders_customer",
-    "j3_semi_join",
     "j4_anti_join",
     "j5b_asof_join",
     "j6_star_join",
@@ -674,7 +671,6 @@ DRIVER_WINDOW: list[str] = [
     "p4_hl7_obx_dto",
     "p6_fhir_observation",
     "p7_envelope",
-    "p9_generic_json",
     # validation (V family)
     "v2_dto_validation",
     # upsert (U family)
@@ -705,6 +701,11 @@ DRIVER_WINDOW: list[str] = [
     "scalar_functions",
     # streaming semantics (§2.12)
     "stream_dedup",
+    # corpus-scale analytics (search / sketches / clustering / anomalies)
+    "search_bm25",
+    "sketch_hll_distinct",
+    "cluster_kmeans",
+    "anomaly_zscore",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

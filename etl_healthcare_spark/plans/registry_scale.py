@@ -205,3 +205,45 @@ def sketch_histogram_quantiles(spark, sf_dir):
 )
 def w8_ewma(spark, sf_dir):
     return ewma_latest(_t(spark, sf_dir, "events"), "event_type", "ts", "value", "event_id", k=16)
+
+
+import tempfile  # noqa: E402
+
+
+@register(
+    "stream_anomaly_moments",
+    sql="""
+    SELECT event_type AS grp, count(*) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS q
+    FROM events GROUP BY 1
+    """,
+    doc="§2.12 streaming face of the anomaly moment sketch: the exact "
+    "(n, sum, sum-of-squares) int64-cents aggregate maintained "
+    "incrementally by Structured Streaming (file source, availableNow, "
+    "complete mode) with O(groups) state — after the full stream it "
+    "provably equals the batch aggregate, so live z-score flagging reads "
+    "a sketch that is always exact for the seen prefix "
+    "(streaming/pipeline.py:moments_stream).",
+)
+def stream_anomaly_moments(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import moments_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    d = tempfile.mkdtemp(prefix="stream_moments_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    agg = moments_stream(stream)
+    name = f"smo_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -194,6 +194,10 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "sq_",  # subqueries
         "scalar_",  # scalar surface
         "stream_",  # streaming
+        "search_",  # full-text relevance
+        "sketch_",  # mergeable sketches
+        "cluster_",  # corpus clustering
+        "anomaly_",  # anomaly detection
     ):
         assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
 
@@ -247,6 +251,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
     surface."""
     SIDE_EFFECTING = {
         "stream_g1_windowed", "stream_g13_sliding", "stream_dedup", "stream_stream_join",
+        "stream_anomaly_moments",
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
         "p8_format_routing", "u1_idempotent_merge",

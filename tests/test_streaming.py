@@ -280,3 +280,38 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     assert got == batch
     # each event contributes to exactly two windows
     assert sum(n for n, _ in got.values()) == 2 * 3
+
+
+def test_moments_stream_equals_batch_sketch(spark, tmp_path):
+    """The incrementally-maintained (n, s, q) moment sketch after the full
+    stream equals the batch aggregate — the exactly-once handoff that lets
+    z-score flagging read a live sketch."""
+    import datetime as dt
+
+    from etl_healthcare_spark.operators.anomaly import group_moments
+    from etl_healthcare_spark.streaming.pipeline import moments_stream
+
+    src = str(tmp_path / "mom_src")
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), "click", 1.25),
+            (2, dt.datetime(2024, 1, 1), "click", 2.50),
+            (3, dt.datetime(2024, 1, 1), "error", 4.00),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        moments_stream(stream)
+        .writeStream.format("memory")
+        .queryName("smom")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("smom").collect()))
+    want = sorted(map(tuple, group_moments(events, "event_type", "value").collect()))
+    assert got == want
+    assert got[0] == ("click", 2, 375, 125 * 125 + 250 * 250)
