@@ -247,3 +247,158 @@ def stream_anomaly_moments(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "g8c_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of g8 rollup / g8b cube) "
+    "with grouping() disambiguation of NULL group keys — one Expand + one "
+    "aggregate exchange, exact cents sums.  Completes the §2.4 grouped-"
+    "aggregation surface: groupBy, rollup, cube, grouping sets, pivot, "
+    "unpivot.",
+)
+def g8c_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("long")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "io_orc_roundtrip",
+    sql="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0
+             AS revenue
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Columnar-format interchange: lineitem written to ORC and read back "
+    "(schema, values, and pushdown-capable layout preserved), proven by "
+    "aggregating the roundtripped copy against the parquet-sourced oracle.  "
+    "ORC rides the same DataSource V2 scan machinery (footer stats, "
+    "predicate pushdown, vectorized reader) — the engine is "
+    "format-agnostic where the reference is locked to its own files.",
+)
+def io_orc_roundtrip(spark, sf_dir):
+    import tempfile as _tf
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    d = _tf.mkdtemp(prefix="orc_rt_")
+    li.write.mode("overwrite").orc(f"{d}/lineitem_orc")
+    back = spark.read.orc(f"{d}/lineitem_orc")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+from ..operators.graph import pagerank_oracle_sql, pagerank_ppm  # noqa: E402
+
+
+def _pairs_cte() -> str:
+    from .registry_llm import _minhash_ctes
+
+    return f"{_minhash_ctes()},\n    pairs AS (SELECT doc_a, doc_b FROM lsh_pairs)"
+
+
+@register(
+    "graph_pagerank",
+    sql=pagerank_oracle_sql(_pairs_cte(), iters=2),
+    doc="Integer-exact PageRank (damping 0.85, 2 iterations, ranks in ppm) "
+    "over the minhash-LSH near-duplicate graph: centrality ranks boilerplate "
+    "template hubs that exact dedup cannot see.  Floor-division contributions "
+    "and integer sums make the iterative algorithm a pure function of the "
+    "graph — bit-identical on any engine or parallelism, unlike float "
+    "PageRank (operators/graph.py).  One contribution shuffle per round "
+    "with map-side combine; companion to dedup_cc_clusters' reachability.",
+)
+def graph_pagerank(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
+    return pagerank_ppm(pairs, "doc_a", "doc_b", iters=2)
+
+
+@register(
+    "decontam_bloom",
+    sql="""
+    WITH tok AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                 FROM documents),
+    idx AS (SELECT doc_id, source, t,
+                   unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
+            FROM tok WHERE len(t) >= 5),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3] || ' ' || t[j+4] AS s
+           FROM idx),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+    bloom AS (
+      SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substr(sha256('b0:' || s), 1, 5))::BIGINT AS pos FROM eval_sh
+        UNION ALL SELECT ('0x' || substr(sha256('b1:' || s), 1, 5))::BIGINT FROM eval_sh
+        UNION ALL SELECT ('0x' || substr(sha256('b2:' || s), 1, 5))::BIGINT FROM eval_sh
+        UNION ALL SELECT ('0x' || substr(sha256('b3:' || s), 1, 5))::BIGINT FROM eval_sh
+      )
+    ),
+    screened AS (
+      SELECT c.doc_id, c.s,
+             (SELECT count(*) FROM bloom b
+              WHERE b.pos IN (('0x' || substr(sha256('b0:' || c.s), 1, 5))::BIGINT,
+                              ('0x' || substr(sha256('b1:' || c.s), 1, 5))::BIGINT,
+                              ('0x' || substr(sha256('b2:' || c.s), 1, 5))::BIGINT,
+                              ('0x' || substr(sha256('b3:' || c.s), 1, 5))::BIGINT)) = 4
+               AS might
+      FROM corpus c
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN might THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+      FROM screened GROUP BY doc_id
+    ),
+    exact AS (SELECT c.doc_id, count(*) AS n_hits
+              FROM corpus c JOIN eval_sh e USING (s) GROUP BY c.doc_id)
+    SELECT p.doc_id, p.n_shingles, coalesce(x.n_hits, 0) AS n_hits, p.n_bloom_hits,
+           (1000000 * coalesce(x.n_hits, 0)) // p.n_shingles AS contam_ppm,
+           (1000000 * p.n_bloom_hits) // p.n_shingles AS bloom_ppm
+    FROM per_doc p LEFT JOIN exact x USING (doc_id)
+    """,
+    doc="Bloom-filter decontamination pre-screen (k=4 sha256 positions in a "
+    "2^20-bit space) next to the exact 5-gram check: zero false negatives "
+    "by construction (asserted per-row by the oracle compare), measurable "
+    "false-positive overhead, and the broadcast side shrinks from every "
+    "eval shingle STRING to <= 2^20 set-bit longs "
+    "(operators/bloom.py).  Even the false positives are bit-identical "
+    "across engines, so the approximate screen hash-checks.",
+)
+def decontam_bloom(spark, sf_dir):
+    from ..operators.bloom import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        k=5,
+    )

@@ -254,7 +254,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "stream_anomaly_moments",
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
-        "p8_format_routing", "u1_idempotent_merge",
+        "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
     }
     ARROW_OK = {"mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample"}
     audited = 0

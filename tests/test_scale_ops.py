@@ -289,3 +289,74 @@ def test_ewma_constant_series_converges_to_value(spark):
     row = ewma_latest(df, "key", "ts", "value", "event_id", k=16).collect()[0]
     # sum of 16 dyadic weights = 1 - 2^-16: exact expected value
     assert row.ewma_cents == 4200 * (1 - 2 ** -16)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from etl_healthcare_spark.operators.graph import pagerank_ppm
+
+    # star: node 0 at the center of 5 leaves, plus one detached pair
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], ["doc_a", "doc_b"]
+    )
+    ranks = {r.node: r.rank_ppm for r in pagerank_ppm(pairs, iters=2).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))  # hub dominates
+    assert ranks[10] == ranks[11]  # symmetric pair ties exactly
+    assert all(r >= 150_000 for r in ranks.values())  # damping floor
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from etl_healthcare_spark.operators.graph import pagerank_ppm
+
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20) for i in range(20) if i != (i * 7 + 1) % 20],
+        ["doc_a", "doc_b"],
+    )
+    a = sorted(map(tuple, pagerank_ppm(pairs, iters=2).collect()))
+    b = sorted(map(tuple, pagerank_ppm(pairs.repartition(13), iters=2).collect()))
+    assert a == b  # integer math: partitioning cannot move a single ppm
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_screen_has_no_false_negatives(spark):
+    from etl_healthcare_spark.operators.bloom import bloom_build, bloom_screen
+
+    members = spark.createDataFrame([(f"item{i}",) for i in range(50)], ["s"])
+    bloom = bloom_build(members, "s")
+    probes = spark.createDataFrame(
+        [(f"item{i}",) for i in range(50)] + [(f"other{i}",) for i in range(200)], ["s"]
+    )
+    out = {r.s: r.might_contain for r in bloom_screen(probes, "s", bloom).collect()}
+    # every true member must pass the screen
+    assert all(out[f"item{i}"] for i in range(50))
+    # false-positive rate stays near the theoretical (1-e^{-kn/m})^k ~ 1e-13
+    fp = sum(out[f"other{i}"] for i in range(200))
+    assert fp == 0
+
+
+def test_bloom_contamination_upper_bounds_exact(spark):
+    from etl_healthcare_spark.operators.bloom import bloom_contamination
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # fully contaminated
+            (2, "one two three four five six seven eight nine ten"),  # clean
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bloom_contamination(corpus, eval_df, "text", "doc_id").collect()}
+    assert rows[1].contam_ppm == 1_000_000 and rows[1].bloom_ppm == 1_000_000
+    assert rows[2].contam_ppm == 0 and rows[2].bloom_ppm == 0
+    for r in rows.values():  # bloom never under-reports
+        assert r.bloom_ppm >= r.contam_ppm
