@@ -367,8 +367,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("lbl"))
     )
     # labels are monotonically non-increasing, so sum(lbl) strictly decreases
-    # until the fixpoint — an O(1)-output agg is the convergence test, no join
-    prev_sum = None
+    # until the fixpoint — an O(1)-output agg is the convergence test, no join.
+    # Seeding prev_sum with the one-hop labels' sum lets a clique-shaped graph
+    # (the common LSH case: the seed IS the fixpoint) exit after ONE confirming
+    # propagate round instead of two — the propagate that finds sum unchanged
+    # proves no label moved, which is exactly the fixpoint condition.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("lbl")

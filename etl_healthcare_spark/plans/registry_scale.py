@@ -402,3 +402,120 @@ def decontam_bloom(spark, sf_dir):
         "doc_id",
         k=5,
     )
+
+
+@register(
+    "stream_hll_registers",
+    sql=f"""
+    WITH items AS (
+      SELECT lang AS grp, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT grp,
+             substr(sha256(CAST(tok AS VARCHAR)), 1, 2) AS register,
+             ('0x' || substr(sha256(CAST(tok AS VARCHAR)), 3, 13))::BIGINT AS v
+      FROM items
+    )
+    SELECT grp, register,
+           max(CASE WHEN v = 0 THEN 40 ELSE least(53 - length(bin(v)), 40) END) AS rank
+    FROM hashed GROUP BY 1, 2
+    """,
+    doc="§2.12 streaming face of the HLL sketch: per-(group, register) MAX "
+    "rank maintained incrementally by Structured Streaming — MAX is "
+    "algebraic, so state is O(groups x 256) forever and the complete-mode "
+    "output provably equals the batch register table "
+    "(operators/sketch.py:hll_registers over a stream).  Live approximate "
+    "distinct counts with exactly-once semantics.",
+)
+def stream_hll_registers(spark, sf_dir):
+    import uuid
+
+    from ..operators.sketch import hll_registers
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    d = tempfile.mkdtemp(prefix="stream_hll_")
+    docs.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(docs.schema).parquet(f"{d}/src")
+    items = stream.select(F.col("lang"), F.explode(tokens(F.col("text"))).alias("tok"))
+    regs = hll_registers(items, "lang", "tok")
+    name = f"shl_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
+    "io_schema_evolution",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+    doc="Schema evolution on read: two parquet batches written with "
+    "DIFFERENT schemas (v1 lacks o_orderstatus; v2 adds it), unioned by "
+    "spark.read.option('mergeSchema') — missing columns null-fill, shared "
+    "columns align by name.  The ETL reality of a 100 TB landing zone "
+    "whose producers upgrade midstream; the reference pins one DTO schema "
+    "(services/normalize/handler.ts) and cannot express this.",
+)
+def io_schema_evolution(spark, sf_dir):
+    import tempfile as _tf
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", cents.alias("price_cents"))
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("price_cents"), F.col("o_orderstatus")
+    )
+    d = _tf.mkdtemp(prefix="schema_evo_")
+    v1.write.mode("overwrite").parquet(f"{d}/t/batch=1")
+    v2.write.mode("overwrite").parquet(f"{d}/t/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{d}/t")
+        .select("o_orderkey", "price_cents", "o_orderstatus")
+    )
+
+
+@register(
+    "u6_scd2_intervals",
+    sql="""
+    SELECT user_id, event_id,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS valid_to_us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WHERE user_id < 20
+    """,
+    doc="SCD type-2 dimension build: each per-user change event becomes a "
+    "[valid_from, valid_to) interval via one lead() window, the open "
+    "interval flagged current — the warehouse-standard history table the "
+    "versioned state store (operators/persist.py) serves point-in-time "
+    "reads from.  One hash shuffle on the dimension key; timestamps "
+    "emitted as epoch_us per the repo determinism rules.",
+)
+def u6_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -251,7 +251,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
     surface."""
     SIDE_EFFECTING = {
         "stream_g1_windowed", "stream_g13_sliding", "stream_dedup", "stream_stream_join",
-        "stream_anomaly_moments",
+        "stream_anomaly_moments", "stream_hll_registers", "io_schema_evolution",
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
