@@ -38,6 +38,11 @@ HEADLINE = [
     "g7d_tpch_q5",           # 6-way join with two broadcast dims
     "sim_knn_join",          # batch k-NN: BNLJ + window group limit
     "curation_e2e",          # gate -> exact dedup -> LSH keep-list -> decontam
+    # round-2 scale-analytics additions
+    "search_bm25",           # map-only BM25 scoring + top-k heap
+    "sketch_hll_distinct",   # HLL registers + exact-distinct comparison
+    "graph_pagerank",        # LSH graph + 2 integer PageRank rounds
+    "anomaly_zscore",        # moment sketch broadcast + map flagging
 ]
 
 

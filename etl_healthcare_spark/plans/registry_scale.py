@@ -519,3 +519,22 @@ def u6_scd2_intervals(spark, sf_dir):
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v_cents"),
         nxt.isNull().alias("is_current"),
     )
+
+
+from ..operators.pq import pq_adc_topk, pq_oracle_sql  # noqa: E402
+
+
+@register(
+    "sim_pq_topk",
+    sql=pq_oracle_sql(query_id=0, k_top=10),
+    doc="Product quantization ANN (Jegou et al. 2011): int8-space k-means "
+    "per 8-dim subspace (16 centroids, one Lloyd round) compresses every "
+    "64-dim embedding to 8 nibble codes (32x); query-time ADC sums "
+    "per-subspace distances from a broadcast (M x K) lookup table and "
+    "scans CODES, not vectors.  All-integer training, encoding, and "
+    "distances make the whole index construction bit-identical across "
+    "engines — an oracle-checkable PQ, which float PQ can never be "
+    "(operators/pq.py).  exact_d2 rides along so recall is inspectable.",
+)
+def sim_pq_topk(spark, sf_dir):
+    return pq_adc_topk(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id", query_id=0, k_top=10)

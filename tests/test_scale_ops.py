@@ -360,3 +360,48 @@ def test_bloom_contamination_upper_bounds_exact(spark):
     assert rows[2].contam_ppm == 0 and rows[2].bloom_ppm == 0
     for r in rows.values():  # bloom never under-reports
         assert r.bloom_ppm >= r.contam_ppm
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(spark):
+    from etl_healthcare_spark.operators.pq import pq_codebook_and_codes
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.conv(
+                F.substring(F.sha2(F.concat_ws(":", F.col("id").cast("string"), i.cast("string")), 256), 1, 4),
+                16, 10,
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    codebook, codes = pq_codebook_and_codes(df, "embedding", "vec_id", sub_dims=4, k=8)
+    rows = codes.collect()
+    # every vector gets exactly one code per subspace (16 dims / 4 = 4)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.id, []).append((r.m, r.cid))
+    assert all(len(v) == 4 for v in per_vec.values())
+    assert all(0 <= m < 4 for v in per_vec.values() for m, _ in v)
+    # codebook: centroid components stay in int8 range
+    assert all(0 <= r.c <= 255 for r in codebook.collect())
+
+
+def test_pq_adc_finds_planted_near_neighbor(spark):
+    from etl_healthcare_spark.operators.pq import pq_adc_topk
+
+    # vec 1 is a tiny perturbation of vec 0; the rest are far away
+    rows = [(0, [10.0] * 8), (1, [10.5] * 8)]
+    for i in range(2, 30):
+        rows.append((i, [float(100 + (i * 13) % 50 + j) for j in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    top = pq_adc_topk(df, "embedding", "vec_id", query_id=0, k_top=3, sub_dims=4, k=4).collect()
+    assert top[0].id == 1  # the planted neighbor wins ADC
+    assert top[0].exact_d2 <= min(r.exact_d2 for r in top[1:])
