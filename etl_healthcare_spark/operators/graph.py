@@ -34,8 +34,16 @@ def pagerank_ppm(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", iters
     """(node, rank_ppm) after `iters` damped iterations from a uniform start,
     over the symmetrized edge list.  Every node in >=1 pair participates; the
     degree-normalized contribution uses floor division (exact)."""
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # checkpoint before the symmetrizing union (both branches read the
+    # materialized pairs, not the upstream LSH plan) and again after the
+    # distinct: every iteration joins edges twice, and without the barrier
+    # each round would re-run the whole candidate-pair pipeline
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    edges = (
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select(F.col("a").alias("node"), F.lit(PPM).cast("long").alias("rank_ppm"))
     for _ in range(iters):

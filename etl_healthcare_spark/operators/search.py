@@ -45,12 +45,18 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text", id_co
 
         return f
 
-    toks = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    # repartition: fan the regex tokenization out of a single-file scan
+    # partition (same note as dedup.simhash_fingerprints), then checkpoint
+    # the skinny (id, dl, tf...) frame so the stats aggregate and the
+    # scoring pass both read it instead of re-tokenizing the corpus
+    toks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     base = toks.select(
         "id",
         F.size("t").alias("dl"),
         *[F.size(F.filter("t", eq_term(term))).alias(f"tf{i}") for i, term in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("l"),

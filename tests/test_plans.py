@@ -297,7 +297,10 @@ def test_bm25_is_map_pass_plus_takeordered(spark):
     explode+groupBy shape; stats ride a 1-row broadcast, top-k is a heap."""
     plan = _plan(spark, "search_bm25")
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange hashpartitioning" not in plan, "tf must come from the token array, not a shuffle"
+    # the ONLY shuffle allowed is the deliberate parallelism fan-out
+    # (repartition before tokenization); tf itself must come from the token
+    # array — an explode+groupBy posting-list shape would add a second one
+    assert len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)) <= 1
     assert "BatchEvalPython" not in plan
 
 

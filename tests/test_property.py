@@ -170,3 +170,79 @@ def test_parse_media_header_never_raises_on_truncated_magic(tail, magic):
     from etl_healthcare_spark.operators.multimodal import parse_media_header
 
     parse_media_header(magic + tail)  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# Morton key vs a pure-Python bit-interleave model (batch evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=80
+    )
+)
+def test_morton_matches_python_model(spark, pairs):
+    from etl_healthcare_spark.operators.bucketing import morton_key
+
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in enumerate(pairs)], ["i", "x", "y"])
+    got = {
+        r.i: r.z
+        for r in df.select("i", morton_key(F.col("x"), F.col("y"), bits=10).alias("z")).collect()
+    }
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == _py_morton(x, y)
+
+
+# ---------------------------------------------------------------------------
+# EWMA: engine fold vs a pure-Python dyadic model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.decimals(min_value="0.01", max_value="9999.99", places=2), min_size=1, max_size=40
+    )
+)
+def test_ewma_matches_python_model(spark, values):
+    from etl_healthcare_spark.operators.anomaly import ewma_latest
+
+    k = 16
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, "g", t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "key", "ts", "value"])
+    got = ewma_latest(df, "key", "ts", "value", "event_id", k=k).collect()[0]
+    cents = [int(v * 100) for v in values][::-1][:k]  # newest first
+    scaled = sum(c << (k - 1 - j) for j, c in enumerate(cents))
+    assert got.ewma_cents == scaled / float(1 << k)
+    assert got.n_used == min(len(values), k)
+
+
+# ---------------------------------------------------------------------------
+# HLL: estimate is scale-free and within the theoretical envelope
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=1000, max_value=8000), seed=st.integers(0, 2**16))
+def test_hll_error_envelope(spark, n, seed):
+    from etl_healthcare_spark.operators.sketch import hll_distinct
+
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit(f"s{seed}:"), F.col("id").cast("string")).alias("item"),
+    )
+    est = hll_distinct(df, "grp", "item").collect()[0].hll_estimate
+    assert abs(est - n) / n < 0.30  # ~4.6 sigma at m=256
