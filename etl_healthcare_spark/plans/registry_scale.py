@@ -538,3 +538,89 @@ from ..operators.pq import pq_adc_topk, pq_oracle_sql  # noqa: E402
 )
 def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id", query_id=0, k_top=10)
+
+
+@register(
+    "g15_funnel",
+    sql="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM stages
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase): one "
+    "conditional-min aggregate per user collapses the event log to first-"
+    "touch timestamps, then strict ordering predicates count each stage — "
+    "the standard product-analytics query as ONE shuffle on user_id plus an "
+    "O(1) rollup; NULL first-touches fail the strict comparisons, so "
+    "missing stages drop out without special-casing.",
+)
+def g15_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "g16_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT epoch_us(cohort_week) AS cohort_week_us, week_offset,
+           count(*) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-activity week, "
+    "then distinct (user, week-offset) activity counted per cohort — the "
+    "standard growth-analytics triangle.  Two shuffles (first-touch per "
+    "user, then the cohort rollup over pre-deduplicated skinny rows); the "
+    "broadcastable first-touch table keys the fact-side join.  Weeks via "
+    "date_trunc + integer week difference, emitted as epoch_us.",
+)
+def g16_retention_cohorts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            ((F.unix_date(F.to_date(F.date_trunc("week", F.col("ts"))))
+              - F.unix_date(F.to_date(F.col("cohort_week")))) / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.unix_micros("cohort_week").alias("cohort_week_us"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("active_users"))
