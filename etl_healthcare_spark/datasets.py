@@ -18,7 +18,7 @@ from .schemas import TESTDATA_TABLES
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the driver's testdata writes TIMESTAMP(NANOS) parquet; set the
+        # older driver testdata wrote TIMESTAMP(NANOS) parquet; set the
         # runtime conf so any caller-provided session can read it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -27,6 +27,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (integer division: ns magnitudes exceed double's exact range).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # current driver testdata writes tz-less timestamp[us] parquet, which Spark
+    # surfaces as TIMESTAMP_NTZ.  Normalize to TimestampType so downstream
+    # epoch/tz functions (unix_micros, window, to_date) resolve; pin the
+    # session timezone to UTC first so the NTZ->LTZ cast is the identity on
+    # the wall clock and unix_micros == DuckDB's epoch_us on the naive value,
+    # regardless of how the caller built the session.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
