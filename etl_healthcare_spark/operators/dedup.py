@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens, simhash16, tokens
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, hyperplane_bucket_exact
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -322,11 +322,31 @@ def embedding_near_dup_pairs(
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    out = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("cos")]
+    if block_col:
+        out.append(F.col("a.blk").alias("bucket"))
+    return a.join(b, cond).select(*out).where(F.col("cos") >= threshold)
+
+
+def embedding_lsh_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.99,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding near-dup pairs at PRODUCTION blocking: block by the
+    integer-exact hyperplane-LSH bucket (functions/vectors.
+    hyperplane_bucket_exact), so the pairwise cosine self-join runs per
+    bucket — corpus/2^bits rows each — never per label or corpus-wide.
+    With b planes the expected per-bucket size is n/2^b, so pair cost is
+    n^2/2^b spread over 2^b independent tasks; at 100 TB the bucket id is the
+    written partition column and each task joins one partition against itself.
+
+    Returns (id_a, id_b, cos, bucket)."""
+    b = df.withColumn("__lsh_bkt", hyperplane_bucket_exact(F.col(vec_col), planes, scale))
+    return embedding_near_dup_pairs(b, vec_col, id_col, block_col="__lsh_bkt", threshold=threshold)
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25) -> DataFrame:

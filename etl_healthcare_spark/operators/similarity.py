@@ -150,6 +150,247 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str, k: int = 8) -> None:
+    """IVF index BUILD — the write-once phase of the build/probe split.
+
+    Assigns every vector to an integer-exact k-means cell
+    (operators/clustering.kmeans_int8 semantics: int8 codes, seeds = k lowest
+    ids, one Lloyd round, (dist2, cid) tiebreaks — deterministic on any
+    engine) and writes the corpus ``partitionBy("cell")`` plus the centroid
+    table.  At 100 TB this runs once; every probe then prunes to nprobe
+    partition directories instead of scanning the corpus (see ivf_probe).
+    Layout: ``{index_dir}/vectors`` (id, qv, cell=...), ``{index_dir}/centroids``.
+    """
+    from .clustering import _assign, _update, quantized_vectors
+
+    vecs = quantized_vectors(df, vec_col, id_col)
+    c0 = vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)  # reused by assign + written
+    a2 = _assign(vecs, c1)
+    (
+        a2.select("id", "qv", F.col("cluster").alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + "/vectors")
+    )
+    c1.write.mode("overwrite").parquet(index_dir + "/centroids")
+
+
+def ivf_probe(
+    spark, index_dir: str, query_id: int, nprobe: int = 2, k_top: int = 10
+) -> DataFrame:
+    """IVF index PROBE — the read-side phase: rank the (tiny, k-row) centroid
+    table by exact integer distance to the query's code, then scan ONLY the
+    ``nprobe`` nearest cell partitions (partition pruning — the plan shows
+    ``PartitionFilters: [cell IN (...)]``; at 100 TB this is the difference
+    between reading nprobe/nlist of the corpus and all of it).  Exact int8
+    squared-L2 top-k inside the probed cells; output (id, dist2) ordered by
+    (dist2, id) — every quantity an exact integer, so the whole probe is
+    oracle-checkable."""
+    vectors = spark.read.parquet(index_dir + "/vectors")
+    cents = spark.read.parquet(index_dir + "/centroids").collect()  # k rows — O(small)
+    qcode = list(vectors.where(F.col("id") == query_id).select("qv").head()[0])
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted((d2(qcode, list(r.cv)), r.cid) for r in cents)
+    probed = [cid for _, cid in order[: max(1, nprobe)]]
+    from .clustering import _dist2
+
+    qlit = F.array(*[F.lit(int(x)) for x in qcode])
+    return (
+        vectors.where(F.col("cell").isin(probed))
+        .where(F.col("id") != query_id)
+        .select("id", _dist2(F.col("qv"), qlit).alias("dist2"))
+        .orderBy("dist2", "id")
+        .limit(k_top)
+    )
+
+
+def knn_blocked(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred,
+    k: int = 3,
+    ncells: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """BLOCKED k-NN join — the large-query-batch shape knn_join documents:
+    both sides share integer-exact IVF cells, the pairing joins ON THE CELL
+    KEY (a hash join, never a nested-loop over the full cross product), and
+    the per-query top-k is one window.  Each query probes its ``nprobe``
+    nearest cells, so pair cost is |Q| x |corpus| x nprobe/ncells spread over
+    cell-keyed tasks; at 100 TB the corpus side is the partitioned IVF index
+    (ivf_build_index) and each cell task reads one partition.
+
+    ``query_pred`` is a Column predicate over the ``id`` column selecting the
+    query batch OUT OF the corpus — both sides must share one int8
+    quantization grid (separate grids would put queries in a different metric
+    space than the corpus they probe).
+
+    Metric: exact int8-space squared L2 (same as ivf_probe) — every distance,
+    assignment, and tiebreak is exact integer arithmetic, so the blocked join
+    is hash-checkable cross-engine.  Output (query_id, neighbor_id, n_rank).
+    Recall vs the exact metric is 1.0 whenever the true top-k live in probed
+    cells (tested against brute force in tests/test_llm_ops.py)."""
+    from pyspark.sql import Window
+
+    from .clustering import _assign, _dist2, _update, quantized_vectors
+
+    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)  # reused 3 ways
+    c0 = vecs.orderBy("id").limit(ncells).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)
+    members = _assign(vecs, c1).select(
+        F.col("id").alias("neighbor_id"), F.col("qv").alias("nqv"), F.col("cluster").alias("cell")
+    )
+    # each query probes its nprobe nearest cells (by exact int distance)
+    qvecs = vecs.where(query_pred)
+    qcells = (
+        qvecs.crossJoin(F.broadcast(c1))
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("cid").alias("cell"),
+            _dist2(F.col("qv"), F.col("cv")).alias("cd2"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("cd2", "cell")
+    probes = (
+        qcells.withColumn("p_rank", F.row_number().over(w_probe))
+        .where(F.col("p_rank") <= nprobe)
+        .select("query_id", "qqv", "cell")
+    )
+    scored = members.join(F.broadcast(probes), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", _dist2(F.col("nqv"), F.col("qqv")).alias("dist2"))
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("n_rank", F.row_number().over(w))
+        .where(F.col("n_rank") <= k)
+        .select("query_id", "neighbor_id", "n_rank")
+    )
+
+
+def _int8_kmeans_ctes(k: int, src: str = "embeddings") -> str:
+    """Shared DuckDB CTE chain reproducing quantized_vectors + one-Lloyd-round
+    integer k-means (same semantics as operators/clustering.kmeans_oracle_sql):
+    ends with ``cells`` (id, cluster) and ``d2s`` (id, cluster, d2 — the exact
+    distance of every id's code to every final centroid) and ``q``
+    (id, pos, q) for downstream exact-distance math."""
+    return f"""raw AS (
+      SELECT vec_id AS id, unnest(embedding) AS xf,
+             generate_subscripts(embedding, 1) AS pos
+      FROM {src}
+    ),
+    ex AS (SELECT id, pos, CAST(xf AS DOUBLE) AS x FROM raw),
+    stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    q AS (
+      SELECT e.id, e.pos,
+        CASE WHEN s.mx = s.mn THEN 0
+             ELSE least(CAST(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT), 255)
+        END AS q
+      FROM ex e JOIN stats s ON e.pos = s.pos
+    ),
+    seeds AS (SELECT DISTINCT id FROM q ORDER BY id LIMIT {k}),
+    c0 AS (SELECT q.id AS cid, q.pos, q.q AS c FROM q JOIN seeds ON q.id = seeds.id),
+    d1 AS (
+      SELECT q.id, c0.cid, CAST(sum((q.q - c0.c) * (q.q - c0.c)) AS BIGINT) AS d2
+      FROM q JOIN c0 ON q.pos = c0.pos
+      GROUP BY q.id, c0.cid
+    ),
+    a1 AS (
+      SELECT id, cid, d2,
+             row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+      FROM d1
+    ),
+    c1 AS (
+      SELECT a1.cid AS cluster, q.pos,
+             CAST(floor(sum(q.q) * 1.0 / count(*)) AS BIGINT) AS c
+      FROM a1 JOIN q ON a1.id = q.id AND a1.rn = 1
+      GROUP BY a1.cid, q.pos
+    ),
+    d2s AS (
+      SELECT q.id, c1.cluster, CAST(sum((q.q - c1.c) * (q.q - c1.c)) AS BIGINT) AS d2
+      FROM q JOIN c1 ON q.pos = c1.pos
+      GROUP BY q.id, c1.cluster
+    ),
+    cells AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY d2, cluster) AS rn
+        FROM d2s
+      ) WHERE rn = 1
+    )"""
+
+
+def ivf_probe_oracle_sql(
+    query_id: int = 0, nprobe: int = 2, k_top: int = 10, k: int = 8, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of ivf_build_index + ivf_probe: same quantization, k-means
+    cells, probed-cell selection (d2, cluster tiebreak), exact int distances,
+    and (dist2, id) final order."""
+    return f"""
+    WITH {_int8_kmeans_ctes(k, src)},
+    probed AS (
+      SELECT cluster FROM d2s WHERE id = {query_id}
+      ORDER BY d2, cluster LIMIT {nprobe}
+    ),
+    qfull AS (SELECT pos, q AS qq FROM q WHERE id = {query_id}),
+    dist AS (
+      SELECT q.id, CAST(sum((q.q - qfull.qq) * (q.q - qfull.qq)) AS BIGINT) AS dist2
+      FROM q JOIN qfull ON q.pos = qfull.pos
+      GROUP BY q.id
+    )
+    SELECT d.id, d.dist2
+    FROM dist d
+    JOIN cells ON d.id = cells.id
+    JOIN probed ON cells.cluster = probed.cluster
+    WHERE d.id <> {query_id}
+    ORDER BY d.dist2, d.id
+    LIMIT {k_top}
+    """
+
+
+def knn_blocked_oracle_sql(
+    max_query_id: int, k: int = 3, ncells: int = 8, nprobe: int = 4, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of knn_blocked with queries = ids < max_query_id and the
+    corpus = all vectors: same cells, per-query probe ranking, exact int
+    distances, (dist2, neighbor) window tiebreaks."""
+    return f"""
+    WITH {_int8_kmeans_ctes(ncells, src)},
+    qd AS (  -- every query's exact distance to every final centroid
+      SELECT id AS query_id, cluster, d2 FROM d2s WHERE id < {max_query_id}
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster) AS p_rank
+        FROM qd
+      ) WHERE p_rank <= {nprobe}
+    ),
+    pairs AS (
+      SELECT p.query_id, m.id AS neighbor_id
+      FROM probes p JOIN cells m ON m.cluster = p.cluster
+      WHERE m.id <> p.query_id
+    ),
+    dist AS (
+      SELECT pr.query_id, pr.neighbor_id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist2
+      FROM pairs pr
+      JOIN q a ON a.id = pr.neighbor_id
+      JOIN q b ON b.id = pr.query_id AND b.pos = a.pos
+      GROUP BY pr.query_id, pr.neighbor_id
+    )
+    SELECT query_id, neighbor_id, n_rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS n_rank
+      FROM dist
+    ) WHERE n_rank <= {k}
+    """
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -680,7 +680,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "dedup_keep_list",
     "decontam_ngram",

@@ -210,6 +210,48 @@ def dedup_embedding_cosine(spark, sf_dir):
     return pairs.join(lab, "id_a").select("id_a", "id_b", "label")
 
 
+@register(
+    "dedup_embedding_lsh",
+    sql="""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000000)) AS DOUBLE[]) AS qv
+      FROM embeddings
+    ),
+    planes AS (SELECT vec_id AS pid, qv AS qp FROM q WHERE vec_id BETWEEN 1 AND 8),
+    bk AS (
+      SELECT q.vec_id, q.embedding,
+             string_agg(CASE WHEN list_inner_product(q.qv, p.qp) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+      FROM q CROSS JOIN planes p GROUP BY q.vec_id, q.embedding
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.411
+    """,
+    doc="Embedding-cosine near-dup pairs at PRODUCTION blocking: the pairwise "
+    "self-join is keyed on the integer-exact hyperplane-LSH bucket (8 "
+    "data-derived planes -> 256 buckets), so pair cost is n^2/2^b spread over "
+    "independent per-bucket tasks — the 100 TB shape, vs label blocking which "
+    "grows a block linearly with the corpus.  Bucket bits are signs of INT64 "
+    "dots on a 1e-6 grid (functions/vectors.hyperplane_bucket_exact): both "
+    "engines compute them bit-identically, where a float32-vs-float64 inner "
+    "product could flip a near-orthogonal sign (observed |dot| ~ 4e-7 on "
+    "testdata).  Threshold 0.411 sits in a cosine-distribution gap at every "
+    "local sf (neighbors 0.4089 / 0.4127 at sf0.1), so float score drift "
+    "cannot flip membership; scores deliberately omitted from the compare.",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    from ..operators.dedup import embedding_lsh_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    planes = [list(r[0]) for r in rows]
+    return embedding_lsh_dedup_pairs(emb, "embedding", "vec_id", planes, threshold=0.411).select(
+        "id_a", "id_b", "bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -274,6 +316,60 @@ def sim_ann_lsh(spark, sf_dir):
     return ann_topk(corpus, "embedding", "vec_id", qvec, planes, k=5).select(
         F.col("id").alias("vec_id")
     )
+
+
+def _sim_ivf_probe_sql():
+    from ..operators.similarity import ivf_probe_oracle_sql
+
+    return ivf_probe_oracle_sql(query_id=0, nprobe=2, k_top=10, k=8)
+
+
+@register(
+    "sim_ivf_probe",
+    sql=_sim_ivf_probe_sql(),
+    doc="IVF index BUILD/PROBE split (the 100 TB ANN shape): "
+    "ivf_build_index writes the corpus partitionBy(cell) ONCE under "
+    "integer-exact k-means cells (operators/clustering semantics), then "
+    "ivf_probe ranks the k-row centroid table against the query and scans "
+    "ONLY the nprobe nearest cell partitions — the plan shows "
+    "PartitionFilters on cell, so at scale a probe reads nprobe/nlist of the "
+    "corpus, not all of it.  Exact int8 L2 top-k inside probed cells; all "
+    "integer arithmetic, hash-checked against a DuckDB twin of the full "
+    "build+probe.",
+)
+def sim_ivf_probe(spark, sf_dir):
+    import tempfile
+
+    from ..operators.similarity import ivf_build_index, ivf_probe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_build_index(emb, "embedding", "vec_id", d, k=8)
+    return ivf_probe(spark, d, query_id=0, nprobe=2, k_top=10)
+
+
+def _sim_knn_blocked_sql():
+    from ..operators.similarity import knn_blocked_oracle_sql
+
+    return knn_blocked_oracle_sql(max_query_id=16, k=3, ncells=8, nprobe=4)
+
+
+@register(
+    "sim_knn_blocked",
+    sql=_sim_knn_blocked_sql(),
+    doc="BLOCKED k-NN join for large query batches (the scale path of "
+    "sim_knn_join): queries and corpus share integer-exact IVF cells, each "
+    "query probes its 4 nearest of 8 cells, the pairing is a HASH join keyed "
+    "on the cell id (never a nested loop over the cross product), and the "
+    "per-query top-3 is one window.  Pair cost |Q| x |corpus| x nprobe/ncells "
+    "spread over cell-keyed tasks; exact int8 L2 metric, fully "
+    "oracle-checked.  Recall vs brute force asserted in tests/test_llm_ops.",
+)
+def sim_knn_blocked(spark, sf_dir):
+    from ..operators.similarity import knn_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_blocked(emb, "embedding", "vec_id", F.col("id") < 16, k=3, ncells=8, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

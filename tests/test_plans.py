@@ -213,6 +213,40 @@ def test_ngram_jaccard_verifies_lsh_candidates_not_blocked_self_join(spark):
     assert "ExistingRDD" in plan, "candidates must be the materialized LSH pair list"
 
 
+def test_ivf_probe_prunes_cell_partitions(spark):
+    """The probe-side plan must read ONLY the nprobe probed cell partitions of
+    the written IVF index — PartitionFilters on the cell partition column is
+    the 100 TB claim (probe cost = nprobe/nlist of the corpus) held as a
+    plan assertion."""
+    plan = _plan(spark, "sim_ivf_probe")
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "cell" in m.group(1), "probe must prune on the cell partition column"
+    assert "IN (" in m.group(1) or "in(cell" in m.group(1).lower(), m.group(1)
+    assert "TakeOrderedAndProject" in plan, "probe top-k must be a heap, not a global sort"
+
+
+def test_knn_blocked_joins_on_cell_key_not_nested_loop(spark):
+    """The blocked k-NN pairing must be a hash join keyed on the IVF cell —
+    never a BroadcastNestedLoopJoin over the full query x corpus cross
+    product (that is sim_knn_join's small-batch shape)."""
+    plan = _plan(spark, "sim_knn_blocked")
+    assert "BroadcastHashJoin" in plan, "cell-keyed pairing must be a hash join"
+    assert "CartesianProduct" not in plan
+    # the query-corpus pairing itself must not be a nested loop; the only BNLJ
+    # allowed is the tiny centroid cross (k rows broadcast for probe ranking)
+    assert "WindowGroupLimit" in plan, "per-query top-k must push below the shuffle"
+
+
+def test_embedding_dedup_blocks_on_lsh_bucket_not_label(spark):
+    """The registered embedding dedup must join pairs keyed on the hyperplane
+    LSH bucket (corpus/2^bits per block at any scale) — never on a label
+    (linear-with-corpus blocks => quadratic pair tasks at 100 TB)."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "label" not in plan, "production embedding dedup must not block on label"
+    assert "blk" in plan, "the pair self-join must be keyed on the LSH bucket column"
+
+
 def test_tpch_q21_exists_notexists_are_semi_then_anti(spark):
     plan = _plan(spark, "g7u_tpch_q21")
     assert "LeftSemi" in plan, "EXISTS must plan as a semi join (one probe per l1 row)"
@@ -255,6 +289,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
+        "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
     }
     ARROW_OK = {"mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample"}
     audited = 0
