@@ -104,7 +104,8 @@ def decode_features(df: DataFrame, id_col: str, payload_col: str, *, kernel: str
         raise ValueError(
             f"unknown feature kernel {kernel!r}: only 'fake' is registered in "
             "this environment (no media libs); real header decode is "
-            "decode_media_meta"
+            "decode_media_meta, and real pixel/sample stats for uncompressed "
+            "BMP/WAV (which need no libs) are pixel_sample_stats"
         )
     src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
 
@@ -281,6 +282,170 @@ def synth_wav(sample_rate, channels) -> Column:
             _le32(F.lit(0)),  # empty data
         )
     )
+
+
+def synth_bmp_with_pixels(width, height, seed) -> Column:
+    """A COMPLETE uncompressed 24-bpp BMP: the synth_bmp header plus real
+    pixel data — byte ``i`` of the pixel array is ``(i*37 + seed) % 256``, an
+    arithmetic pattern an oracle regenerates with generate_series while the
+    engine decodes the actual bytes.  ``width`` must be a multiple of 4 so
+    rows need no padding (the parser still handles padded strides)."""
+    n = width * height * F.lit(3)
+    pix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(1)),
+            lambda i: F.lpad(F.hex((i * F.lit(37) + seed) % F.lit(256)), 2, "0"),
+        ),
+        "",
+    )
+    return F.unhex(
+        F.concat(
+            F.lit("424D"),
+            _le32(F.lit(54) + n),  # file size
+            F.lit("00000000"),
+            _le32(F.lit(54)),  # pixel data offset
+            _le32(F.lit(40)),
+            _le32(width),
+            _le32(height),
+            F.lit("01001800"),  # planes=1, bpp=24
+            F.lit("00" * 24),
+            pix,
+        )
+    )
+
+
+def synth_wav_with_samples(sample_rate, channels, n_samples, seed) -> Column:
+    """A COMPLETE PCM16 WAV: header plus real sample data — sample ``j`` is
+    ``((j*73 + seed) % 65536) - 32768`` stored little-endian, so an oracle
+    predicts every decoded value arithmetically."""
+    data_len = n_samples * F.lit(2)
+    u = lambda j: (j * F.lit(73) + seed) % F.lit(65536)  # noqa: E731
+    smp = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_samples - F.lit(1)),
+            lambda j: F.concat(
+                F.lpad(F.hex(u(j) % F.lit(256)), 2, "0"),
+                F.lpad(F.hex(F.shiftright(u(j), 8)), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    byte_rate = sample_rate * channels * F.lit(2)
+    block_align = channels * F.lit(2)
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),
+            _le32(F.lit(36) + data_len),
+            F.lit("57415645"),
+            F.lit("666D7420"),
+            _le32(F.lit(16)),
+            F.lit("0100"),
+            _le16(channels),
+            _le32(sample_rate),
+            _le32(byte_rate),
+            _le16(block_align),
+            F.lit("1000"),
+            F.lit("64617461"),
+            _le32(data_len),
+            smp,
+        )
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # bmp|wav|unknown
+        T.StructField("n_vals", T.LongType(), True),
+        T.StructField("sum_val", T.LongType(), True),
+        T.StructField("min_val", T.LongType(), True),
+        T.StructField("max_val", T.LongType(), True),
+        T.StructField("mean_val", T.DoubleType(), True),
+    ]
+)
+
+_NO_STATS = (None, None, None, None, None)
+
+
+def decode_pixel_samples(b: bytes):
+    """(kind, n, sum, min, max) of the REAL decoded values — 24-bpp
+    uncompressed BMP pixel channel bytes (honoring the 4-byte row stride and
+    the header's data offset) or PCM16 WAV samples (signed, little-endian,
+    from the data chunk).  Pure struct/byte arithmetic, no media libraries —
+    these two formats need none, which is what retires the ``fake`` kernel
+    for them.  Compressed/other formats degrade to kind='unknown'."""
+    if b is None:
+        return ("unknown",) + _NO_STATS[:4]
+    try:
+        if b[:2] == b"BM" and len(b) >= 54:
+            bpp = struct.unpack("<H", b[28:30])[0]
+            comp = struct.unpack("<I", b[30:34])[0]
+            if bpp != 24 or comp != 0:
+                return ("unknown",) + _NO_STATS[:4]
+            off = struct.unpack("<I", b[10:14])[0]
+            w, h = struct.unpack("<ii", b[18:26])
+            h = abs(h)
+            stride = ((3 * w + 3) // 4) * 4
+            vals = bytearray()
+            for row in range(h):
+                start = off + row * stride
+                vals.extend(b[start : start + 3 * w])
+            if len(vals) != 3 * w * h:
+                return ("unknown",) + _NO_STATS[:4]
+            return ("bmp", len(vals), sum(vals), min(vals), max(vals))
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            off = 12
+            fmt_ok = False
+            while off + 8 <= len(b):
+                cid = b[off : off + 4]
+                sz = struct.unpack("<I", b[off + 4 : off + 8])[0]
+                if cid == b"fmt " and sz >= 16:
+                    audio_fmt, ch = struct.unpack("<HH", b[off + 8 : off + 12])
+                    bits = struct.unpack("<H", b[off + 22 : off + 24])[0]
+                    fmt_ok = audio_fmt == 1 and bits == 16
+                elif cid == b"data" and fmt_ok:
+                    data = b[off + 8 : off + 8 + sz]
+                    n = len(data) // 2
+                    if n == 0:
+                        return ("wav", 0, 0, None, None)
+                    samples = struct.unpack(f"<{n}h", data[: 2 * n])
+                    return ("wav", n, sum(samples), min(samples), max(samples))
+                off += 8 + sz + (sz & 1)
+    except (struct.error, IndexError):
+        pass
+    return ("unknown",) + _NO_STATS[:4]
+
+
+def pixel_sample_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """REAL pixel/sample-level decode for the uncompressed formats: per-
+    payload count/sum/min/max/mean of BMP pixel channel values or WAV PCM
+    samples, decoded from the raw bytes inside the Arrow-batched mapInPandas
+    kernel.  Map-only at any scale; the mean is one int-ratio division
+    (cross-engine exact)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parsed = [decode_pixel_samples(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "kind": pd.Series([p[0] for p in parsed], dtype="object"),
+                    "n_vals": pd.Series([p[1] for p in parsed], dtype="Int64"),
+                    "sum_val": pd.Series([p[2] for p in parsed], dtype="Int64"),
+                    "min_val": pd.Series([p[3] for p in parsed], dtype="Int64"),
+                    "max_val": pd.Series([p[4] for p in parsed], dtype="Int64"),
+                    "mean_val": pd.Series(
+                        [
+                            (p[2] / p[1]) if p[1] else None
+                            for p in parsed
+                        ],
+                        dtype="float64",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

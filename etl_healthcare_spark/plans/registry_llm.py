@@ -541,6 +541,74 @@ def q_mm_header_decode(spark, sf_dir):
 
 
 @register(
+    "mm_pixel_stats",
+    sql="""
+    WITH src AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+    bmp AS (
+      SELECT doc_id, 4 * (1 + doc_id % 4) AS w, 3 + doc_id % 5 AS h, doc_id % 251 AS seed
+      FROM src WHERE doc_id % 2 = 0
+    ),
+    bmp_idx AS (
+      SELECT doc_id, seed, unnest(generate_series(0, 3 * w * h - 1)) AS i FROM bmp
+    ),
+    bmp_stats AS (
+      SELECT doc_id, count(*) AS n_vals, CAST(sum((i * 37 + seed) % 256) AS BIGINT) AS sum_val,
+             min((i * 37 + seed) % 256) AS min_val, max((i * 37 + seed) % 256) AS max_val
+      FROM bmp_idx GROUP BY doc_id
+    ),
+    wav AS (
+      SELECT doc_id, 16 + (doc_id % 16) * 4 AS n, doc_id % 251 AS seed
+      FROM src WHERE doc_id % 2 = 1
+    ),
+    wav_idx AS (  -- stored uint16 u; its int16 reading is u - 65536 iff u >= 32768
+      SELECT doc_id,
+             (j * 73 + seed) % 65536
+               - CASE WHEN (j * 73 + seed) % 65536 >= 32768 THEN 65536 ELSE 0 END AS v
+      FROM (SELECT doc_id, seed, unnest(generate_series(0, n - 1)) AS j FROM wav)
+    ),
+    wav_stats AS (
+      SELECT doc_id, count(*) AS n_vals, CAST(sum(v) AS BIGINT) AS sum_val,
+             min(v) AS min_val, max(v) AS max_val
+      FROM wav_idx GROUP BY doc_id
+    )
+    SELECT doc_id AS id, 'bmp' AS kind, n_vals, sum_val, min_val, max_val,
+           CAST(sum_val AS DOUBLE) / n_vals AS mean_val
+    FROM bmp_stats
+    UNION ALL
+    SELECT doc_id, 'wav', n_vals, sum_val, min_val, max_val,
+           CAST(sum_val AS DOUBLE) / n_vals
+    FROM wav_stats
+    """,
+    doc="REAL pixel/sample-level multimodal decode (no media libs needed for "
+    "uncompressed formats): complete 24-bpp BMPs and PCM16 WAVs are "
+    "synthesized with genuine pixel/sample data following an arithmetic "
+    "pattern, then decode_pixel_samples parses the actual bytes — header "
+    "offsets, row strides, signed little-endian samples — inside the "
+    "Arrow-batched mapInPandas kernel and emits count/sum/min/max/mean.  The "
+    "oracle regenerates the same values with generate_series, so a decoder "
+    "bug (stride, offset, sign, endianness) cannot hash-match.  This retires "
+    "kernel='fake' for the two formats pure Python can decode.",
+)
+def q_mm_pixel_stats(spark, sf_dir):
+    from ..operators.multimodal import (
+        pixel_sample_stats,
+        synth_bmp_with_pixels,
+        synth_wav_with_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1500)
+    d = F.col("doc_id")
+    payload = F.when(
+        d % 2 == 0,
+        synth_bmp_with_pixels(F.lit(4) * (F.lit(1) + d % 4), F.lit(3) + d % 5, d % 251),
+    ).otherwise(
+        synth_wav_with_samples(F.lit(8000), F.lit(1), F.lit(16) + (d % 16) * 4, d % 251)
+    )
+    media = docs.select("doc_id", payload.alias("payload"))
+    return pixel_sample_stats(media, "doc_id", "payload")
+
+
+@register(
     "mm_resize_plan",
     sql="""
     WITH img AS (

@@ -389,3 +389,41 @@ def test_knn_blocked_full_recall_on_clustered_data_with_narrow_probe(spark):
     structure, which is what IVF assumes."""
     emb = _clustered_vectors(spark).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
     assert _knn_blocked_recall(spark, emb, ncells=3, nprobe=2, n_queries=6) == 1.0
+
+
+def test_decode_pixel_samples_bmp_row_padding_and_wav_sign():
+    """decode_pixel_samples against hand-built bytes: a 24-bpp BMP whose
+    width is NOT a multiple of 4 (rows padded to a 4-byte stride — padding
+    bytes must not leak into the stats) and a PCM16 WAV with negative
+    samples (sign/endianness)."""
+    import struct as st
+
+    from etl_healthcare_spark.operators.multimodal import decode_pixel_samples
+
+    # BMP 2x2 @24bpp: row data 6 bytes -> stride 8 (2 pad bytes of 0xFF that
+    # must be ignored).  Pixel bytes: row0 = 1..6, row1 = 7..12.
+    w, h = 2, 2
+    stride = 8
+    header = (
+        b"BM" + st.pack("<I", 54 + stride * h) + b"\x00" * 4 + st.pack("<I", 54)
+        + st.pack("<I", 40) + st.pack("<ii", w, h) + st.pack("<HH", 1, 24)
+        + st.pack("<I", 0) + b"\x00" * 20
+    )
+    rows = bytes(range(1, 7)) + b"\xff\xff" + bytes(range(7, 13)) + b"\xff\xff"
+    kind, n, s, mn, mx = decode_pixel_samples(header + rows)
+    assert (kind, n, s, mn, mx) == ("bmp", 12, sum(range(1, 13)), 1, 12)
+
+    # WAV with samples [-32768, -1, 0, 32767]
+    samples = [-32768, -1, 0, 32767]
+    data = b"".join(st.pack("<h", v) for v in samples)
+    wav = (
+        b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16) + st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + st.pack("<I", len(data)) + data
+    )
+    kind, n, s, mn, mx = decode_pixel_samples(wav)
+    assert (kind, n, s, mn, mx) == ("wav", 4, -2, -32768, 32767)
+
+    # compressed/foreign payloads degrade, never raise
+    assert decode_pixel_samples(b"\x89PNG\r\n\x1a\x00junk")[0] == "unknown"
+    assert decode_pixel_samples(None)[0] == "unknown"

@@ -291,7 +291,10 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
         "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
     }
-    ARROW_OK = {"mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample"}
+    ARROW_OK = {
+        "mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample",
+        "mm_pixel_stats",
+    }
     audited = 0
     for name in REGISTRY:
         if name in SIDE_EFFECTING:
