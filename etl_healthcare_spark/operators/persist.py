@@ -144,8 +144,14 @@ class ParquetStateStore:
             )
             return new_state.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
 
-        tenants = [r[0] for r in batch.select("tenantId").distinct().collect()]
-        state = self.read().where(F.col("tenantId").isin(tenants))
+        # prune the state scan to the batch's tenants via a BROADCAST SEMI-JOIN
+        # on the partition column — dynamic partition pruning reuses the
+        # broadcast to skip non-batch tenant directories at the scan, with no
+        # driver-side collect: a million-partition batch would have made the
+        # old collect+isin build a giant literal list on the driver, while a
+        # semi-join prune is shape-identical at any tenant cardinality
+        tenant_ids = F.broadcast(batch.select("tenantId").distinct())
+        state = self.read().join(tenant_ids, "tenantId", "left_semi")
         # localCheckpoint (eager) BEFORE the overwrite: the merged plan reads
         # the same path it is about to rewrite — without cutting lineage here,
         # any later evaluation (the commit log) would silently re-read the

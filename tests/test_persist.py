@@ -133,15 +133,22 @@ def test_merge_reads_and_rewrites_only_batch_tenant_partitions(spark, tmp_path):
 
     before = t2_files()
 
-    # (a) read side: the state scan a merge performs prunes to batch tenants
-    state_scan = store.read().where(F.col("tenantId").isin(["t1"]))
+    # (a) read side: the state scan a merge performs prunes to batch tenants —
+    # the semi-join prune (no driver collect) must reach the scan as a
+    # dynamic partition pruning filter on the tenantId partition column
+    batch_t1 = dedup_batch(_batch(spark, [_row(tenant="t1", idk="k9")]))
+    state_scan = store.read().join(
+        F.broadcast(batch_t1.select("tenantId").distinct()), "tenantId", "left_semi"
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         state_scan.explain("formatted")
     plan = buf.getvalue()
     # (inputFiles() lists the relation pre-pruning, so the plan's
     # PartitionFilters entry is the authoritative read-side evidence)
-    assert "PartitionFilters" in plan and "tenantId" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "PartitionFilters" in plan and "tenantId" in pf
+    assert "dynamicpruning" in pf.lower(), "semi-join prune must reach the scan as DPP"
 
     # (b) write side: a t1-only merge leaves t2's files byte-for-byte alone
     store.merge(_batch(spark, [_row(tenant="t1", value=5.0, idk="k9")]), updated_at=t0)
