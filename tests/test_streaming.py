@@ -315,3 +315,70 @@ def test_moments_stream_equals_batch_sketch(spark, tmp_path):
     want = sorted(map(tuple, group_moments(events, "event_type", "value").collect()))
     assert got == want
     assert got[0] == ("click", 2, 375, 125 * 125 + 250 * 250)
+
+
+def test_crash_recovery_replays_uncommitted_batch_exactly_once(spark, tmp_path):
+    """The reference's core claim (docs/VALIDATION.md:198-215) as a kill-and-
+    restart test: crash AFTER the idempotent merge of a micro-batch but
+    BEFORE its checkpoint commit, restart from the same checkpoint, and the
+    engine must deliver exactly-once EFFECT — the replayed batch merges as
+    all-noop (no duplicate effect, no version bump), later batches still
+    arrive (no loss), every entity lands exactly once."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    input_dir = str(tmp_path / "in")
+    quarantine = str(tmp_path / "dlq")
+    checkpoint = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    for i in range(4):
+        _rows(spark, [_row(f"e{i}", float(i))]).repartition(1).write.mode("append").parquet(input_dir)
+
+    ledger = []
+
+    def transform(batch):
+        res = split_valid(batch, dto_rules())
+        return res.valid, res.rejected
+
+    def make_sink(crash_from_epoch):
+        def sink(valid, epoch_id):
+            if valid.take(1):
+                log = store.merge(valid, updated_at=dt.datetime(2025, 1, 2))
+                ledger.append((epoch_id, sorted((r.entityId, r.action) for r in log.collect())))
+            if crash_from_epoch is not None and epoch_id >= crash_from_epoch:
+                raise RuntimeError("injected crash after merge, before checkpoint commit")
+        return sink
+
+    schema = _rows(spark, []).schema
+    q = run_micro_batch_pipeline(
+        file_stream(spark, input_dir, schema, max_files_per_trigger=1),
+        transform, make_sink(1), quarantine, checkpoint, available_now=True,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert len(ledger) == 2, "crash must land after batch 1's merge"
+    # the commit log covers every key of the batch's tenants; the EFFECTIVE
+    # writes (insert/update) are what exactly-once is about
+    effective = lambda entry: {e for e, a in entry if a != "noop"}  # noqa: E731
+    crashed_writes = effective(ledger[-1][1])  # merged but never checkpoint-committed
+    assert crashed_writes, "the crashed batch must have performed a real write"
+
+    # restart from the SAME checkpoint with a healthy sink
+    q2 = run_micro_batch_pipeline(
+        file_stream(spark, input_dir, schema, max_files_per_trigger=1),
+        transform, make_sink(None), quarantine, checkpoint, available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    # the uncommitted batch was REPLAYED (its entities reappear in the next
+    # merge's log) but the idempotent merge absorbed it: zero effective
+    # writes for the already-persisted entities — no second insert, ever
+    assert len(ledger) > 2, "restart must replay the batch whose commit was lost"
+    replay_entities = {e for e, _ in ledger[2][1]}
+    assert crashed_writes <= replay_entities, "replayed batch must cover the crashed rows"
+    for _, entry in ledger[2:]:
+        assert not (effective(entry) & crashed_writes), "a crashed-batch row was re-applied"
+    # end-to-end: no loss, no duplication, no double version bump
+    state = store.read().collect()
+    assert sorted(r.entityId for r in state) == [f"e{i}" for i in range(4)]
+    assert {r.version for r in state} == {1}
