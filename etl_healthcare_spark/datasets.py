@@ -17,6 +17,19 @@ from .schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table, normalizing timestamp physical types.
+
+    SIDE EFFECT on the caller's session (deliberate, harness-wide): pins
+    ``spark.sql.session.timeZone=UTC`` — every registry query's oracle compare
+    assumes UTC wall-clock semantics (unix_micros == DuckDB epoch_us on the
+    naive parquet value), and date/time functions (to_date, date_format,
+    window) must agree between a batch run and the oracle regardless of how
+    the caller built the session.  Pinned unconditionally (not only when an
+    NTZ column is present) so the guarantee also covers legacy
+    TIMESTAMP(NANOS) testdata; a caller needing a non-UTC session should use
+    its own loader.  Also sets ``spark.sql.legacy.parquet.nanosAsLong`` for
+    the events table (older testdata wrote TIMESTAMP(NANOS) parquet)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # older driver testdata wrote TIMESTAMP(NANOS) parquet; set the
         # runtime conf so any caller-provided session can read it
@@ -29,13 +42,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # current driver testdata writes tz-less timestamp[us] parquet, which Spark
     # surfaces as TIMESTAMP_NTZ.  Normalize to TimestampType so downstream
-    # epoch/tz functions (unix_micros, window, to_date) resolve; pin the
-    # session timezone to UTC first so the NTZ->LTZ cast is the identity on
-    # the wall clock and unix_micros == DuckDB's epoch_us on the naive value,
-    # regardless of how the caller built the session.
+    # epoch/tz functions (unix_micros, window, to_date) resolve; under the UTC
+    # pin above the NTZ->LTZ cast is the identity on the wall clock.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
