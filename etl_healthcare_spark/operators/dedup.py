@@ -407,6 +407,91 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    return_rounds: bool = False,
+):
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    — the chain-safe fallback connected_components' docstring cites.
+
+    Min-label propagation needs diameter-many rounds, so a path-shaped
+    candidate graph (chained near-dups: A~B~C~...) degrades to O(n) shuffles.
+    The star operators square the diameter away: large-star hangs every
+    neighbor v > u under m = min(N(u) ∪ {u}); small-star re-hangs the small
+    neighbors; each round is two groupBy+join shuffles on node id (the same
+    building blocks as the min-label loop) and the edge set converges to
+    per-component stars rooted at the component minimum in O(log n) rounds
+    (property-tested on path graphs in tests/test_property.py).
+
+    Returns (node, cluster_id) — identical labels to connected_components
+    (cluster id = component minimum), so the two methods are interchangeable
+    under any oracle.  ``return_rounds=True`` returns (labels, rounds) for
+    round-complexity assertions."""
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    nodes = p.select("a").union(p.select("b")).distinct().localCheckpoint(eager=True)
+    edges = (
+        p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame):
+        # O(1)-output convergence probe: multiset fingerprint of the edge set
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.sum("a").alias("sa"),
+            F.sum("b").alias("sb"),
+            # xor, not sum: a full-range int64 hash sum overflows under ANSI;
+            # edges are distinct so xor is an exact set fingerprint
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (r.n, r.sa, r.sb, r.h)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        j = e.join(m, "a")
+        out = j.where(F.col("b") > F.col("a")).select(F.col("b").alias("a"), F.col("m").alias("b"))
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge large->small, then hang each node's small
+        # neighbors (and itself) under the minimum
+        o = e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        m = o.groupBy("a").agg(F.min("b").alias("m"))
+        j = o.join(m, "a")
+        out = j.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+            m.select(F.col("a"), F.col("m").alias("b"))
+        )
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    rounds = 0
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # symmetrize for large-star (it reasons over full neighborhoods)
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        edges = small_star(large_star(sym)).localCheckpoint(eager=True)
+        rounds += 1
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: edges are (node, component-min) stars; roots carry themselves
+    parents = edges.groupBy("a").agg(F.min("b").alias("lbl")).select(
+        F.col("a").alias("node"), "lbl"
+    )
+    labels = (
+        nodes.select(F.col("a").alias("node"))
+        .join(parents, "node", "left")
+        .select("node", F.coalesce("lbl", F.col("node")).alias("cluster_id"))
+    )
+    return (labels, rounds) if return_rounds else labels
+
+
 def dedup_keep_list(df: DataFrame, id_col: str, clusters: DataFrame) -> DataFrame:
     """The final curation decision: every document labeled with its duplicate
     cluster and a kept flag (keeper = min id in cluster; singletons keep

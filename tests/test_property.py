@@ -246,3 +246,41 @@ def test_hll_error_envelope(spark, n, seed):
     )
     est = hll_distinct(df, "grp", "item").collect()[0].hll_estimate
     assert abs(est - n) / n < 0.30  # ~4.6 sigma at m=256
+
+
+def test_cc_star_path_graph_logarithmic_rounds(spark):
+    """Chain-shaped graphs are min-label's worst case (rounds = diameter);
+    the large-star/small-star fallback must label a 256-node path in
+    O(log n) rounds — and produce the same (node, component-min) labels."""
+    import math
+
+    from etl_healthcare_spark.operators.dedup import connected_components_star
+
+    n = 256
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    labels, rounds = connected_components_star(pairs, return_rounds=True)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}, "every path node joins the min-rooted component"
+    assert rounds <= 2 * int(math.log2(n)) + 4, f"{rounds} rounds is not O(log n) on a path"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_star_matches_minlabel_on_random_graphs(spark, edges):
+    """The two CC methods are interchangeable: identical labels on arbitrary
+    small graphs (self-loops and duplicate edges included)."""
+    from etl_healthcare_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.node: r.cluster_id for r in connected_components_star(pairs).collect()}
+    minl = {r.node: r.cluster_id for r in connected_components(pairs, max_iter=100).collect()}
+    assert star == minl
