@@ -202,6 +202,18 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
 
 
+def test_doc_counts_match_live_registry():
+    """COVERAGE.md and QUERIES.md must state the real registry size — doc
+    drift was a round-2 finding; this pins the counts to the live registry."""
+    total = len(REGISTRY)
+    rows_only = sum(1 for q in REGISTRY.values() if q.sql is None)
+    cov = open("/root/repo/COVERAGE.md").read()
+    assert f"{total} declared" in cov, f"COVERAGE.md must declare {total} queries"
+    assert f"{total - rows_only} oracle-checked, {rows_only} rows-only" in cov
+    qmd = open("/root/repo/QUERIES.md").read()
+    assert qmd.count("| `") == total, "QUERIES.md row count must match the registry"
+
+
 def test_ngram_jaccard_verifies_lsh_candidates_not_blocked_self_join(spark):
     """The registered jaccard query must be the verification shape: exact
     intersections only for LSH candidate pairs.  A blocked shingle self-join
