@@ -43,6 +43,11 @@ HEADLINE = [
     "sketch_hll_distinct",   # HLL registers + exact-distinct comparison
     "graph_pagerank",        # LSH graph + 2 integer PageRank rounds
     "anomaly_zscore",        # moment sketch broadcast + map flagging
+    # round-3 additions (prior sets stay cross-round comparable)
+    "dedup_embedding_lsh",   # bucket-blocked pairwise cosine (production shape)
+    "sim_ivf_probe",         # IVF build + partition-pruned probe
+    "sim_knn_blocked",       # cell-blocked batch k-NN (hash join on cell)
+    "mm_pixel_stats",        # real BMP/WAV pixel+sample decode in mapInPandas
 ]
 
 
