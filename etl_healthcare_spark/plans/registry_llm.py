@@ -196,8 +196,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.402
     """,
-    doc="Embedding-cosine near-dup pairs, label-blocked (the verification "
-    "stage after LSH candidate generation).  Threshold 0.402 sits in a "
+    doc="Embedding-cosine near-dup pairs, label-blocked — the small-scale "
+    "verification-stage demo (a label block grows with the corpus; the "
+    "PRODUCTION shape is dedup_embedding_lsh, which blocks on the "
+    "integer-exact hyperplane-LSH bucket).  Threshold 0.402 sits in a "
     "distribution gap (neighbors 0.3983 / 0.4071) so float32-vs-float64 "
     "engine differences cannot flip membership; scores deliberately omitted.",
 )

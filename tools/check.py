@@ -63,38 +63,38 @@ def main():
         try:
             sdf = qd.fn(spark, sf_dir).toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: SPARK ERROR {str(e)[:300]}")
+            print(f"FAIL  {name}: SPARK ERROR {str(e)[:300]}", flush=True)
             n_fail += 1
             continue
         if qd.sql is None:
-            print(f"rows  {name}: rows-only check, {len(sdf)} rows")
+            print(f"rows  {name}: rows-only check, {len(sdf)} rows", flush=True)
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(qd.sql).df()
         except Exception as e:
-            print(f"FAIL  {name}: ORACLE ERROR {str(e)[:300]}")
+            print(f"FAIL  {name}: ORACLE ERROR {str(e)[:300]}", flush=True)
             n_fail += 1
             continue
         sn, sc, sh, srows = frame_hash(sdf)
         on, oc, oh, orows = frame_hash(odf)
         if sc != oc:
-            print(f"FAIL  {name}: columns spark={sc} oracle={oc}")
+            print(f"FAIL  {name}: columns spark={sc} oracle={oc}", flush=True)
             n_fail += 1
         elif sn != on:
-            print(f"FAIL  {name}: rowcount spark={sn} oracle={on}")
+            print(f"FAIL  {name}: rowcount spark={sn} oracle={on}", flush=True)
             only_s = [r for r in srows if r not in set(orows)][:3]
             only_o = [r for r in orows if r not in set(srows)][:3]
             print(f"      spark-only: {only_s}\n      oracle-only: {only_o}")
             n_fail += 1
         elif sh != oh:
-            print(f"FAIL  {name}: value hash spark={sh} oracle={oh} ({sn} rows)")
+            print(f"FAIL  {name}: value hash spark={sh} oracle={oh} ({sn} rows)", flush=True)
             only_s = [r for r in srows if r not in set(orows)][:3]
             only_o = [r for r in orows if r not in set(srows)][:3]
             print(f"      spark-only: {only_s}\n      oracle-only: {only_o}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {sn} rows hash={sh}")
+            print(f"PASS  {name}: {sn} rows hash={sh}", flush=True)
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
