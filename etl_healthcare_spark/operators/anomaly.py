@@ -56,9 +56,14 @@ def zscore_flags(
     joined = df.select(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp"), v.alias("v_cents")
     ).join(F.broadcast(moments), "grp")
-    dev = dec(F.col("n") * F.col("v_cents") - F.col("s"))
+    # promote to decimal(38,0) BEFORE any product: n*q and s*s overflow int64
+    # past ~10^5 rows/group x 10^4.7 cents (hit at sf1.0: 2M rows/group), and
+    # DuckDB's side is already HUGEINT because sum() auto-promotes
+    dev = dec(F.col("n")) * dec(F.col("v_cents")) - dec(F.col("s"))
     lhs = dev * dev * dec(F.col("n") - 1)
-    rhs = dec(F.lit(z * z) * F.col("n")) * dec(F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    rhs = dec(F.lit(z * z)) * dec(F.col("n")) * (
+        dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s"))
+    )
     return joined.where((F.col("n") > 1) & (dev > 0) & (lhs > rhs)).select(
         "grp", "id", "v_cents", "n"
     )
