@@ -21,6 +21,27 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dimension dot product as an UNROLLED sum of indexed products.
+
+    ``zip_with``/``aggregate`` are CodegenFallback expressions — Spark
+    evaluates them INTERPRETED, ~20x slower than generated code, which is
+    fatal when the dot sits in a join condition evaluated per candidate pair
+    (10^8 pairs at corpus scale — measured as multi-minute stragglers at
+    sf1.0).  Indexed element_at products compile through whole-stage codegen.
+    The sum associates left-to-right exactly like the 0.0-seeded fold
+    ((0+x0)+x1)+... == (x0+x1)+... since 0.0+x0 is exact — bit-identical
+    results, so oracle hashes are unchanged."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 

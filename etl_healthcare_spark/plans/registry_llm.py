@@ -194,7 +194,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.402
+    WHERE a.vec_id < 5000 AND b.vec_id < 5000
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.402
     """,
     doc="Embedding-cosine near-dup pairs, label-blocked — the small-scale "
     "verification-stage demo (a label block grows with the corpus; the "
@@ -206,8 +207,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     from ..operators.dedup import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, "embedding", "vec_id", block_col="label", threshold=0.402)
+    # bounded demo: vec_id < 5000 covers EVERY vector at the driver SFs
+    # (<= 2000 rows, results and hashes unchanged) while keeping the
+    # label-block quadratic in check at validation scale — a label block
+    # over the full corpus is 2e9 pairs at sf1.0, which is exactly why the
+    # production shape is dedup_embedding_lsh
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5000)
+    pairs = embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", block_col="label", threshold=0.402, dim=64
+    )
     lab = emb.select(F.col("vec_id").alias("id_a"), "label")
     return pairs.join(lab, "id_a").select("id_a", "id_b", "label")
 
@@ -249,9 +257,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     rows = emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
     planes = [list(r[0]) for r in rows]
-    return embedding_lsh_dedup_pairs(emb, "embedding", "vec_id", planes, threshold=0.411).select(
-        "id_a", "id_b", "bucket"
-    )
+    return embedding_lsh_dedup_pairs(
+        emb, "embedding", "vec_id", planes, threshold=0.411, dim=64
+    ).select("id_a", "id_b", "bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -250,13 +250,17 @@ def test_knn_blocked_joins_on_cell_key_not_nested_loop(spark):
 
 
 def test_embedding_dedup_blocks_on_lsh_bucket_not_label(spark):
-    """The registered embedding dedup must join pairs keyed on the hyperplane
-    LSH bucket (corpus/2^bits per block at any scale) — never on a label
-    (linear-with-corpus blocks => quadratic pair tasks at 100 TB)."""
+    """The registered embedding dedup must group pairs by the hyperplane LSH
+    bucket (corpus/2^bits per block at any scale) — never by a label
+    (linear-with-corpus blocks => quadratic pair tasks at 100 TB) — and the
+    only per-pair work happens inside the declared per-bucket Arrow GEMM
+    kernel, one partition-parallel group per bucket."""
     plan = _plan(spark, "dedup_embedding_lsh")
     assert "CartesianProduct" not in plan
     assert "label" not in plan, "production embedding dedup must not block on label"
-    assert "blk" in plan, "the pair self-join must be keyed on the LSH bucket column"
+    assert "__lsh_bkt" in plan, "grouping must be keyed on the LSH bucket column"
+    assert "FlatMapGroupsInPandas" in plan, "pair scoring must be the per-bucket Arrow kernel"
+    assert "BatchEvalPython" not in plan
 
 
 def test_tpch_q21_exists_notexists_are_semi_then_anti(spark):
@@ -306,6 +310,9 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
     ARROW_OK = {
         "mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample",
         "mm_pixel_stats",
+        # per-bucket numpy GEMM pair scorer — the declared embedding-dedup
+        # Arrow slot (operators/dedup.embedding_lsh_dedup_pairs)
+        "dedup_embedding_lsh",
     }
     audited = 0
     for name in REGISTRY:
