@@ -30,11 +30,18 @@ from pyspark.sql import functions as F
 from ..functions.vectors import dot  # noqa: F401  (kept: float-space helpers live together)
 
 
-def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+def quantized_vectors(df: DataFrame, vec_col: str, id_col: str, center: int = 0) -> DataFrame:
     """(id, qv array<long>) — the int8 code of each embedding, as an array.
 
     Same per-dimension min/max affine map as operators/quantize.int8_quantize
     (bit-identical IEEE parse tree), kept in array form for distance math.
+
+    ``center`` shifts every code by -center (e.g. 128 → codes in
+    [-128, 127]).  A common integer shift changes NO pairwise L2 distance
+    (so k-means clustering is identical), but it re-centers dot products:
+    cosine over centered codes tracks true float cosine, where cosine over
+    the raw non-negative [0, 255] codes is compressed into [0.85, 1.0]
+    (measured on testdata) and cannot separate near-dups from the bulk.
     """
     ex = df.select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "xf"))
     ex = ex.withColumn("x", F.col("xf").cast("double"))
@@ -48,6 +55,8 @@ def quantized_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
             )
         ),
     )
+    if center:
+        q = q.withColumn("q", F.col("q") - F.lit(int(center)))
     return q.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "q"))), lambda s: s["q"]
@@ -74,7 +83,11 @@ def _update(assigned: DataFrame) -> DataFrame:
     """New centroids: element-wise floor-mean of members (exact integers)."""
     ex = assigned.select("cluster", F.posexplode("qv").alias("pos", "q"))
     means = ex.groupBy("cluster", "pos").agg(
-        (F.sum("q") / F.count(F.lit(1))).cast("long").alias("c")  # floor: values >= 0
+        # true floor (not cast-truncation) so centered codes (negatives,
+        # quantized_vectors center=128) floor-mean identically to DuckDB;
+        # for the non-negative raw codes floor == truncation, so
+        # cluster_kmeans results are unchanged.
+        F.floor(F.sum("q") / F.count(F.lit(1))).alias("c")
     )
     return means.groupBy("cluster").agg(
         F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("cv")
@@ -99,6 +112,197 @@ def kmeans_int8(
         centroids = _update(assigned)
         assigned = _assign(vecs, centroids)
     return assigned.select("id", "cluster", "dist2")
+
+
+def _idot(a, b):
+    """Exact integer dot product of two long arrays (order-free sum)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    rounds: int = 1,
+    tau_num: int = 45,
+    tau_den: int = 100,
+    kernel: str = "expr",
+    gemm_block: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means topic clusters as the
+    blocking key, pairwise cosine ONLY within a cluster (Abbas et al.,
+    "SemDeDup", arXiv:2303.09540 — cluster embeddings, then prune
+    within-cluster ε-balls).  No reference analog; north-star LLM-pipeline
+    layer like operators/dedup.py.
+
+    Everything is integer-exact, so the result is engine-independent and
+    hash-checkable: codes are CENTERED int8 (quantized_vectors center=128 —
+    same clusters as the raw codes, truer cosines), the near-dup test
+    ``cos(a,b) >= tau_num/tau_den`` is decided by cross-multiplied int64
+    squares (dot>0 AND dot^2*tau_den^2 >= tau_num^2*|a|^2*|b|^2) — no sqrt,
+    no float boundary.  Bounds: dim 64 x 128^2 -> dot <= 2^20, dot^2*den^2
+    <= 2^54 — comfortably inside int64 on both engines.
+
+    Scale shape: the cluster id is the blocking key, so pair cost is
+    n^2/k spread over k independent tasks — at 100 TB, k grows with the
+    corpus (SemDeDup uses ~100k clusters for billions of docs) and the
+    cluster id becomes a written partition column, exactly like the LSH
+    bucket in operators/dedup.embedding_lsh_dedup_pairs.  ``kernel="expr"``
+    (default, registered) is the pure-Catalyst self-join — zero Python;
+    ``kernel="arrow"`` is the per-cluster int64 GEMM
+    (groupBy(cluster).applyInPandas) for oversized clusters — and because
+    the math is INTEGER, the two kernels agree bit-for-bit (asserted in
+    tests), unlike the float GEMM where only gap-separated thresholds are
+    safe.
+
+    Returns (id_a, id_b, cluster) with id_a < id_b.
+    """
+    vecs = quantized_vectors(df, vec_col, id_col, center=128)
+    centroids = (
+        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(rounds):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    # one cluster-keyed shuffle for the self-pairing; the fold/GEMM below is
+    # the only per-pair work
+    if kernel == "expr":
+        a = assigned.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"), "cluster")
+        b = assigned.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"), "cluster")
+        dot = _idot(F.col("qa"), F.col("qb"))
+        naa = _idot(F.col("qa"), F.col("qa"))
+        nbb = _idot(F.col("qb"), F.col("qb"))
+        return (
+            a.join(b, "cluster")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                (dot > 0)
+                & (dot * dot * F.lit(tau_den * tau_den) >= F.lit(tau_num * tau_num) * naa * nbb)
+            )
+            .select("id_a", "id_b", "cluster")
+        )
+    if kernel != "arrow":
+        raise ValueError(f"unknown kernel {kernel!r}: 'expr' or 'arrow'")
+    import numpy as np
+    import pandas as pd
+
+    t2n, t2d = tau_num * tau_num, tau_den * tau_den
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        n2 = (m * m).sum(axis=1)
+        out_a, out_b = [], []
+        for lo in range(0, len(ids), gemm_block):
+            hi = min(lo + gemm_block, len(ids))
+            d = m[lo:hi] @ m.T  # exact int64 GEMM
+            ok = (d > 0) & (d * d * t2d >= t2n * np.outer(n2[lo:hi], n2))
+            ia, ib = np.where(ok)
+            keep = ids[lo + ia] < ids[ib]
+            out_a.append(ids[lo + ia][keep])
+            out_b.append(ids[ib][keep])
+        empty = np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else empty,
+                "id_b": np.concatenate(out_b) if out_b else empty,
+                "cluster": pdf["cluster"].iloc[0],
+            }
+        )
+
+    return (
+        assigned.select("id", "qv", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(score, "id_a long, id_b long, cluster long")
+    )
+
+
+def semantic_keep(df: DataFrame, vec_col: str, id_col: str, **kw) -> DataFrame:
+    """SemDeDup keep-list: survivors after dropping the LARGER id of every
+    within-cluster near-dup pair (deterministic tie-free rule; the kept doc
+    is each ε-group's minimum id).  Returns (id, cluster)."""
+    vecs = quantized_vectors(df, vec_col, id_col, center=128)
+    k = kw.get("k", 8)
+    centroids = (
+        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(kw.get("rounds", 1)):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, **kw)
+    drop = pairs.select(F.col("id_b").alias("id")).distinct()
+    return assigned.select("id", "cluster").join(drop, "id", "left_anti")
+
+
+_SEMANTIC_BASE = """
+    WITH raw AS (
+      SELECT vec_id AS id, unnest(embedding) AS xf,
+             generate_subscripts(embedding, 1) AS pos
+      FROM {src}
+    ),
+    ex AS (SELECT id, pos, CAST(xf AS DOUBLE) AS x FROM raw),
+    stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    q AS (
+      SELECT e.id, e.pos,
+        CASE WHEN s.mx = s.mn THEN 0
+             ELSE least(CAST(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT), 255)
+        END - 128 AS q
+      FROM ex e JOIN stats s ON e.pos = s.pos
+    ),
+    seeds AS (SELECT DISTINCT id FROM q ORDER BY id LIMIT {k}),
+    c0 AS (SELECT q.id AS cid, q.pos, q.q AS c FROM q JOIN seeds ON q.id = seeds.id),
+    d1 AS (
+      SELECT q.id, c0.cid, CAST(sum((q.q - c0.c) * (q.q - c0.c)) AS BIGINT) AS d2
+      FROM q JOIN c0 ON q.pos = c0.pos GROUP BY q.id, c0.cid
+    ),
+    a1 AS (SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn FROM d1),
+    c1 AS (
+      SELECT a1.cid AS cl, q.pos, CAST(floor(sum(q.q) * 1.0 / count(*)) AS BIGINT) AS c
+      FROM a1 JOIN q ON a1.id = q.id AND a1.rn = 1 GROUP BY a1.cid, q.pos
+    ),
+    d2s AS (
+      SELECT q.id, c1.cl, CAST(sum((q.q - c1.c) * (q.q - c1.c)) AS BIGINT) AS d2
+      FROM q JOIN c1 ON q.pos = c1.pos GROUP BY q.id, c1.cl
+    ),
+    a2 AS (SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d2, cl) AS rn FROM d2s),
+    asg AS (SELECT id, cl FROM a2 WHERE rn = 1),
+    codes AS (SELECT id, list(q ORDER BY pos) AS qv FROM q GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, aa.cl AS cluster
+      FROM asg aa JOIN asg bb ON aa.cl = bb.cl AND aa.id < bb.id
+      JOIN codes a ON a.id = aa.id JOIN codes b ON b.id = bb.id
+      WHERE CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) > 0
+        AND CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT)
+          * CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT)
+          * {t2d}
+          >= {t2n}
+          * CAST(list_inner_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[])) AS BIGINT)
+          * CAST(list_inner_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT)
+    )
+"""
+
+
+def semantic_oracle_sql(
+    k: int = 8, rounds: int = 1, tau_num: int = 45, tau_den: int = 100, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of semantic_keep (same quantization/centering, seeds,
+    floor-means, integer distances and cross-multiplied cosine test).  Every
+    list_inner_product here is EXACT: centered-code products <= 2^14, sums
+    <= 2^20 — double arithmetic on integers far below 2^53, cast back to
+    BIGINT before the (potentially > 2^53) cross-multiplies."""
+    assert rounds == 1, "oracle is written for the registered rounds=1 shape"
+    base = _SEMANTIC_BASE.format(src=src, k=k, t2n=tau_num * tau_num, t2d=tau_den * tau_den)
+    return (
+        base
+        + """
+    SELECT asg.id, asg.cl AS cluster
+    FROM asg
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = asg.id)
+    """
+    )
 
 
 def kmeans_oracle_sql(k: int = 8, rounds: int = 1, src: str = "embeddings") -> str:

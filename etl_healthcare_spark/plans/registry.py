@@ -682,7 +682,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
-    "dedup_keep_list",
+    "dedup_semantic",
     "decontam_ngram",
     # similarity search
     "sim_topk_cosine",

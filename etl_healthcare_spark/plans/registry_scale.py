@@ -19,7 +19,7 @@ from ..datasets import load_table
 from ..functions.text import tokens
 from ..operators.anomaly import zscore_flags, zscore_oracle_sql
 from ..operators.bucketing import morton_key, morton_key_sql
-from ..operators.clustering import kmeans_int8, kmeans_oracle_sql
+from ..operators.clustering import kmeans_int8, kmeans_oracle_sql, semantic_keep, semantic_oracle_sql
 from ..operators.profile import profile_columns, profile_oracle_sql
 from ..operators.search import bm25_oracle_sql, bm25_topk
 from ..operators.sketch import hll_distinct, hll_oracle_sql
@@ -106,6 +106,26 @@ def sketch_hll_distinct(spark, sf_dir):
 )
 def cluster_kmeans(spark, sf_dir):
     return kmeans_int8(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8, rounds=1)
+
+
+@register(
+    "dedup_semantic",
+    sql=semantic_oracle_sql(k=8, rounds=1, tau_num=45, tau_den=100),
+    doc="SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): k-means "
+    "topic clusters block the corpus, pairwise cosine runs ONLY within a "
+    "cluster, and the larger id of every near-dup pair (cos >= 0.45 over "
+    "CENTERED int8 codes) is dropped — survivors returned with their "
+    "cluster.  All-integer math (cross-multiplied int64 squares, no "
+    "sqrt/float boundary) makes the result engine-independent; pair cost is "
+    "n^2/k over k independent cluster tasks, k growing with the corpus "
+    "(operators/clustering.py: semantic_dedup_pairs/semantic_keep; the "
+    "per-cluster int64-GEMM Arrow kernel is the oversized-cluster path and "
+    "agrees bit-for-bit with this pure-Catalyst shape).",
+)
+def dedup_semantic(spark, sf_dir):
+    return semantic_keep(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8, rounds=1, tau_num=45, tau_den=100
+    )
 
 
 @register(

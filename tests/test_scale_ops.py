@@ -149,6 +149,71 @@ def test_kmeans_is_deterministic(spark):
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _planted_near_dups(spark):
+    """Two topic blobs; within blob A, vectors 0/1 are near-identical (a
+    semantic dup) while the rest are spread; blob B has no dups."""
+    rows = [
+        (0, [100.0, 100.0, 0.0, 0.0]),
+        (1, [101.0, 100.0, 0.0, 0.0]),   # near-dup of 0
+        (2, [100.0, 0.0, 0.0, 0.0]),     # same topic, different direction
+        (3, [0.0, 100.0, 0.0, 0.0]),
+        (10, [0.0, 0.0, 100.0, 50.0]),
+        (11, [0.0, 0.0, 50.0, 100.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_semantic_dedup_drops_only_planted_dup(spark):
+    from etl_healthcare_spark.operators.clustering import semantic_keep
+
+    kept = semantic_keep(
+        _planted_near_dups(spark), "embedding", "vec_id", k=2, rounds=1, tau_num=99, tau_den=100
+    ).collect()
+    ids = sorted(r.id for r in kept)
+    # the higher id of the near-identical pair (1) is pruned; all else kept
+    assert ids == [0, 2, 3, 10, 11]
+
+
+def test_semantic_pair_kernels_agree_bit_for_bit(spark):
+    """Integer math means the Catalyst self-join and the per-cluster int64
+    GEMM Arrow kernel must produce IDENTICAL pairs — not just gap-separated
+    ones like the float GEMM."""
+    from etl_healthcare_spark.operators.clustering import semantic_dedup_pairs
+
+    df = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws(":", F.col("id").cast("string"), i.cast("string")), 256),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    kw = dict(k=4, rounds=1, tau_num=30, tau_den=100)
+    expr = sorted(
+        (r.id_a, r.id_b, r.cluster)
+        for r in semantic_dedup_pairs(df, "embedding", "vec_id", kernel="expr", **kw).collect()
+    )
+    gemm = sorted(
+        (r.id_a, r.id_b, r.cluster)
+        for r in semantic_dedup_pairs(df, "embedding", "vec_id", kernel="arrow", **kw).collect()
+    )
+    assert expr == gemm and len(expr) > 0
+
+
+# ---------------------------------------------------------------------------
 # z-score anomalies
 # ---------------------------------------------------------------------------
 
