@@ -271,6 +271,98 @@ def quality_gate(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def lm_bigram_scores(
+    df: DataFrame, text_col: str, id_col: str, low_ppm: int | None = None
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.,
+    arXiv:1911.00359 train an LM on a reference corpus and rank documents by
+    perplexity; here the LM is a bigram model trained on the corpus ITSELF —
+    self-perplexity, the standard in-pipeline proxy).  No reference analog;
+    north-star LLM-pipeline layer.
+
+    Integer-exact so the scores hash-compare across engines: the add-one
+    smoothed bigram probability is kept in ppm via integer division
+    (1e6*(c2+1)) DIV (c1+V), and a document's score is the integer mean of
+    its bigram ppms — natural text re-uses corpus-frequent bigrams (high
+    ppm), keyboard mash / boilerplate / wrong-language text does not.  A
+    true log-perplexity needs ln(), whose last-ulp differs by engine; the
+    ppm mean ranks documents the same way for filtering purposes and is
+    exactly reproducible.
+
+    Shape at 100 TB: one explode -> groupBy(w1,w2) with full map-side
+    combine for counts (bigram table << corpus), prefix counts and the
+    1-row vocab aggregate derived from it; scoring is ONE shuffle join of
+    doc-bigrams against the count table on (w1,w2) then a per-doc integer
+    sum — no driver-side state, no floats, no UDFs.
+
+    Returns (doc_id-named id col, n_bigrams, lm_score_ppm[, low_quality]).
+    """
+    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("t"))
+    vstats = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("V")
+    )
+    bi = toks.where(F.size("t") >= 2).select(
+        "__id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b"),
+    ).select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vstats))
+        .withColumn("p_ppm", F.expr("(1000000 * (c2 + 1)) DIV (c1 + V)"))
+        .select("w1", "w2", "p_ppm")
+    )
+    per_doc = (
+        bi.join(probs, ["w1", "w2"])
+        .groupBy("__id")
+        .agg(F.sum("p_ppm").alias("s"), F.count(F.lit(1)).alias("n_bigrams"))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            F.expr("s DIV n_bigrams").alias("lm_score_ppm"),
+        )
+    )
+    if low_ppm is not None:
+        per_doc = per_doc.withColumn("low_quality", F.col("lm_score_ppm") < F.lit(int(low_ppm)))
+    return per_doc
+
+
+def lm_bigram_oracle_sql(low_ppm: int | None = None, src: str = "documents") -> str:
+    """DuckDB twin of lm_bigram_scores: same tokenization regex, same
+    add-one ppm integer division, same integer mean."""
+    low = (
+        f", lm_score_ppm < {int(low_ppm)} AS low_quality" if low_ppm is not None else ""
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    v AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(t) AS w FROM toks)),
+    bi AS (
+      SELECT id, t[i - 1] AS w1, t[i] AS w2
+      FROM (SELECT id, t FROM toks WHERE len(t) >= 2),
+           unnest(generate_series(2, len(t))) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    probs AS (
+      SELECT c2.w1, c2.w2,
+             (1000000 * (c2.c2 + 1)) // (c1.c1 + v.V) AS p_ppm
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v
+    ),
+    scored AS (
+      SELECT bi.id, CAST(sum(p.p_ppm) AS BIGINT) AS s, count(*) AS n_bigrams
+      FROM bi JOIN probs p ON bi.w1 = p.w1 AND bi.w2 = p.w2
+      GROUP BY bi.id
+    )
+    SELECT id AS doc_id, n_bigrams, s // n_bigrams AS lm_score_ppm{low}
+    FROM scored
+    """
+
+
 # --- PII redaction -----------------------------------------------------------
 
 # Patterns chosen to parse identically under Java regex (Spark) and RE2

@@ -22,7 +22,14 @@ from ..operators.dedup import (
     simhash_dup_groups,
 )
 from ..operators.similarity import ann_topk, topk_cosine
-from ..operators.textops import fingerprints, language_id, text_stats, token_counts
+from ..operators.textops import (
+    fingerprints,
+    language_id,
+    lm_bigram_oracle_sql,
+    lm_bigram_scores,
+    text_stats,
+    token_counts,
+)
 from .registry import register
 
 
@@ -407,6 +414,28 @@ def sim_knn_blocked(spark, sf_dir):
 )
 def q_text_stats(spark, sf_dir):
     return text_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# mean add-one bigram ppm sits at ~34k on testdata (vocab ~30 -> uniform
+# bigram ~ 33k ppm); < 32000 flags the ~5% least-natural tail.  The flag is
+# an exact integer comparison, so there is no boundary risk at any sf.
+LM_LOW_PPM = 32000
+
+
+@register(
+    "text_lm_score",
+    sql=lm_bigram_oracle_sql(low_ppm=LM_LOW_PPM),
+    doc="CCNet-style LM quality scoring (Wenzek et al., arXiv:1911.00359): "
+    "an add-one-smoothed bigram model trained on the corpus itself scores "
+    "every document by its mean bigram probability (integer ppm — a true "
+    "log-perplexity would hinge on engine-variant ln() ulps, the ppm mean "
+    "ranks identically for filtering and is exactly reproducible).  "
+    "Train = one map-side-combined bigram count; score = one (w1,w2) "
+    "shuffle join + per-doc integer mean (operators/textops.py: "
+    "lm_bigram_scores).  low_quality flags the unnatural tail.",
+)
+def text_lm_score(spark, sf_dir):
+    return lm_bigram_scores(_t(spark, sf_dir, "documents"), "text", "doc_id", low_ppm=LM_LOW_PPM)
 
 
 def _langid_oracle() -> str:

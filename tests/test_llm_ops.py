@@ -427,3 +427,39 @@ def test_decode_pixel_samples_bmp_row_padding_and_wav_sign():
     # compressed/foreign payloads degrade, never raise
     assert decode_pixel_samples(b"\x89PNG\r\n\x1a\x00junk")[0] == "unknown"
     assert decode_pixel_samples(None)[0] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_ranks_natural_below_unnatural(spark):
+    """Docs re-using corpus-frequent bigrams score high; a doc of bigrams
+    never seen elsewhere scores near the smoothing floor."""
+    from etl_healthcare_spark.operators.textops import lm_bigram_scores
+
+    corpus = [(i, "the cat sat on the mat and the cat ran") for i in range(8)]
+    corpus.append((100, "zq xv wk jj qqq zzz pp ww ee rr"))  # unseen bigrams
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    scores = {
+        r.doc_id: r.lm_score_ppm
+        for r in lm_bigram_scores(df, "text", "doc_id").collect()
+    }
+    # the outlier doc still contributes its OWN counts to the corpus model
+    # (self-training), so its score is low but not near-zero
+    assert scores[100] < scores[0] / 2
+    assert all(scores[i] == scores[0] for i in range(8))  # identical docs tie
+
+
+def test_lm_score_smoothing_never_zero_and_short_docs_dropped(spark):
+    from etl_healthcare_spark.operators.textops import lm_bigram_scores
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "")], ["doc_id", "text"]
+    )
+    rows = lm_bigram_scores(df, "text", "doc_id").collect()
+    got = {r.doc_id: (r.n_bigrams, r.lm_score_ppm) for r in rows}
+    assert set(got) == {1}  # <2 tokens -> no bigrams -> not scored
+    n_bigrams, ppm = got[1]
+    assert n_bigrams == 1 and ppm > 0  # add-one smoothing floors above zero
