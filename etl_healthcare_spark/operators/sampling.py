@@ -55,6 +55,61 @@ def hash_split(df: DataFrame, id_col: str, salt: str, train: float = 0.98, val: 
     return df.withColumn("split", split)
 
 
+def temperature_sample(df: DataFrame, id_col: str, group_col: str, salt: str) -> DataFrame:
+    """Temperature-balanced downsampling across groups (languages, domains)
+    at T=2: keep rate r_g = sqrt(n_min / n_g), so a group's expected kept
+    count is sqrt(n_min * n_g) — the geometric-mean interpolation between
+    the natural and uniform mixtures that multilingual training recipes use
+    (alpha = 1/T exponentiated sampling; T=2 keeps every double op an
+    IEEE-correctly-rounded sqrt/divide, so the threshold is bit-identical
+    on any engine — arbitrary T would hinge on pow()'s last ulp).
+
+    The per-group threshold is floor((2^32 * sqrt(n_min)) / sqrt(n_g)) in
+    that exact association order (mirrored in the oracle), clamped to
+    2^32-1, compared as fixed-width hex against the sha256 bucket — the
+    same contract as source_cap.  The smallest group keeps everything by
+    the n_g == n_min guard (no float boundary involved).
+
+    Shape at 100 TB: one tiny group-count aggregate broadcast back over a
+    map-only keep decision — no shuffle of the corpus itself.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("grp_n"))
+    nmin = counts.agg(F.min("grp_n").alias("grp_min"))
+    thr = F.format_string(
+        "%08x",
+        F.expr(
+            "least(CAST(floor((4294967296.0 * sqrt(CAST(grp_min AS DOUBLE)))"
+            " / sqrt(CAST(grp_n AS DOUBLE))) AS BIGINT), 4294967295)"
+        ),
+    )
+    kept = (F.col("grp_n") == F.col("grp_min")) | (sample_bucket(F.col(id_col), salt) < thr)
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(nmin))
+        .select(F.col(id_col), F.col(group_col), kept.alias("kept"))
+    )
+
+
+def temperature_oracle_sql(id_col: str, group_col: str, salt: str, src: str = "documents") -> str:
+    """DuckDB twin of temperature_sample — identical sqrt/divide association
+    order, identical hex-threshold contract."""
+    return f"""
+    WITH counts AS (SELECT {group_col}, count(*) AS grp_n FROM {src} GROUP BY {group_col}),
+    nmin AS (SELECT min(grp_n) AS grp_min FROM counts),
+    thr AS (
+      SELECT {group_col}, grp_n, grp_min,
+             printf('%08x', least(CAST(floor((4294967296.0 * sqrt(CAST(grp_min AS DOUBLE)))
+                                              / sqrt(CAST(grp_n AS DOUBLE))) AS BIGINT),
+                                  4294967295)) AS t
+      FROM counts CROSS JOIN nmin
+    )
+    SELECT d.{id_col}, d.{group_col},
+           (t.grp_n = t.grp_min
+            OR substr(sha256('{salt}:' || CAST(d.{id_col} AS VARCHAR)), 1, 8) < t.t) AS kept
+    FROM {src} d JOIN thr t ON d.{group_col} = t.{group_col}
+    """
+
+
 def source_cap(df: DataFrame, id_col: str, source_col: str, cap: int, salt: str) -> DataFrame:
     """Cap any one source's document count at ~`cap` by hash-downsampling
     over-represented sources (rate = cap/count), keeping under-cap sources

@@ -600,6 +600,30 @@ def sample_source_cap(spark, sf_dir):
     return source_cap(_t(spark, sf_dir, "documents"), "doc_id", "source", cap=15, salt="cap1")
 
 
+def _temperature_sql():
+    from ..operators.sampling import temperature_oracle_sql
+
+    return temperature_oracle_sql("doc_id", "lang", salt="temp1")
+
+
+@register(
+    "sample_temperature",
+    sql=_temperature_sql(),
+    doc="Temperature-balanced language mixture at T=2: keep rate "
+    "sqrt(n_min/n_lang) per language, so expected kept counts are the "
+    "geometric mean sqrt(n_min*n_lang) — the exponentiated-sampling recipe "
+    "multilingual training uses, downsampling-only.  T=2 keeps every "
+    "double op a correctly-rounded sqrt/divide (identical association "
+    "order in the oracle), thresholds compare as fixed-width hex against "
+    "the sha256 bucket; one tiny broadcast count table over a map-only "
+    "keep decision (operators/sampling.py:temperature_sample).",
+)
+def sample_temperature(spark, sf_dir):
+    from ..operators.sampling import temperature_sample
+
+    return temperature_sample(_t(spark, sf_dir, "documents"), "doc_id", "lang", salt="temp1")
+
+
 # ---------------------------------------------------------------------------
 # the composed curation pipeline (flagship: the operators chained end-to-end)
 # ---------------------------------------------------------------------------

@@ -271,6 +271,22 @@ def test_source_cap_keeps_small_sources_whole(spark):
     assert {(r.doc_id, r.kept) for r in again} == {(r.doc_id, r.kept) for r in out}
 
 
+def test_temperature_sample_geometric_mean_mixture(spark):
+    from etl_healthcare_spark.operators.sampling import temperature_sample
+
+    # 400 "en" vs 25 "fr": T=2 keeps fr whole and en at sqrt(25/400) = 25%
+    rows = [(i, "en") for i in range(400)] + [(1000 + i, "fr") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_sample(docs, "doc_id", "lang", salt="s").collect()
+    assert len(out) == 425, "temperature_sample labels, never drops rows"
+    assert all(r.kept for r in out if r.lang == "fr"), "smallest group kept whole"
+    en_kept = sum(r.kept for r in out if r.lang == "en")
+    # expected kept = sqrt(25*400) = 100; hash sampling exact-in-expectation
+    assert 60 < en_kept < 140
+    again = temperature_sample(docs, "doc_id", "lang", salt="s").collect()
+    assert {(r.doc_id, r.kept) for r in again} == {(r.doc_id, r.kept) for r in out}
+
+
 def test_curation_e2e_funnel_is_monotone(spark):
     from etl_healthcare_spark.plans.registry import REGISTRY
 
