@@ -12,8 +12,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import TESTDATA_TABLES
+
+
+def _swap_ntz(dt: T.DataType) -> tuple[T.DataType, bool]:
+    """Recursively replace TIMESTAMP_NTZ with TimestampType anywhere in a
+    type tree (struct/array/map included).  Returns (new_type, changed)."""
+    if isinstance(dt, T.TimestampNTZType):
+        return T.TimestampType(), True
+    if isinstance(dt, T.ArrayType):
+        el, ch = _swap_ntz(dt.elementType)
+        return T.ArrayType(el, dt.containsNull), ch
+    if isinstance(dt, T.MapType):
+        kt, ck = _swap_ntz(dt.keyType)
+        vt, cv = _swap_ntz(dt.valueType)
+        return T.MapType(kt, vt, dt.valueContainsNull), ck or cv
+    if isinstance(dt, T.StructType):
+        fields, ch = [], False
+        for f in dt.fields:
+            ft, c = _swap_ntz(f.dataType)
+            ch = ch or c
+            fields.append(T.StructField(f.name, ft, f.nullable, f.metadata))
+        return T.StructType(fields), ch
+    return dt, False
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,10 +66,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # current driver testdata writes tz-less timestamp[us] parquet, which Spark
     # surfaces as TIMESTAMP_NTZ.  Normalize to TimestampType so downstream
     # epoch/tz functions (unix_micros, window, to_date) resolve; under the UTC
-    # pin above the NTZ->LTZ cast is the identity on the wall clock.
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    # pin above the NTZ->LTZ cast is the identity on the wall clock.  The walk
+    # is recursive (struct/array/map), so an NTZ nested inside a complex
+    # column normalizes too — not just top-level dtypes.
+    casts = {}
+    for field in df.schema.fields:
+        new_type, changed = _swap_ntz(field.dataType)
+        if changed:
+            casts[field.name] = F.col(field.name).cast(new_type)
+    if casts:
+        df = df.withColumns(casts)
     return df
 
 

@@ -96,3 +96,24 @@ def test_clamp_limit():
     assert clamp_limit(None) == 25  # default (api-query handler.ts:65)
     assert clamp_limit(0) == 1
     assert clamp_limit(10_000) == 100
+
+
+def test_load_table_normalizes_nested_ntz(spark, tmp_path):
+    """TIMESTAMP_NTZ nested inside struct/array columns must normalize to
+    TimestampType at load, not just top-level dtypes (advisor round-2)."""
+    from etl_healthcare_spark.datasets import load_table
+
+    spark.sql(
+        """
+        SELECT 1 AS id,
+               TIMESTAMP_NTZ '2026-01-02 03:04:05' AS top,
+               named_struct('at', TIMESTAMP_NTZ '2026-01-02 03:04:05', 'n', 7) AS meta,
+               array(TIMESTAMP_NTZ '2026-01-02 03:04:05') AS times
+        """
+    ).write.mode("overwrite").parquet(str(tmp_path / "nested.parquet"))
+    df = load_table(spark, str(tmp_path), "nested")
+    assert "timestamp_ntz" not in str(df.schema).lower()
+    row = df.head()
+    # UTC pin makes the NTZ->LTZ cast the wall-clock identity
+    assert row.meta.at == row.top and row.times[0] == row.top
+    assert row.meta.n == 7
