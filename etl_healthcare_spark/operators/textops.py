@@ -434,3 +434,58 @@ def url_parts(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1).alias("path"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
     )
+
+
+def line_dedup_clean(
+    df: DataFrame, text_col: str, id_col: str, min_len: int = 10, max_doc_freq: int = 1
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal — the CCNet deduplication pass
+    (Wenzek et al., arXiv:1911.00359 §3.1: hash every line/paragraph
+    corpus-wide, strip the frequent ones) that actually REWRITES documents,
+    where sentence_dup_stats only measures.  No reference analog; north-star
+    LLM-pipeline layer.
+
+    Rules: a line is *eligible* when its trimmed length >= ``min_len``
+    (short/empty structural lines are never dropped and never counted);
+    an eligible line is dropped when its corpus-wide distinct-document
+    frequency exceeds ``max_doc_freq``.  Survivors are reassembled in
+    original line order.  Output (doc_id, clean_text, n_kept, n_dropped).
+
+    Scale shape: (1) one partial-aggregated groupBy on the line hash — the
+    result is FILTERED to frequency > max_doc_freq before it leaves the
+    aggregation, so the drop-list is boilerplate-sized, not corpus-sized,
+    and broadcasts; (2) one groupBy(doc) reassembly of line-grain rows.
+    Two line-grain shuffles at any corpus size, no window, no Python.
+    All counts exact ints; sha256 line keys are collision-safe."""
+    pos, line = "__ld_pos", "__ld_line"
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(pos, line),
+    ).withColumn("__h", F.sha2(F.trim(F.col(line)), 256)).withColumn(
+        "__eligible", F.length(F.trim(F.col(line))) >= min_len
+    )
+    droplist = (
+        lines.where(F.col("__eligible"))
+        .select("doc_id", "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") > max_doc_freq)
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    flagged = lines.join(F.broadcast(droplist), "__h", "left").withColumn(
+        "__keep", F.col("__dup").isNull() | ~F.col("__eligible")
+    )
+    kept_struct = F.when(F.col("__keep"), F.struct(F.col(pos), F.col(line)))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                # collect_list drops the nulls the when() leaves for removed lines
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s[line],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("__keep"), 1)).alias("n_dropped"),
+    )

@@ -925,3 +925,76 @@ def q_text_url_extract(spark, sf_dir):
         ).alias("url"),
     )
     return url_parts(seeded, "url", "doc_id")
+
+
+@register(
+    "text_line_dedup",
+    sql=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             substr(text, 1, 40)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'this boilerplate line appears in many documents'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN chr(10) || 'subscribe to our newsletter for updates today'
+                       ELSE '' END
+               || chr(10) || 'unique line ' || doc_id AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.line AS line,
+             sha256(trim(u.s.line)) AS h,
+             length(trim(u.s.line)) >= 10 AS eligible
+      FROM seeded,
+           unnest(list_transform(string_split(t, chr(10)),
+                  (x, i) -> struct_pack(pos := i, line := x))) AS u(s)
+    ),
+    dup AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM lines WHERE eligible GROUP BY 1
+      ) WHERE nd > 1
+    ),
+    flagged AS (
+      SELECT l.*, (d.h IS NULL OR NOT l.eligible) AS keep
+      FROM lines l LEFT JOIN dup d USING (h)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')
+             AS clean_text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM flagged
+    GROUP BY 1
+    """,
+    doc="Corpus-level duplicate-LINE removal that REWRITES documents — the "
+    "CCNet dedup pass (Wenzek et al. 1911.00359 §3.1), where "
+    "dedup_sentence_level only measures: lines hashed corpus-wide, eligible "
+    "lines (trimmed length >= 10) appearing in >= 2 documents stripped, "
+    "survivors reassembled in order.  Two boilerplate lines are planted "
+    "(every 3rd / every 5th doc) so the rewrite is non-vacuous.  Scale: the "
+    "drop-list is filtered to frequency > 1 INSIDE the aggregation, so it "
+    "is boilerplate-sized and broadcasts; two line-grain shuffles total "
+    "(operators/textops.line_dedup_clean).",
+)
+def q_text_line_dedup(spark, sf_dir):
+    from ..operators.textops import line_dedup_clean
+
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.when(
+                d % 3 == 0,
+                F.concat(nl, F.lit("this boilerplate line appears in many documents")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(nl, F.lit("subscribe to our newsletter for updates today")),
+            ).otherwise(F.lit("")),
+            nl, F.lit("unique line "), d.cast("string"),
+        ).alias("t"),
+    )
+    return line_dedup_clean(seeded, "t", "doc_id")

@@ -644,3 +644,65 @@ def g16_retention_cohorts(spark, sf_dir):
     return activity.groupBy(
         F.unix_micros("cohort_week").alias("cohort_week_us"), "week_offset"
     ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@register(
+    "g18_regression_stats",
+    sql="""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM base GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT *,
+             n*sxy - sx*sy AS dxy,
+             n*sxx - sx*sx AS dxx,
+             n*syy - sy*sy AS dyy,
+             sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS inum
+      FROM s
+    ),
+    rr AS (
+      SELECT *, abs(dxy) // n AS rxy, dxx // n AS rxx, dyy // n AS ryy FROM dd
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+           CAST(CASE WHEN dxy > 0 THEN 1 WHEN dxy < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS slope_sign,
+           CAST((1000000 * abs(dxy)) // nullif(dxx, 0) AS BIGINT) AS slope_abs_ppm,
+           CAST(CASE WHEN inum > 0 THEN 1 WHEN inum < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS intercept_sign,
+           CAST(abs(inum) // nullif(n * dxx, 0) AS BIGINT) AS intercept_abs,
+           CAST((1000000 * rxy * rxy) // nullif(rxx * ryy, 0) AS BIGINT) AS corr2_ppm
+    FROM rr
+    """,
+    doc="G18 grouped regression/correlation — the ANSI REGR_SLOPE / "
+    "REGR_INTERCEPT / CORR aggregate surface, integer-exact: power sums in "
+    "decimal(38)/hugeint, outputs as sign + ppm-magnitude integer divisions "
+    "(float CORR would never hash-match across engines; measured 1-ulp "
+    "hugeint->double disagreement rules out even the exact-sum cast).  "
+    "x = quantity units, y = whole dollars; corr^2 moments n-reduced for "
+    "decimal(38) headroom to ~1e9 rows/group.  One partial-aggregable "
+    "groupBy, no joins (operators/stats.grouped_regression).",
+)
+def g18_regression_stats(spark, sf_dir):
+    from ..operators.stats import grouped_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)")
+    y = F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+    return grouped_regression(
+        li.select("l_returnflag", "l_linestatus", x.alias("x"), y.alias("y")),
+        F.col("x"), F.col("y"), ["l_returnflag", "l_linestatus"],
+    )

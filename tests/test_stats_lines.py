@@ -1,0 +1,55 @@
+"""Unit tests: corpus line dedup (CCNet pass) and integer-exact grouped
+regression stats."""
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.stats import grouped_regression
+from etl_healthcare_spark.operators.textops import line_dedup_clean
+
+
+def test_line_dedup_strips_frequent_lines_keeps_order(spark):
+    boiler = "this line appears in many documents"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha first line one\n{boiler}\nunique tail 1"),
+            (2, f"{boiler}\nbravo middle line two\nunique tail 2"),
+            (3, "charlie only line three\nunique tail 3"),
+        ],
+        "doc_id long, t string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_clean(docs, "t", "doc_id").collect()}
+    assert out[1]["clean_text"] == "alpha first line one\nunique tail 1"
+    assert out[1]["n_dropped"] == 1 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "bravo middle line two\nunique tail 2"
+    assert out[3]["clean_text"] == "charlie only line three\nunique tail 3"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_line_dedup_short_lines_never_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "ok\nlong enough unique line a"), (2, "ok\nlong enough unique line b")],
+        "doc_id long, t string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_clean(docs, "t", "doc_id").collect()}
+    # "ok" is in both docs but below min_len — structural, kept
+    assert out[1]["clean_text"].startswith("ok\n") and out[2]["n_dropped"] == 0
+
+
+def test_grouped_regression_exact_linear(spark):
+    rows = [("g", x, 2 * x + 3) for x in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = grouped_regression(df, F.col("x"), F.col("y"), ["grp"]).collect()[0]
+    assert r["slope_sign"] == 1 and r["slope_abs_ppm"] == 2_000_000
+    assert r["intercept_sign"] == 1 and r["intercept_abs"] == 3
+    assert r["corr2_ppm"] == 1_000_000
+    assert r["n"] == 4 and r["sum_x"] == 10 and r["sum_y"] == 26 + 6
+
+
+def test_grouped_regression_negative_slope_and_constant_x(spark):
+    rows = [("neg", x, -2 * x) for x in (1, 2, 3, 4)] + [("flat", 7, y) for y in (1, 5)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    out = {r["grp"]: r for r in grouped_regression(df, F.col("x"), F.col("y"), ["grp"]).collect()}
+    assert out["neg"]["slope_sign"] == -1 and out["neg"]["slope_abs_ppm"] == 2_000_000
+    assert out["neg"]["corr2_ppm"] == 1_000_000
+    # constant x: zero variance -> guarded NULLs, not division errors
+    assert out["flat"]["slope_abs_ppm"] is None and out["flat"]["corr2_ppm"] is None
