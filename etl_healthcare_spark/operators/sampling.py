@@ -130,3 +130,47 @@ def source_cap(df: DataFrame, id_col: str, source_col: str, cap: int, salt: str)
         df.join(F.broadcast(counts), source_col)
         .select(F.col(id_col), F.col(source_col), kept.alias("kept"))
     )
+
+
+def shard_export(
+    df: DataFrame, id_col: str, tokens_col: str, n_shards: int, salt: str
+) -> DataFrame:
+    """Deterministic dataloader-shard export: assign every document a shard,
+    a pseudo-random in-shard position, and a cumulative token offset — the
+    (shard, position, offset) index a training job needs to stream packed
+    shards resumably.
+
+    Determinism contract (the whole point): shard = sha256(salt:id) mod
+    n_shards and order-within-shard = the hash itself, so re-runs, engine
+    swaps, and cluster resizes all emit byte-identical shard manifests, and
+    a grown corpus only APPENDS new interleavings without reshuffling what a
+    checkpointed run already consumed (same invariant as hash_split).  No
+    rand(), no global sort.
+
+    Scale: one shuffle — the per-shard window.  n_shards grows with the
+    corpus (1 shard ~ one dataloader file), so window partitions stay
+    bounded; there is deliberately NO global row_number (a single-partition
+    sort bottleneck at 100 TB).
+
+    Output (shard, pos, id, n_tokens, token_offset): pos 0-based hash order;
+    token_offset = tokens before this doc in its shard.
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")), 256)
+    shard = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_shards))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("n_tokens"),
+        h.alias("__h"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", "id")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    return base.select(
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+        "id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(wc), F.lit(0)).alias("token_offset"),
+    )

@@ -286,3 +286,16 @@ def histogram_oracle_sql(
            {qs}
     FROM cum GROUP BY grp
     """
+
+
+def merge_registers(registers: DataFrame, coarse_grp) -> DataFrame:
+    """Merge a register table UP a grouping level: element-wise MAX of ranks
+    under the coarser key — the HLL merge property that makes the sketch a
+    tree aggregate (shard registers -> executor merge -> global merge, each
+    level the same groupBy(max), <= groups x 256 rows moving at any depth).
+    ``coarse_grp`` is a Column mapping the fine ``grp`` to its parent key."""
+    return (
+        registers.select(coarse_grp.alias("grp"), "register", "rank")
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("rank"))
+    )

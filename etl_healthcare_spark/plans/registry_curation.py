@@ -998,3 +998,45 @@ def q_text_line_dedup(spark, sf_dir):
         ).alias("t"),
     )
     return line_dedup_clean(seeded, "t", "doc_id")
+
+
+@register(
+    "sample_shard_export",
+    sql="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             sha256('shardsalt:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT id, n_tokens, h,
+             ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard
+      FROM base
+    )
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, id) - 1 AS BIGINT)
+             AS pos,
+           id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY h, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset
+    FROM sharded
+    """,
+    doc="Dataloader-shard export manifest: shard = sha256(salt:id) mod 16, "
+    "in-shard position = hash order, cumulative token offset for resumable "
+    "streaming.  Byte-identical across re-runs/engines/cluster sizes (no "
+    "rand(), no global sort — a global row_number would single-partition "
+    "bottleneck at 100 TB; the only shuffle is the per-shard window, and "
+    "n_shards grows with the corpus) "
+    "(operators/sampling.shard_export).",
+)
+def q_sample_shard_export(spark, sf_dir):
+    from ..functions.text import tokens as _tok
+    from ..operators.sampling import shard_export
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tok(F.col("text"))).alias("ntok")
+    )
+    return shard_export(docs, "doc_id", "ntok", n_shards=16, salt="shardsalt")

@@ -22,7 +22,7 @@ from ..operators.bucketing import morton_key, morton_key_sql
 from ..operators.clustering import kmeans_int8, kmeans_oracle_sql, semantic_keep, semantic_oracle_sql
 from ..operators.profile import profile_columns, profile_oracle_sql
 from ..operators.search import bm25_oracle_sql, bm25_topk
-from ..operators.sketch import hll_distinct, hll_oracle_sql
+from ..operators.sketch import A_LIT, M, RANK_CAP, hll_distinct, hll_oracle_sql
 from .registry import register
 
 
@@ -705,4 +705,81 @@ def g18_regression_stats(spark, sf_dir):
     return grouped_regression(
         li.select("l_returnflag", "l_linestatus", x.alias("x"), y.alias("y")),
         F.col("x"), F.col("y"), ["l_returnflag", "l_linestatus"],
+    )
+
+
+@register(
+    "sketch_hll_merge",
+    sql=f"""
+    WITH items AS (
+      SELECT lang, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, source,
+             substr(sha256(CAST(tok AS VARCHAR)), 1, 2) AS register,
+             CASE WHEN ('0x' || substr(sha256(CAST(tok AS VARCHAR)), 3, 13))::BIGINT = 0
+                  THEN {RANK_CAP}
+                  ELSE least(53 - length(bin(
+                         ('0x' || substr(sha256(CAST(tok AS VARCHAR)), 3, 13))::BIGINT)),
+                       {RANK_CAP}) END AS rank
+      FROM items
+    ),
+    fine AS (
+      SELECT lang, source, register, max(rank) AS rank FROM ranked GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT lang AS grp, register, max(rank) AS rank FROM fine GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT lang AS grp, register, max(rank) AS rank FROM ranked GROUP BY 1, 2
+    ),
+    est_m AS (
+      SELECT grp, count(*) AS used_registers,
+             sum(1::BIGINT << (48 - rank)) AS s_used
+      FROM merged GROUP BY 1
+    ),
+    est_d AS (
+      SELECT grp, sum(1::BIGINT << (48 - rank)) AS s_used
+      FROM direct GROUP BY 1
+    )
+    SELECT m.grp, m.used_registers,
+           CAST(m.s_used + ({M} - m.used_registers) * (1::BIGINT << 48) AS BIGINT)
+             AS s_scaled,
+           {A_LIT!r} / CAST(m.s_used + ({M} - m.used_registers) * (1::BIGINT << 48)
+                              AS DOUBLE) AS hll_estimate,
+           {A_LIT!r} / CAST(d.s_used + ({M} - m.used_registers) * (1::BIGINT << 48)
+                              AS DOUBLE) AS direct_estimate,
+           (m.s_used = d.s_used) AS merge_exact
+    FROM est_m m JOIN est_d d USING (grp)
+    """,
+    doc="HLL register MERGE — the property that makes the sketch a "
+    "distributed tree aggregate: per-(lang, source) shard registers combine "
+    "by element-wise MAX into per-lang registers, and the merged estimate "
+    "EQUALS the direct single-pass estimate (merge_exact rides along, "
+    "asserted true for every group by the value hash).  At 100 TB this is "
+    "shard -> executor -> global rollup with <= groups x 256 rows at each "
+    "level (operators/sketch.merge_registers).",
+)
+def sketch_hll_merge(spark, sf_dir):
+    from ..operators.sketch import hll_estimate, hll_registers, merge_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.concat(F.col("lang"), F.lit("|"), F.col("source")).alias("shard"),
+        F.col("lang"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    fine = hll_registers(items, "shard", "tok")
+    merged = merge_registers(fine, F.split(F.col("grp"), r"\|")[0])
+    est_m = hll_estimate(merged)
+    direct = hll_estimate(hll_registers(items, "lang", "tok")).select(
+        F.col("grp"),
+        F.col("hll_estimate").alias("direct_estimate"),
+        F.col("s_scaled").alias("_s_d"),
+    )
+    return (
+        est_m.join(direct, "grp")
+        .withColumn("merge_exact", F.col("s_scaled") == F.col("_s_d"))
+        .drop("_s_d")
     )

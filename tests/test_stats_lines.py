@@ -53,3 +53,36 @@ def test_grouped_regression_negative_slope_and_constant_x(spark):
     assert out["neg"]["corr2_ppm"] == 1_000_000
     # constant x: zero variance -> guarded NULLs, not division errors
     assert out["flat"]["slope_abs_ppm"] is None and out["flat"]["corr2_ppm"] is None
+
+
+def test_hll_merge_register_property(spark):
+    from etl_healthcare_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        merge_registers,
+    )
+    from pyspark.sql import functions as FF
+
+    rows = [(f"s{i % 3}", f"item{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "shard string, item string")
+    fine = hll_registers(df, "shard", "item")
+    merged = merge_registers(fine, FF.lit("all"))
+    direct = hll_registers(df.withColumn("g", FF.lit("all")), "g", "item")
+    m = hll_estimate(merged).collect()[0]
+    d = hll_estimate(direct).collect()[0]
+    assert m["s_scaled"] == d["s_scaled"] and m["hll_estimate"] == d["hll_estimate"]
+
+
+def test_shard_export_deterministic_and_offsets(spark):
+    from etl_healthcare_spark.operators.sampling import shard_export
+
+    df = spark.createDataFrame([(i, 10 + i) for i in range(50)], "doc_id long, ntok long")
+    a = shard_export(df, "doc_id", "ntok", n_shards=4, salt="s").collect()
+    b = shard_export(df, "doc_id", "ntok", n_shards=4, salt="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in sorted(a, key=lambda r: (r["shard"], r["pos"])):
+        exp = by_shard.get(r["shard"], 0)
+        assert r["token_offset"] == exp
+        by_shard[r["shard"]] = exp + r["n_tokens"]
+    assert {r["shard"] for r in a} <= set(range(4)) and len(a) == 50
