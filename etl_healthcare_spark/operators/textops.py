@@ -489,3 +489,51 @@ def line_dedup_clean(
         F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
         F.count(F.when(~F.col("__keep"), 1)).alias("n_dropped"),
     )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup info — the first pass of
+    web-crawl curation (URL-level dedup precedes any content hashing because
+    it needs no fetch).  Pure regex/array column expressions in the Java/RE2
+    common subset; map-only except the final canonical-key groupBy join.
+
+    Rules (each deterministic, order-independent):
+      * scheme and host lowercased; leading ``www.`` dropped
+      * default ports ``:80`` / ``:443`` stripped
+      * fragment dropped
+      * tracking params dropped (utm_*, ref, fbclid, gclid), others kept in
+        original order; ``?`` dropped when no params survive
+      * trailing ``/`` stripped from non-root paths
+
+    Output (id, url, canonical_url, canonical_hash, keep_id, dup_count):
+    keep_id = min id per canonical key (the deterministic keeper), dup_count
+    = group size.  The frequency table is canonical-key-grained and joins
+    back broadcast at realistic dup rates."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path_c = F.when(
+        (F.length(path) > 1), F.regexp_replace(path, r"/$", "")
+    ).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(r"^(utm_[^=]*|ref|fbclid|gclid)(=|$)"),
+    )
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    canon = F.concat(scheme, F.lit("://"), host, path_c, qs)
+    base = df.select(F.col(id_col).alias("id"), u.alias("url"), canon.alias("canonical_url"))
+    base = base.withColumn("canonical_hash", F.sha2(F.col("canonical_url"), 256))
+    groups = base.groupBy("canonical_hash").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return base.join(F.broadcast(groups), "canonical_hash").select(
+        "id", "url", "canonical_url", "canonical_hash", "keep_id", "dup_count"
+    )

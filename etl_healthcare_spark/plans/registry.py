@@ -638,7 +638,6 @@ from . import registry_scale  # noqa: E402,F401
 # harness (tools/check.py) at every scale factor.
 DRIVER_WINDOW: list[str] = [
     # serving (Q1-Q6)
-    "q1_get_patient",
     "q2_observations_by_patient",
     "q3_latest_observation",
     # aggregation (G family)
@@ -652,12 +651,10 @@ DRIVER_WINDOW: list[str] = [
     "g7d_tpch_q5",
     "g7g_tpch_q18",
     # joins (J family)
-    "j2_orders_customer",
     "j4_anti_join",
     "j5b_asof_join",
     "j6_star_join",
     # window functions (§2.9)
-    "w1_ranking",
     "w3_moving_avg",
     "w6_locf_gapfill",
     # set operations (§2.10)
@@ -675,9 +672,11 @@ DRIVER_WINDOW: list[str] = [
     "v2_dto_validation",
     # upsert (U family)
     "u1_idempotent_merge",
-    "u2_batch_dedup",
-    # dedup family (LLM curation)
+    # dedup family (LLM curation; text_line_dedup is the CCNet line pass,
+    # dedup_url_canonical the no-fetch crawl pass)
     "dedup_exact",
+    "text_line_dedup",
+    "dedup_url_canonical",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
@@ -691,8 +690,9 @@ DRIVER_WINDOW: list[str] = [
     # text analysis
     "text_stats",
     "text_repetition",
-    # sampling / splits
+    # sampling / splits / shard export
     "sample_hash_split",
+    "sample_shard_export",
     # end-to-end curation funnel
     "curation_e2e",
     # pivot / subqueries / scalar surface (§2.11)
@@ -701,9 +701,11 @@ DRIVER_WINDOW: list[str] = [
     "scalar_functions",
     # streaming semantics (§2.12)
     "stream_dedup",
-    # corpus-scale analytics (search / sketches / clustering / anomalies)
+    # corpus-scale analytics (search / sketches / clustering / anomalies /
+    # exact-integer regression surface)
     "search_bm25",
-    "sketch_hll_distinct",
+    "sketch_hll_merge",
+    "g18_regression_stats",
     "cluster_kmeans",
     "anomaly_zscore",
 ]

@@ -1040,3 +1040,87 @@ def q_sample_shard_export(spark, sf_dir):
         "doc_id", F.size(_tok(F.col("text"))).alias("ntok")
     )
     return shard_export(docs, "doc_id", "ntok", n_shards=16, salt="shardsalt")
+
+
+@register(
+    "dedup_url_canonical",
+    sql=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'https://www.shop.example.com:443/items/' || (doc_id // 6)
+                        || '/?utm_source=a&ref=x'
+          WHEN 1 THEN 'HTTPS://Shop.Example.Com/items/' || (doc_id // 6)
+                        || '?fbclid=zzz'
+          ELSE 'https://shop.example.com/items/' || (doc_id // 6)
+                 || '/other?page=2&utm_medium=m'
+        END AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id AS id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          ':(80|443)$', ''), '^www\.', '') AS host,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM seeded
+    ),
+    canon AS (
+      SELECT id, url,
+        scheme || '://' || host
+          || CASE WHEN length(path) > 1 THEN regexp_replace(path, '/$', '')
+                  ELSE path END
+          || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                  ELSE '' END AS canonical_url
+      FROM (
+        SELECT *, list_filter(string_split(query, '&'),
+                 p -> length(p) > 0
+                      AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)(=|$)'))
+               AS kept
+        FROM parsed
+      )
+    ),
+    hashed AS (
+      SELECT id, url, canonical_url, sha256(canonical_url) AS canonical_hash
+      FROM canon
+    ),
+    g AS (
+      SELECT canonical_hash, min(id) AS keep_id, count(*) AS dup_count
+      FROM hashed GROUP BY 1
+    )
+    SELECT id, url, canonical_url, canonical_hash, keep_id, dup_count
+    FROM hashed JOIN g USING (canonical_hash)
+    """,
+    doc="URL canonicalization + canonical-key dedup — the no-fetch first "
+    "pass of web-crawl curation: lowercase scheme/host, strip www./default "
+    "ports/fragments/tracking params (utm_*, ref, fbclid, gclid), trim "
+    "trailing slash; keeper = min id per canonical key.  Seeded URL "
+    "variants collapse 4-ways and 2-ways so every rule is exercised.  "
+    "Map-only parse; the canonical-key frequency table broadcasts back "
+    "(operators/textops.canonicalize_urls).",
+)
+def q_dedup_url_canonical(spark, sf_dir):
+    from ..operators.textops import canonicalize_urls
+
+    d = F.col("doc_id")
+    k = F.expr("doc_id div 6").cast("string")
+    seeded = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("https://www.shop.example.com:443/items/"), k,
+                     F.lit("/?utm_source=a&ref=x")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("HTTPS://Shop.Example.Com/items/"), k, F.lit("?fbclid=zzz")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://shop.example.com/items/"), k,
+                     F.lit("/other?page=2&utm_medium=m")),
+        )
+        .alias("url"),
+    )
+    return canonicalize_urls(seeded, "url", "doc_id")

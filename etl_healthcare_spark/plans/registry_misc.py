@@ -695,3 +695,70 @@ def stream_stream_join(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@register(
+    "stream_sessionize",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS last_ts,
+             count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    ),
+    open_s AS (SELECT user_id, max(sid) AS m FROM agg GROUP BY 1)
+    SELECT a.user_id,
+           epoch_us(a.session_start) AS session_start_us,
+           epoch_us(a.last_ts + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(a.n_events AS BIGINT) AS n_events
+    FROM agg a JOIN open_s o ON a.user_id = o.user_id
+    WHERE a.sid < o.m
+    """,
+    doc="§2.12 custom stateful streaming sessionization "
+    "(applyInPandasWithState, the sanctioned stateful-Python slot): per-user "
+    "30-min-gap sessions over the events stream.  Source written as ONE "
+    "file so availableNow is a single deterministic batch: the emitted set "
+    "is then provably every CLOSED session (each user's trailing open "
+    "session stays in state), which the oracle reproduces as gaps-and-"
+    "islands minus each user's last island.  State is O(active users) at "
+    "any stream volume (streaming/pipeline.sessionize_stream).",
+)
+def stream_sessionize(spark, sf_dir):
+    import uuid
+
+    from ..streaming.pipeline import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    out = sessionize_stream(stream, gap_minutes=30)
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )

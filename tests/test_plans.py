@@ -174,11 +174,11 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
     assert all(REGISTRY[n].sql is not None for n in DRIVER_WINDOW)
     # one representative from each major family must sit inside the window
     for probe in (
-        "q1_",  # serving
+        "q2_",  # serving
         "g1_",  # aggregation
         "g7_",  # TPC-H
         "j6_",  # joins
-        "w1_",  # windows
+        "w3_",  # windows
         "set_ops",  # set operations
         "o2_",  # sort/limit
         "p1_",  # parsing
@@ -304,6 +304,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "stream_anomaly_moments", "stream_hll_registers", "io_schema_evolution",
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
+        "stream_sessionize",
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
         "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
     }
