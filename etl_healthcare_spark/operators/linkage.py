@@ -1,0 +1,87 @@
+"""Fuzzy entity matching — approximate string join with rare-q-gram
+blocking (the record-linkage / entity-resolution operator; no reference
+analog — the reference matches on exact keys only, north-star layer).
+
+The classic scale problem: an edit-distance join is a cross product unless
+blocked.  The standard blocking is q-GRAM OVERLAP (two strings within edit
+distance k share at least one q-gram once they are longer than q*(k+1)), but
+common grams (shared prefixes, boilerplate) degenerate to all-pairs.  So the
+candidate generator keys on RARE grams only: grams whose clean-side document
+frequency exceeds ``max_gram_df`` are dropped from BOTH sides — the same
+frequent-key cap as the minhash mega-bucket cap (operators/dedup.py), applied
+identically in the DuckDB oracle so capped semantics are what gets verified.
+
+Pipeline (all key-grained shuffles, no window over the full corpus):
+  1. explode distinct q-grams of each side's normalized name;
+  2. clean-side gram frequencies (partial-aggregated, vocab-sized) filter
+     both gram streams to rare grams;
+  3. candidates = distinct (dirty, clean) pairs sharing a rare gram;
+  4. verify: levenshtein(dirty, clean) <= k — integer metric, identical in
+     Java and DuckDB (spot-verified incl. the substitution/deletion mix);
+  5. best match per dirty row = exact MIN over (distance, clean_id) structs.
+
+Recall bound: a true match is found iff the pair shares >= 1 rare gram;
+with mutations bounded by k and ``max_gram_df`` sized above the expected
+duplicate-group size, misses require k edits to land on ALL distinctive
+grams — the verify step then reports distance but never fabricates a match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(col, q: int = 3):
+    """Distinct q-grams of the lowercased string (array column)."""
+    s = F.lower(col)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, q)))
+
+
+def fuzzy_match_join(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_name: str,
+    clean_id: str,
+    clean_name: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_df: int = 64,
+) -> DataFrame:
+    """Best fuzzy match per dirty row.  Output (dirty_id, dirty_name,
+    match_id, match_name, distance) — unmatched dirty rows are absent
+    (left-anti recoverable by the caller)."""
+    dg = dirty.select(
+        F.col(dirty_id).alias("did"), F.col(dirty_name).alias("dname")
+    ).withColumn("gram", F.explode(_grams(F.col("dname"), q)))
+    cg = clean.select(
+        F.col(clean_id).alias("cid"), F.col(clean_name).alias("cname")
+    ).withColumn("gram", F.explode(_grams(F.col("cname"), q)))
+    rare = (
+        cg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_gram_df)
+        .select("gram")
+    )
+    cand = (
+        dg.join(rare, "gram")
+        .join(cg.join(rare, "gram"), "gram")
+        .select("did", "dname", "cid", "cname")
+        .distinct()
+    )
+    scored = cand.withColumn("distance", F.levenshtein(F.col("dname"), F.col("cname"))).where(
+        F.col("distance") <= max_dist
+    )
+    best = scored.groupBy("did", "dname").agg(
+        F.min(F.struct(F.col("distance"), F.col("cid"), F.col("cname"))).alias("b")
+    )
+    return best.select(
+        F.col("did").alias(dirty_id),
+        F.col("dname").alias(dirty_name),
+        F.col("b.cid").alias("match_id"),
+        F.col("b.cname").alias("match_name"),
+        F.col("b.distance").alias("distance"),
+    )

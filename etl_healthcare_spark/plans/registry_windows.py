@@ -453,3 +453,54 @@ def u5_incremental_agg(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("total_milli").alias("total_milli"), F.sum("n").alias("n"))
     )
+
+
+@register(
+    "g19_ohlc_bars",
+    sql="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) AS bar_us,
+             epoch_us(ts) AS us, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, bar_us,
+           min(struct_pack(us := us, eid := event_id, c := cents)).c AS open_cents,
+           max(struct_pack(us := us, eid := event_id, c := cents)).c AS close_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+    FROM base
+    GROUP BY 1, 2
+    """,
+    doc="G19 OHLC time bars — the first/last-by-timestamp rollup every "
+    "time-series store ships: per (metric, hour) open/high/low/close in "
+    "exact int64 cents, tick count, and a single-division average.  "
+    "First/last are exact MIN/MAX over (ts, event_id, cents) structs "
+    "(total order — event_id breaks ts ties identically in both engines; "
+    "no window function, so the whole bar is ONE partial-aggregable "
+    "groupBy that map-side combines at any volume).",
+)
+def g19_ohlc_bars(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = ev.select(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bar_us"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        cents.alias("cents"),
+    )
+    tick = F.struct(F.col("us"), F.col("event_id").alias("eid"), F.col("cents").alias("c"))
+    return base.groupBy("event_type", "bar_us").agg(
+        F.min(tick)["c"].alias("open_cents"),
+        F.max(tick)["c"].alias("close_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("cents").alias("sum_cents"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_cents"),
+    )

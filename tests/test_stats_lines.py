@@ -86,3 +86,25 @@ def test_shard_export_deterministic_and_offsets(spark):
         assert r["token_offset"] == exp
         by_shard[r["shard"]] = exp + r["n_tokens"]
     assert {r["shard"] for r in a} <= set(range(4)) and len(a) == 50
+
+
+def test_fuzzy_match_join_links_typos_to_catalog(spark):
+    from etl_healthcare_spark.operators.linkage import fuzzy_match_join
+
+    clean = spark.createDataFrame(
+        [(1, "acme widgets inc"), (2, "bolt supply co"), (3, "zenith tooling ltd")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "acme widgets inx"), (20, "bolt supply co"), (30, "totally unrelated")],
+        "did long, dname string",
+    )
+    out = {
+        r["did"]: r
+        for r in fuzzy_match_join(
+            dirty, clean, "did", "dname", "cid", "cname", max_dist=2
+        ).collect()
+    }
+    assert out[10]["match_id"] == 1 and out[10]["distance"] == 1
+    assert out[20]["match_id"] == 2 and out[20]["distance"] == 0
+    assert 30 not in out  # beyond max_dist -> absent, never a fabricated match
