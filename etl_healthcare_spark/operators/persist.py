@@ -328,3 +328,41 @@ class SnapshotStateStore(ParquetStateStore):
         for x in drop:
             shutil.rmtree(self._snap_dir(x), ignore_errors=True)
         return drop
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Apply a CDC change stream (I/U/D ops with sequence numbers) to a base
+    snapshot — the lakehouse ``MERGE ... WHEN MATCHED DELETE/UPDATE WHEN NOT
+    MATCHED INSERT`` semantic, as pure DataFrame ops.
+
+    Latest-op-per-key is an exact MAX over (seq, op, payload...) structs —
+    one partial-aggregable groupBy of the (small) change batch, never a
+    window over the snapshot; the apply is ONE key-grained full-outer join.
+    Keys without changes pass through; 'D' keys drop; 'I'/'U' keys take the
+    latest payload.  (seq, op) must be unique per key — the upstream log's
+    ordering contract.  At 100 TB the base side stays partition-pruned
+    exactly like ParquetStateStore.merge (only touched partitions rewrite);
+    this function is the resolution kernel of that write path.
+    """
+    latest = changes.groupBy(key).agg(
+        F.max(F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload_cols])).alias(
+            "__ch"
+        )
+    )
+    j = base.join(latest, key, "full_outer")
+    no_change = F.col("__ch").isNull()
+    out_cols = [
+        F.when(no_change, F.col(c)).otherwise(F.col(f"__ch.{c}")).alias(c)
+        for c in payload_cols
+    ]
+    return (
+        j.where(no_change | (F.col(f"__ch.{op_col}") != F.lit("D")))
+        .select(F.col(key), *out_cols)
+    )

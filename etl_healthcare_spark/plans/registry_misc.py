@@ -762,3 +762,80 @@ def stream_sessionize(spark, sf_dir):
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "u7_cdc_apply",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey AS k, c_name AS name,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      FROM customer
+    ),
+    changes AS (
+      SELECT k, 1 AS seq, 'U' AS op, name, k AS bal
+      FROM base WHERE k % 10 BETWEEN 1 AND 3
+      UNION ALL
+      SELECT k, 2, 'U', name, k * 2 FROM base WHERE k % 10 BETWEEN 1 AND 2
+      UNION ALL
+      SELECT k, 1, 'D', '', 0 FROM base WHERE k % 10 = 0
+      UNION ALL
+      SELECT k + 1000000, 1, 'I', 'Customer#new' || CAST(k AS VARCHAR), k * 3
+      FROM base WHERE k % 10 = 4
+    ),
+    latest AS (
+      SELECT k, max(struct_pack(seq := seq, op := op, name := name, bal := bal))
+               AS ch
+      FROM changes GROUP BY k
+    )
+    SELECT coalesce(b.k, l.k) AS c_custkey,
+           CASE WHEN l.k IS NULL THEN b.name ELSE l.ch.name END AS name,
+           CASE WHEN l.k IS NULL THEN b.bal ELSE l.ch.bal END AS bal_cents
+    FROM base b FULL JOIN latest l ON b.k = l.k
+    WHERE l.k IS NULL OR l.ch.op <> 'D'
+    """,
+    doc="U7 CDC change-stream apply — MERGE WHEN MATCHED UPDATE/DELETE, "
+    "WHEN NOT MATCHED INSERT, as pure DataFrame ops: latest op per key is "
+    "an exact MAX over (seq, op, payload) structs (one partial-aggregable "
+    "groupBy of the change batch), the apply ONE key-grained full-outer "
+    "join.  Seeded ops exercise every path: double-update latest-wins, "
+    "deletes, inserts, untouched passthrough "
+    "(operators/persist.apply_cdc).",
+)
+def u7_cdc_apply(spark, sf_dir):
+    from ..operators.persist import apply_cdc
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("bal"),
+    )
+    k, m = F.col("k"), F.col("k") % 10
+    changes = (
+        base.where(m.between(1, 3)).select(
+            k, F.lit(1).alias("seq"), F.lit("U").alias("op"), "name", k.alias("bal")
+        )
+        .unionAll(
+            base.where(m.between(1, 2)).select(
+                k, F.lit(2).alias("seq"), F.lit("U").alias("op"), "name",
+                (k * 2).alias("bal"),
+            )
+        )
+        .unionAll(
+            base.where(m == 0).select(
+                k, F.lit(1).alias("seq"), F.lit("D").alias("op"),
+                F.lit("").alias("name"), F.lit(0).cast("long").alias("bal"),
+            )
+        )
+        .unionAll(
+            base.where(m == 4).select(
+                (k + 1000000).alias("k"), F.lit(1).alias("seq"), F.lit("I").alias("op"),
+                F.concat(F.lit("Customer#new"), k.cast("string")).alias("name"),
+                (k * 3).alias("bal"),
+            )
+        )
+    )
+    return apply_cdc(base, changes, "k", "seq", "op", ["name", "bal"]).select(
+        F.col("k").alias("c_custkey"), "name", F.col("bal").alias("bal_cents")
+    )

@@ -108,3 +108,25 @@ def test_fuzzy_match_join_links_typos_to_catalog(spark):
     assert out[10]["match_id"] == 1 and out[10]["distance"] == 1
     assert out[20]["match_id"] == 2 and out[20]["distance"] == 0
     assert 30 not in out  # beyond max_dist -> absent, never a fabricated match
+
+
+def test_apply_cdc_latest_wins_deletes_inserts(spark):
+    from etl_healthcare_spark.operators.persist import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, bal long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "a", 11),
+            (1, 2, "U", "a2", 12),  # latest wins
+            (2, 1, "D", "", 0),
+            (9, 1, "I", "new", 90),
+        ],
+        "k long, seq long, op string, name string, bal long",
+    )
+    out = {r["k"]: r for r in apply_cdc(base, changes, "k", "seq", "op", ["name", "bal"]).collect()}
+    assert set(out) == {1, 3, 9}
+    assert out[1]["name"] == "a2" and out[1]["bal"] == 12
+    assert out[3]["bal"] == 30  # untouched passthrough
+    assert out[9]["name"] == "new" and out[9]["bal"] == 90
