@@ -48,6 +48,11 @@ HEADLINE = [
     "sim_ivf_probe",         # IVF build + partition-pruned probe
     "sim_knn_blocked",       # cell-blocked batch k-NN (hash join on cell)
     "mm_pixel_stats",        # real BMP/WAV pixel+sample decode in mapInPandas
+    # round-3 session additions (prior sets stay cross-round comparable)
+    "text_line_dedup",       # CCNet corpus line dedup rewrite (line-grain)
+    "g18_regression_stats",  # decimal(38) power sums over lineitem
+    "j7_fuzzy_match_join",   # rare-q-gram blocked edit-distance join
+    "u7_cdc_apply",          # change-stream resolution + full-outer apply
 ]
 
 

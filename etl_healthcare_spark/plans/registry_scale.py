@@ -798,20 +798,20 @@ def sketch_hll_merge(spark, sf_dir):
     cg AS (
       SELECT c_custkey AS cid, c_name AS cname,
              unnest(list_distinct(list_transform(
-               generate_series(1, greatest(length(c_name) - 2, 0)),
-               i -> substr(lower(c_name), CAST(i AS INTEGER), 3)))) AS gram
+               generate_series(1, greatest(length(c_name) - 3, 0)),
+               i -> substr(lower(c_name), CAST(i AS INTEGER), 4)))) AS gram
       FROM customer
     ),
     dg AS (
       SELECT did, dname,
              unnest(list_distinct(list_transform(
-               generate_series(1, greatest(length(dname) - 2, 0)),
-               i -> substr(lower(dname), CAST(i AS INTEGER), 3)))) AS gram
+               generate_series(1, greatest(length(dname) - 3, 0)),
+               i -> substr(lower(dname), CAST(i AS INTEGER), 4)))) AS gram
       FROM dirty
     ),
     rare AS (
       SELECT gram FROM (SELECT gram, count(*) AS c FROM cg GROUP BY 1)
-      WHERE c <= 64
+      WHERE c <= 32
     ),
     cand AS (
       SELECT DISTINCT d.did, d.dname, c.cid, c.cname
@@ -833,7 +833,7 @@ def sketch_hll_merge(spark, sf_dir):
     """,
     doc="J7 fuzzy entity-match join: every 3rd customer name gets a planted "
     "substitution, then dirty names re-link to the catalog by edit distance "
-    "<= 2 with RARE-3-gram blocking (grams above clean-side df 64 dropped "
+    "<= 2 with RARE-4-gram blocking (grams above clean-side df 32 dropped "
     "from both sides — the all-pairs guard, mirrored in the oracle so the "
     "capped semantics are what is verified).  Best match = exact MIN over "
     "(distance, id) structs.  All shuffles are gram-/pair-grained; "
@@ -857,5 +857,5 @@ def j7_fuzzy_match_join(spark, sf_dir):
         .alias("dname"),
     )
     return fuzzy_match_join(
-        dirty, cust, "did", "dname", "c_custkey", "c_name", max_dist=2, q=3, max_gram_df=64
+        dirty, cust, "did", "dname", "c_custkey", "c_name", max_dist=2, q=4, max_gram_df=32
     )
