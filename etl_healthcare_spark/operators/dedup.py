@@ -659,3 +659,51 @@ def minhash_scored_pairs(
         .withColumn("est_jaccard_ppm", F.expr(f"(1000000 * n_match) div {n}"))
         .select("doc_a", "doc_b", "n_match", "est_jaccard_ppm")
     )
+
+
+def minhash_cross_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ref_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """BIPARTITE near-dup candidates: (new_id, ref_id) pairs where a NEW
+    document shares >=1 LSH band with a REFERENCE-corpus document (``ref_col``
+    boolean column).  The cross-corpus dedup every training run needs —
+    "which candidate docs duplicate something already in the training set /
+    eval set / previous dump" — without ever pairing new-vs-new or
+    ref-vs-ref (no reference analog; north-star layer).
+
+    Shape: ONE minhash pipeline over the tagged union (not one per side —
+    the shingle/hash scan is the dominant cost and is shared), one bucket
+    shuffle, then pairs expand in-task as refs x news per bucket, skipping
+    same-side combinations entirely.  The mega-bucket cap bounds the worst
+    case exactly like minhash_lsh_pairs.
+    """
+    tagged = df.select(
+        F.struct(
+            F.col(ref_col).cast("boolean").cast("int").alias("r"),
+            F.col(id_col).alias("i"),
+        ).alias("__sid"),
+        F.col(text_col).alias("__text"),
+    )
+    b = minhash_bands(tagged, "__text", "__sid", bands, rows)
+    buckets = _lsh_buckets(b, max_bucket)
+    refs = F.filter(F.col("ds"), lambda d: d["r"] == 1)
+    news = F.filter(F.col("ds"), lambda d: d["r"] == 0)
+    pairs = F.flatten(
+        F.transform(
+            news,
+            lambda nw: F.transform(
+                refs, lambda r: F.struct(nw["i"].alias("new_id"), r["i"].alias("ref_id"))
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.new_id").alias("new_id"), F.col("p.ref_id").alias("ref_id"))
+        .distinct()
+    )

@@ -556,3 +556,84 @@ def sample_frames(
     return src.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("win", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("is_silence", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    win: int = 8,
+    silence_mean_sq: int = 1_000_000,
+) -> DataFrame:
+    """Frame-level audio feature extraction (the VAD / silence-trim slot of a
+    speech curation pipeline): decode PCM16 WAV payloads and emit one row per
+    fixed-size sample window with its energy (sum of squared samples), peak
+    absolute amplitude, and a silence flag (mean square < threshold).
+
+    All integer: a PCM16 sample squares to <= 2^30, so a window's int64
+    energy is exact at any window size a pipeline would use, and the silence
+    decision is an integer cross-multiply (energy < thresh * n) — no floats,
+    bit-identical in the DuckDB oracle.
+
+    Scale: the frame fan-out (xN rows per clip) happens INSIDE the
+    Arrow-batched mapInPandas task, exactly like sample_frames — rows
+    multiply before the next shuffle, never across one.  Non-PCM16 payloads
+    yield no rows (the gate is parse-level, same contract as
+    decode_pixel_samples)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("id", "win", "n_samples", "energy", "peak", "is_silence")}
+            for i, p in zip(b["id"], b["payload"]):
+                kind, n, _s, _mn, _mx = decode_pixel_samples(p)
+                if kind != "wav" or not n:
+                    continue
+                # re-decode the sample stream (decode_pixel_samples proved it
+                # parses); windows are [w*win, (w+1)*win) sample slices
+                off = 12
+                samples = None
+                while off + 8 <= len(p):
+                    cid = p[off : off + 4]
+                    sz = struct.unpack("<I", p[off + 4 : off + 8])[0]
+                    if cid == b"data":
+                        data = p[off + 8 : off + 8 + sz]
+                        m = len(data) // 2
+                        samples = struct.unpack(f"<{m}h", data[: 2 * m])
+                        break
+                    off += 8 + sz + (sz & 1)
+                if not samples:
+                    continue
+                for w0 in range(0, len(samples), win):
+                    chunk = samples[w0 : w0 + win]
+                    energy = sum(v * v for v in chunk)
+                    out["id"].append(i)
+                    out["win"].append(w0 // win)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(energy)
+                    out["peak"].append(max(abs(v) for v in chunk))
+                    out["is_silence"].append(energy < silence_mean_sq * len(chunk))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "win": pd.Series(out["win"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                    "is_silence": pd.Series(out["is_silence"], dtype="bool"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)

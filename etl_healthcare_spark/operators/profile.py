@@ -59,3 +59,47 @@ def profile_oracle_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return "\n    UNION ALL".join(branches)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnosis — the operational companion to the salted
+    aggregation (operators/skew.py): BEFORE picking a shuffle strategy for a
+    key, measure how hot its hottest values are.  Emits the ``top_n``
+    heaviest keys with their absolute count, corpus share in ppm (integer
+    cross-multiply, engine-exact), and multiple-of-mean in ppm — the two
+    numbers that decide broadcast vs salt vs AQE-skew-join.
+
+    Scale: one partial-aggregable groupBy(key) (the thing being measured),
+    then a top-n over the |keys|-row count table (TakeOrderedAndProject) and
+    a broadcastable 1-row total.  Deterministic tiebreak on the key value.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.expr("(1000000 * cnt) DIV total").alias("share_ppm"),
+            F.expr("(1000000 * cnt * n_keys) DIV total").alias("x_mean_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_n)
+    )
+
+
+def key_skew_oracle_sql(table: str, key_col: str, top_n: int = 10, where: str = "TRUE") -> str:
+    """DuckDB twin of key_skew_profile."""
+    return f"""
+    WITH counts AS (
+      SELECT {key_col} AS key, count(*) AS cnt FROM {table} WHERE {where} GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM counts)
+    SELECT key, cnt,
+           (1000000 * cnt) // t.total AS share_ppm,
+           (1000000 * cnt * t.n_keys) // t.total AS x_mean_ppm
+    FROM counts CROSS JOIN t
+    ORDER BY cnt DESC, key ASC LIMIT {top_n}
+    """

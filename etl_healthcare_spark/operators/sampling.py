@@ -174,3 +174,116 @@ def shard_export(
         "n_tokens",
         F.coalesce(F.sum("n_tokens").over(wc), F.lit(0)).alias("token_offset"),
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    salt: str = "dsir",
+    gain: int = 4,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., arXiv:2302.03169: weight
+    raw documents by how target-like their hashed-n-gram distribution is,
+    then sample proportionally).  No reference analog; north-star layer.
+
+    Integer-exact variant so the decision hash-compares across engines: the
+    per-token target-affinity is the add-one-smoothed share of the token's
+    occurrences that fall in the target slice, in ppm —
+    ``(1e6*(tf_target+1)) DIV (tf_target+tf_raw+2)`` — and a document's
+    importance is the integer mean over its token stream (multiplicity
+    preserved).  500000 ppm is "token is side-neutral".  True DSIR uses a
+    log-likelihood-ratio; the smoothed-share mean ranks documents the same
+    direction (monotone per token) and needs no ln(), so the whole decision
+    is a pure integer function of the corpus.
+
+    Acceptance is proportional-to-importance like the paper: accept doc iff
+    ``u < clamp(gain*(importance-500000) + 500000, 0, 1e6)`` where u is a
+    uniform ppm draw from sha256(salt:id) — deterministic, engine-identical.
+    Non-target docs are the candidates; target docs define the distribution.
+
+    Scale shape: one explode -> ONE conditional-sum groupBy(token) for both
+    sides' term frequencies (vocab-sized output, full map-side combine), one
+    join of doc-tokens against that table, one per-doc sum.  No floats, no
+    driver state, no UDFs — same skeleton as textops.lm_bigram_scores.
+
+    Returns (id, n_tokens, importance_ppm, accept_ppm, kept) for NON-target
+    docs.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    tf = toks.groupBy("w").agg(
+        F.sum(F.col("__tgt").cast("long")).alias("tf_t"),
+        F.sum((~F.col("__tgt")).cast("long")).alias("tf_r"),
+    )
+    scored = (
+        toks.where(~F.col("__tgt"))
+        .join(tf, "w")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("(1000000 * (tf_t + 1)) DIV (tf_t + tf_r + 2)")).alias("s"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.expr("s DIV n_tokens").alias("importance_ppm"),
+        )
+    )
+    u = F.pmod(
+        F.conv(F.substring(F.sha2(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 256), 1, 6), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    accept = F.greatest(
+        F.lit(0),
+        F.least(F.lit(1_000_000), F.lit(gain) * (F.col("importance_ppm") - 500_000) + 500_000),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "importance_ppm",
+        accept.alias("accept_ppm"),
+        (u < accept).alias("kept"),
+    )
+
+
+def dsir_oracle_sql(
+    target_pred: str, salt: str = "dsir", gain: int = 4, src: str = "documents"
+) -> str:
+    """DuckDB twin of dsir_resample: same tokenization, smoothing, integer
+    mean, and sha256-ppm acceptance draw.  ``target_pred`` is a SQL boolean
+    over the source table's columns."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, ({target_pred}) AS tgt,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM {src}
+    ),
+    tf AS (
+      SELECT w, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tf_t,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS tf_r
+      FROM toks GROUP BY w
+    ),
+    scored AS (
+      SELECT id, count(*) AS n_tokens,
+             CAST(sum((1000000 * (tf.tf_t + 1)) // (tf.tf_t + tf.tf_r + 2)) AS BIGINT) AS s
+      FROM toks JOIN tf ON toks.w = tf.w
+      WHERE NOT tgt GROUP BY id
+    ),
+    imp AS (
+      SELECT id AS doc_id, n_tokens, s // n_tokens AS importance_ppm,
+             greatest(0, least(1000000,
+               {gain} * ((s // n_tokens) - 500000) + 500000)) AS accept_ppm
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, importance_ppm, accept_ppm,
+           (('0x' || substr(sha256('{salt}:' || doc_id), 1, 6))::BIGINT % 1000000)
+             < accept_ppm AS kept
+    FROM imp
+    """

@@ -537,3 +537,66 @@ def canonicalize_urls(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     return base.join(F.broadcast(groups), "canonical_hash").select(
         "id", "url", "canonical_url", "canonical_hash", "keep_id", "dup_count"
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """fastText-style linear quality classifier over HASHED token features —
+    the standard "model-based quality filter" slot in a curation pipeline
+    (classifier score -> keep/drop), with the inference plumbing real and the
+    weights a deterministic stand-in (no trained artifact ships with the
+    repo; swap `w(bucket)` for a broadcast weight table in production — the
+    plan shape is identical: map-only, zero shuffle before the final
+    aggregation).
+
+    Feature hashing: bucket(t) = first-6-hex(sha256(t)) mod n_buckets — the
+    hashing-trick projection (Weinberger et al.) that fixes the feature width
+    regardless of vocabulary, exactly reproducible in any engine.  The
+    stand-in weights are a Knuth-multiplicative scramble of the bucket id
+    into [-1000, 1000]: w(b) = (b * 2654435761) % 2001 - 1000.
+
+    Score = sum over the token stream of w(bucket(t)) (multiplicity kept:
+    it is the dot product of the hashed count vector with w); label = score
+    > 0.  Everything int64; n_buckets * 2654435761 stays far under 2^63.
+
+    Returns (id, n_tokens, score, positive).
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("t"))
+    w = (
+        "transform(t, tok -> "
+        f"(pmod(cast(conv(substring(sha2(tok, 256), 1, 6), 16, 10) AS bigint), {n_buckets})"
+        " * 2654435761) % 2001 - 1000)"
+    )
+    scored = toks.where(F.size("t") > 0).select(
+        F.col("__id").alias(id_col),
+        F.size("t").alias("n_tokens"),
+        F.aggregate(F.expr(w), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("score"),
+    )
+    return scored.withColumn("positive", F.col("score") > 0)
+
+
+def hashed_linear_oracle_sql(n_buckets: int = 1024, src: str = "documents") -> str:
+    """DuckDB twin of hashed_linear_score: same hash-bucket projection and
+    scramble weights, summed per token occurrence."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM {src}
+    ),
+    scored AS (
+      SELECT id, count(*) AS n_tokens,
+             CAST(sum(
+               ((('0x' || substr(sha256(tok), 1, 6))::BIGINT % {n_buckets})
+                 * 2654435761) % 2001 - 1000
+             ) AS BIGINT) AS score
+      FROM toks GROUP BY id
+    )
+    SELECT id AS doc_id, n_tokens, score, score > 0 AS positive FROM scored
+    """

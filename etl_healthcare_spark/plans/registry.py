@@ -624,6 +624,7 @@ from . import registry_curation  # noqa: E402,F401
 from . import registry_tpch  # noqa: E402,F401
 from . import registry_tpch2  # noqa: E402,F401
 from . import registry_scale  # noqa: E402,F401
+from . import registry_analytics  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------

@@ -1,0 +1,178 @@
+"""Planted-data semantics + plan-shape tests for the round-3 analytics batch:
+triangles, interval joins, DSIR, cross-corpus dedup, hashed classifier,
+skew profiling, audio windows."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.dedup import minhash_cross_pairs
+from etl_healthcare_spark.operators.graph import triangle_counts
+from etl_healthcare_spark.operators.intervals import interval_overlap_pairs
+from etl_healthcare_spark.operators.multimodal import audio_window_energy
+from etl_healthcare_spark.operators.profile import key_skew_profile
+from etl_healthcare_spark.operators.sampling import dsir_resample
+from etl_healthcare_spark.operators.textops import hashed_linear_score
+
+
+# --- triangles --------------------------------------------------------------
+
+
+def test_triangle_counts_k4_plus_path(spark):
+    """K4 has C(4,3)=4 triangles, every vertex in 3; a pendant path adds
+    none.  Duplicate + reversed edges must not double-count."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(3, 10), (10, 11)] + k4[:2]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r["node"]: r["tri_count"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    """A star (hub + leaves) is triangle-free — the degree orientation must
+    not fabricate wedges into triangles."""
+    df = spark.createDataFrame([(0, i) for i in range(1, 20)], "a: long, b: long")
+    assert triangle_counts(df).count() == 0
+
+
+# --- interval overlap -------------------------------------------------------
+
+
+def test_interval_overlap_matches_naive(spark):
+    """Grid blocking (including multi-cell intervals) must equal the naive
+    O(n^2) predicate join — no lost pairs, no duplicates."""
+    iv = [
+        (1, 0, 40),    # spans 3 cells of 16
+        (2, 10, 20),   # overlaps 1
+        (3, 39, 60),   # overlaps 1 (end-touch at 40 counts: inclusive)
+        (4, 41, 41),   # disjoint from 1, inside 3
+        (5, 100, 110), # isolated
+        (6, 0, 40),    # identical to 1
+    ]
+    df = spark.createDataFrame(iv, "id: long, start_day: long, end_day: long")
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_days"]
+        for r in interval_overlap_pairs(df).collect()
+    }
+    rows = {(a, s, e) for a, s, e in iv}
+    want = {}
+    for a, sa, ea in sorted(rows):
+        for b, sb, eb in sorted(rows):
+            if a < b and sa <= eb and sb <= ea:
+                want[(a, b)] = min(ea, eb) - max(sa, sb) + 1
+    assert got == want
+    assert got[(1, 3)] == 2  # [39, 40]
+    assert got[(1, 6)] == 41
+
+
+def test_interval_overlap_joins_on_cell_not_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, i * 3, i * 3 + 10) for i in range(50)], "id: long, start_day: long, end_day: long"
+    )
+    plan = interval_overlap_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# --- DSIR -------------------------------------------------------------------
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    rows = (
+        [(i, "the quick brown fox jumps", True) for i in range(20)]
+        + [(100, "the quick brown fox jumps", False)]  # pure target-speak
+        + [(101, "zzz qqq xxx vvv kkk", False)]  # tokens never in target
+        + [(102, "the quick zzz qqq xxx", False)]  # mixed
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, tgt: boolean")
+    got = {r["doc_id"]: r for r in dsir_resample(df, "text", "doc_id", "tgt").collect()}
+    assert set(got) == {100, 101, 102}  # target docs score, never surface
+    assert got[100]["importance_ppm"] > got[102]["importance_ppm"] > got[101]["importance_ppm"]
+    assert got[101]["accept_ppm"] == 0  # far below neutral -> clamped out
+    assert not got[101]["kept"]
+    assert got[100]["accept_ppm"] == 1_000_000
+    assert got[100]["kept"]
+
+
+# --- cross-corpus dedup -----------------------------------------------------
+
+
+def test_cross_pairs_only_cross_side(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, True),
+        (2, base + " lambda", False),   # near-dup of ref 1
+        (3, base + " mu", False),       # near-dup of ref 1
+        (10, "totally different words about spark shuffles and joins", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, is_ref: boolean")
+    pairs = {(r["new_id"], r["ref_id"]) for r in
+             minhash_cross_pairs(df, "text", "doc_id", "is_ref").collect()}
+    assert (2, 1) in pairs and (3, 1) in pairs
+    # docs 2 and 3 share bands with each other too — but same-side pairs
+    # must never surface, nor any pair touching the unrelated doc
+    assert all(ref == 1 for _, ref in pairs)
+    assert all(new in (2, 3) for new, _ in pairs)
+
+
+# --- hashed linear classifier ----------------------------------------------
+
+
+def test_hashed_linear_score_is_deterministic_sum(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello hello world"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in hashed_linear_score(df, "text", "doc_id").collect()}
+    assert 3 not in out  # empty docs drop
+    # doubling a token moves the score by exactly its weight
+    w_hello = out[2]["score"] - out[1]["score"]
+    one = hashed_linear_score(
+        spark.createDataFrame([(9, "hello")], "doc_id: long, text: string"),
+        "text", "doc_id").collect()[0]
+    assert one["score"] == w_hello
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 3
+    assert out[1]["positive"] == (out[1]["score"] > 0)
+
+
+# --- key skew profile -------------------------------------------------------
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    rows = [(7,)] * 60 + [(1,)] * 20 + [(k,) for k in range(100, 120)]
+    df = spark.createDataFrame(rows, "k: long")
+    out = key_skew_profile(df, "k", top_n=3).collect()
+    assert [r["key"] for r in out] == [7, 1, 100]
+    top = out[0]
+    assert top["cnt"] == 60
+    assert top["share_ppm"] == 1_000_000 * 60 // 100
+    assert top["x_mean_ppm"] == 1_000_000 * 60 * 22 // 100
+
+
+# --- audio windows ----------------------------------------------------------
+
+
+def _wav(samples):
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def test_audio_window_energy_hand_built(spark):
+    samples = [0] * 8 + [1000] * 8 + [30000, -30000] + [5] * 3  # 19 samples
+    df = spark.createDataFrame([(1, bytearray(_wav(samples)))], "id: long, payload: binary")
+    out = {r["win"]: r for r in audio_window_energy(df, "id", "payload", win=8).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["energy"] == 0 and out[0]["is_silence"]
+    assert out[1]["energy"] == 8 * 1000 * 1000 and not out[1]["is_silence"]
+    assert out[2]["n_samples"] == 5  # tail window is short, never padded
+    assert out[2]["energy"] == 2 * 30000 * 30000 + 3 * 25
+    assert out[2]["peak"] == 30000
+
+
+def test_audio_window_energy_skips_non_wav(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"BMnot-a-wav")), (2, None)], "id: long, payload: binary"
+    )
+    assert audio_window_energy(df, "id", "payload").count() == 0
