@@ -53,6 +53,15 @@ HEADLINE = [
     "g18_regression_stats",  # decimal(38) power sums over lineitem
     "j7_fuzzy_match_join",   # rare-q-gram blocked edit-distance join
     "u7_cdc_apply",          # change-stream resolution + full-outer apply
+    # round-3 analytics batch (prior sets stay cross-round comparable)
+    "graph_triangles",       # degree-oriented wedge closing
+    "j8_interval_overlap",   # grid-cell-blocked non-equi self-join
+    "dedup_cross_corpus",    # bipartite minhash (new vs reference corpus)
+    "sample_dsir",           # token-level importance weights + ppm draw
+    "text_classifier_score", # hashed-feature linear scorer (map-only)
+    "mm_phash_pairs",        # real aHash kernel + Hamming-LSH blocking
+    "search_index_probe",    # partitioned inverted index build + pruned probe
+    "anomaly_iqr",           # rank-exact quartiles + integer Tukey fences
 ]
 
 

@@ -153,3 +153,86 @@ def ewma_oracle_sql(
     FROM src WHERE rn <= {k}
     GROUP BY key
     """
+
+
+def iqr_outlier_stats(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """Tukey-fence outlier profile per group on EXACT rank-selected quartiles
+    (quantile type 1: the value at rank ceil(p*n), no interpolation — an
+    interpolated quantile is a float blend whose last ulp differs by engine;
+    the rank-selected one is a value that exists in the data, integer-exact).
+
+    Fences at 3x IQR are compared via integer cross-multiplies
+    (2*v < 2*q1 - 3*iqr), so the whole profile — quartiles, fence crossings —
+    is a pure integer function of the input.  ``value_col`` must already be
+    integer (fixed-point) units.
+
+    Scale: one partition-shuffle window (rank within group) + one
+    group-sized aggregate; output is |groups| rows.  The same shape as
+    g11_median with the quartile rank made explicit.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("v", "i")
+    ranked = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v"), F.col(id_col).alias("i")
+        )
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    q = ranked.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("r") == F.expr("(n + 3) DIV 4"), F.col("v")).otherwise(None)).alias("q1"),
+        F.max(F.when(F.col("r") == F.expr("(n + 1) DIV 2"), F.col("v")).otherwise(None)).alias("med"),
+        F.max(F.when(F.col("r") == F.expr("(3 * n + 3) DIV 4"), F.col("v")).otherwise(None)).alias("q3"),
+    )
+    flagged = (
+        ranked.join(q.select("g", "q1", "q3"), "g")
+        .withColumn("iqr", F.col("q3") - F.col("q1"))
+        .groupBy("g")
+        .agg(
+            F.sum((2 * F.col("v") < 2 * F.col("q1") - 3 * F.col("iqr")).cast("long")).alias("n_low"),
+            F.sum((2 * F.col("v") > 2 * F.col("q3") + 3 * F.col("iqr")).cast("long")).alias("n_high"),
+        )
+    )
+    return (
+        q.join(flagged, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n", "q1", "med", "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            "n_low", "n_high",
+        )
+    )
+
+
+def iqr_oracle_sql(table: str, group_col: str, value_expr: str, id_col: str, where: str = "TRUE") -> str:
+    """DuckDB twin of iqr_outlier_stats (same integer ranks and fences)."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS g, {value_expr} AS v, {id_col} AS i FROM {table} WHERE {where}
+    ),
+    ranked AS (
+      SELECT g, v, i,
+             row_number() OVER (PARTITION BY g ORDER BY v, i) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM src
+    ),
+    q AS (
+      SELECT g, max(n) AS n,
+             max(CASE WHEN r = (n + 3) // 4 THEN v END) AS q1,
+             max(CASE WHEN r = (n + 1) // 2 THEN v END) AS med,
+             max(CASE WHEN r = (3 * n + 3) // 4 THEN v END) AS q3
+      FROM ranked GROUP BY g
+    ),
+    f AS (
+      SELECT ranked.g,
+             CAST(sum(CASE WHEN 2 * v < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             CAST(sum(CASE WHEN 2 * v > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      FROM ranked JOIN q ON ranked.g = q.g GROUP BY ranked.g
+    )
+    SELECT q.g AS {group_col}, q.n, q.q1, q.med, q.q3, q.q3 - q.q1 AS iqr, f.n_low, f.n_high
+    FROM q JOIN f ON q.g = f.g
+    """

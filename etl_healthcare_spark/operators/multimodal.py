@@ -637,3 +637,117 @@ def audio_window_energy(
             )
 
     return src.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("ahash", T.StringType(), True),
+    ]
+)
+
+
+def ahash64(b: bytes):
+    """64-bit perceptual average-hash of a decodable 24-bpp BMP, as a
+    64-char '0'/'1' string (bit order: 8x8 grid, row-major over stored rows).
+
+    Real aHash semantics on the real bytes: grayscale = integer mean of the
+    3 channel bytes per pixel (honoring data offset and row stride), the
+    image is partitioned into an 8x8 grid of cells (cell of stored-row r,
+    column x = (x*8//w, r*8//h)), and bit(cell) = 1 iff the cell's mean
+    grayscale exceeds the global mean — compared as the integer
+    cross-multiply cell_sum * n_pixels > total_sum * cell_n, so no float
+    division is involved and the DuckDB oracle reproduces each bit exactly.
+    Non-BMP / undecodable payloads -> None."""
+    if b is None:
+        return None
+    try:
+        if b[:2] != b"BM" or len(b) < 54:
+            return None
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if bpp != 24 or comp != 0:
+            return None
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        h = abs(h)
+        if w < 8 or h < 8:
+            return None
+        stride = ((3 * w + 3) // 4) * 4
+        cell_sum = [0] * 64
+        cell_n = [0] * 64
+        total = 0
+        for r in range(h):
+            row = b[off + r * stride : off + r * stride + 3 * w]
+            if len(row) < 3 * w:
+                return None
+            cy = r * 8 // h
+            for x in range(w):
+                g = (row[3 * x] + row[3 * x + 1] + row[3 * x + 2]) // 3
+                c = cy * 8 + x * 8 // w
+                cell_sum[c] += g
+                cell_n[c] += 1
+                total += g
+        n = w * h
+        return "".join(
+            "1" if cell_sum[c] * n > total * cell_n[c] else "0" for c in range(64)
+        )
+    except (struct.error, IndexError):
+        return None
+
+
+def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, ahash) via the Arrow-batched mapInPandas kernel — map-only."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {"id": b["id"], "ahash": pd.Series([ahash64(p) for p in b["payload"]], dtype="object")}
+            )
+
+    return src.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: Hamming-LSH blocking —
+    4 bands of 16 bits, and by pigeonhole two hashes within Hamming distance
+    3 (= bands - 1) MUST agree exactly on >= 1 band, so blocked recall at the
+    default threshold is total: the blocked result provably equals the naive
+    all-pairs O(n^2) join the oracle runs.  Candidates expand in-task per
+    (band, key) bucket (never a self-join), then the exact Hamming distance
+    is a 64-position filter.  Input (id, ahash); output (id_a, id_b,
+    hamming).  ``max_bucket`` engages the same mega-bucket cap as text
+    minhash for degenerate corpora (e.g. monochrome frames all hashing to
+    zero); it is off by default so the exactness contract holds.
+
+    Shares _lsh_buckets/_pair_combos with operators/dedup.py — the identical
+    scale shape: one bucket shuffle, no self-join, bounded task fan-out."""
+    from .dedup import _lsh_buckets, _pair_combos
+
+    h = hashes.where(F.col("ahash").isNotNull())
+    bands = h.selectExpr(
+        "id AS doc",
+        "stack(4, '0', substr(ahash, 1, 16), '1', substr(ahash, 17, 16), "
+        "'2', substr(ahash, 33, 16), '3', substr(ahash, 49, 16)) AS (band, key)",
+    )
+    buckets = _lsh_buckets(bands, max_bucket=max_bucket)
+    pairs = (
+        buckets.select(F.explode(_pair_combos(F.col("ds"))).alias("p"))
+        .select(F.col("p.doc_a").alias("id_a"), F.col("p.doc_b").alias("id_b"))
+        .distinct()
+    )
+    ha = h.select(F.col("id").alias("id_a"), F.col("ahash").alias("ha"))
+    hb = h.select(F.col("id").alias("id_b"), F.col("ahash").alias("hb"))
+    return (
+        pairs.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.expr("size(filter(sequence(1, 64), i -> substr(ha, i, 1) != substr(hb, i, 1)))"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

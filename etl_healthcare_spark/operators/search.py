@@ -126,3 +126,90 @@ def bm25_oracle_sql(terms: list[str], k: int = 10, src: str = "documents") -> st
     SELECT id, score FROM scored WHERE score > 0
     ORDER BY score DESC, id LIMIT {k}
     """
+
+
+def index_build(
+    docs: DataFrame, text_col: str, id_col: str, index_dir: str, n_buckets: int = 16
+) -> None:
+    """Inverted-index BUILD — the write-once phase of the served-search
+    split (companion to similarity.ivf_build_index; the scan-shaped
+    bm25_scores stays the right tool for pipeline-side filtering, this is
+    the layout a repeated-query workload wants).
+
+    Postings (term, doc, tf, df) are written ``partitionBy(bucket)`` where
+    bucket = sha256-hash of the term mod ``n_buckets`` — the partition key a
+    probe can compute FROM THE QUERY ALONE, so a lookup prunes to the
+    query's buckets without any directory listing.  df (document frequency)
+    is denormalized onto each posting at build time: one extra column per
+    row buys probe-time scoring with zero extra joins.
+
+    Scale: one explode -> one (term, doc) groupBy (partial-aggregated), one
+    term-keyed window for df, one range-free write.  Buckets are uniform by
+    construction (sha256), so partitions are even however skewed the
+    vocabulary is."""
+    from ..functions.text import tokens
+
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("term"), 256), 1, 6), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    (
+        tf.join(df_counts, "term")
+        .withColumn("bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_dir + "/postings")
+    )
+
+
+def index_probe(
+    spark, index_dir: str, terms: list[str], k: int = 10, n_buckets: int = 16
+) -> DataFrame:
+    """Inverted-index PROBE: compute the query terms' buckets from sha256
+    (identical arithmetic to the build — no catalog lookup), scan ONLY those
+    bucket partitions (the plan shows PartitionFilters on bucket), and score
+    docs by sum(tf * w(term)) with the integer idf surrogate
+    w = 1e6 DIV (1 + df) — rare terms dominate, exactly and
+    engine-reproducibly (a float ln() idf would drift).  Top-k closes with a
+    (score desc, doc asc) total order."""
+    import hashlib
+
+    qbuckets = sorted(
+        {int(hashlib.sha256(t.encode()).hexdigest()[:6], 16) % n_buckets for t in terms}
+    )
+    postings = spark.read.parquet(index_dir + "/postings")
+    return (
+        postings.where(F.col("bucket").isin(qbuckets))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc")
+        .agg(F.sum(F.expr("tf * (1000000 DIV (1 + df))")).alias("score"),
+             F.count(F.lit(1)).alias("n_terms_hit"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(k)
+    )
+
+
+def index_probe_oracle_sql(terms: list[str], k: int = 10, src: str = "documents") -> str:
+    """DuckDB twin of build+probe straight off the corpus: same tokenizer,
+    tf/df, integer idf surrogate, and top-k tiebreak."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM {src}
+    ),
+    tf AS (SELECT term, doc, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc, CAST(sum(tf.tf * (1000000 // (1 + dfc.df))) AS BIGINT) AS score,
+           count(*) AS n_terms_hit
+    FROM tf JOIN dfc ON tf.term = dfc.term
+    WHERE tf.term IN ({tlist})
+    GROUP BY tf.doc
+    ORDER BY score DESC, tf.doc ASC LIMIT {k}
+    """

@@ -643,31 +643,30 @@ DRIVER_WINDOW: list[str] = [
     "q3_latest_observation",
     # aggregation (G family)
     "g1_minute_counters",
-    "g5_percentiles",
     "g6_max_by_latest",
     "g8_rollup",
+    "anomaly_iqr",
     # TPC-H suite (G7 family)
     "g7_tpch_q1",
     "g7c_tpch_q3",
     "g7d_tpch_q5",
-    "g7g_tpch_q18",
     # joins (J family)
     "j4_anti_join",
     "j5b_asof_join",
     "j6_star_join",
+    "j8_interval_overlap",
     # window functions (§2.9)
     "w3_moving_avg",
-    "w6_locf_gapfill",
     # set operations (§2.10)
     "set_ops",
     # sort / limit / pagination (O family)
     "o2_topk",
     # multimodal (real header decode)
     "mm_header_decode",
+    "mm_phash_pairs",
     # parsing (P family)
     "p1_csv_to_dto",
     "p4_hl7_obx_dto",
-    "p6_fhir_observation",
     "p7_envelope",
     # validation (V family)
     "v2_dto_validation",
@@ -679,21 +678,21 @@ DRIVER_WINDOW: list[str] = [
     "text_line_dedup",
     "dedup_url_canonical",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "dedup_semantic",
+    "dedup_cross_corpus",
     "decontam_ngram",
     # similarity search
     "sim_topk_cosine",
-    "sim_ann_lsh",
     "sim_knn_join",
     # text analysis
     "text_stats",
     "text_repetition",
+    "text_classifier_score",
     # sampling / splits / shard export
     "sample_hash_split",
-    "sample_shard_export",
+    "sample_dsir",
     # end-to-end curation funnel
     "curation_e2e",
     # pivot / subqueries / scalar surface (§2.11)
@@ -709,6 +708,7 @@ DRIVER_WINDOW: list[str] = [
     "g18_regression_stats",
     "cluster_kmeans",
     "anomaly_zscore",
+    "graph_triangles",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -258,3 +258,181 @@ def mm_audio_windows(spark, sf_dir):
         ).alias("payload"),
     )
     return audio_window_energy(media, "doc_id", "payload", win=8)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: perceptual-hash image dedup (real aHash over real BMP bytes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_phash_pairs",
+    sql="""
+    WITH src AS (SELECT doc_id FROM documents WHERE doc_id < 600),
+    img AS (
+      SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 4) AS h,
+             doc_id % 5 AS seed
+      FROM src
+    ),
+    px AS (
+      SELECT doc_id, w, h, seed, unnest(generate_series(0, w * h - 1)) AS p FROM img
+    ),
+    g AS (
+      SELECT doc_id,
+             ((3 * p * 37 + seed) % 256 + ((3 * p + 1) * 37 + seed) % 256
+              + ((3 * p + 2) * 37 + seed) % 256) // 3 AS gray,
+             ((p // w) * 8 // h) * 8 + (p % w) * 8 // w AS cell
+      FROM px
+    ),
+    cells AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cn FROM g GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS n FROM g GROUP BY 1),
+    h AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.cs * t.n > t.ts * c.cn THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id GROUP BY c.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             length(list_filter(generate_series(1, 64),
+                    i -> substr(a.ahash, i, 1) <> substr(b.ahash, i, 1))) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    doc="Perceptual-hash IMAGE dedup on REAL decoded bytes: ahash64 computes "
+    "the genuine average-hash (8x8 cell means vs global mean, integer "
+    "cross-multiplies) from complete synthesized 24-bpp BMPs inside the "
+    "Arrow kernel, then Hamming-LSH blocking (4 bands of 16 bits) finds "
+    "near-identical images.  By pigeonhole the blocked pairs at distance "
+    "<= 3 EQUAL the naive all-pairs join the oracle runs — blocking is "
+    "provably lossless at the threshold, and the oracle recomputes every "
+    "pixel, every hash bit, and every Hamming distance arithmetically "
+    "(operators/multimodal.ahash64 / ahash_near_pairs).",
+)
+def mm_phash_pairs(spark, sf_dir):
+    from ..operators.multimodal import ahash_near_pairs, image_ahash, synth_bmp_with_pixels
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 600)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_bmp_with_pixels(
+            F.lit(8) * (F.lit(1) + d % 3), F.lit(8) * (F.lit(1) + d % 4), d % 5
+        ).alias("payload"),
+    )
+    return ahash_near_pairs(image_ahash(media, "doc_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# search: inverted-index build/probe split with partition pruning
+# ---------------------------------------------------------------------------
+
+_PROBE_TERMS = ["spark", "merge", "vector"]
+
+
+def _index_probe_oracle() -> str:
+    from ..operators.search import index_probe_oracle_sql
+
+    return index_probe_oracle_sql(_PROBE_TERMS, k=10)
+
+
+@register(
+    "search_index_probe",
+    sql=_index_probe_oracle(),
+    doc="Inverted-index BUILD/PROBE split (the served-search layout, "
+    "companion to sim_ivf_probe): postings written partitionBy(sha-bucket "
+    "of term) once, then the probe computes the query terms' buckets FROM "
+    "THE QUERY ALONE and scans only those partitions (PartitionFilters on "
+    "bucket — plan-tested), scoring with the integer idf surrogate "
+    "1e6 DIV (1+df) denormalized onto the postings at build time.  The "
+    "oracle recomputes build+probe straight off the corpus "
+    "(operators/search.index_build / index_probe).",
+)
+def search_index_probe(spark, sf_dir):
+    import tempfile
+
+    from ..operators.search import index_build, index_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="inv_idx_")
+    index_build(docs, "text", "doc_id", d)
+    return index_probe(spark, d, _PROBE_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# anomalies: robust IQR outlier profile (rank-exact quartiles)
+# ---------------------------------------------------------------------------
+
+
+def _iqr_oracle() -> str:
+    from ..operators.anomaly import iqr_oracle_sql
+
+    return iqr_oracle_sql(
+        "events", "event_type", "CAST(floor(value * 100) AS BIGINT)", "event_id"
+    )
+
+
+@register(
+    "anomaly_iqr",
+    sql=_iqr_oracle(),
+    doc="Tukey-fence outlier profile per event type on RANK-EXACT quartiles "
+    "(value at rank ceil(p*n) — no interpolation, no float quantile drift) "
+    "with 3x-IQR fences as integer cross-multiplies "
+    "(operators/anomaly.iqr_outlier_stats).  The robust complement of "
+    "anomaly_zscore: immune to the outliers it is hunting.  One window "
+    "shuffle + one group aggregate; |groups| rows out.",
+)
+def anomaly_iqr(spark, sf_dir):
+    from ..operators.anomaly import iqr_outlier_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_cents"),
+    )
+    return iqr_outlier_stats(ev, "event_type", "v_cents", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming: stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_static_join",
+    sql="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="§2.12 stream-static enrichment: the events STREAM (file source, "
+    "availableNow) joins the static customer dimension — the canonical "
+    "enrich-on-ingest shape.  The static side is broadcast per micro-batch "
+    "(no stream state at all, unlike stream-stream joins), so at 100 TB/day "
+    "the cost is the stream scan alone.  Bounded input makes the streamed "
+    "result provably equal the batch join the oracle runs.",
+)
+def stream_static_join(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    d = tempfile.mkdtemp(prefix="stream_ssj2_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    out = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    ).select("event_id", "user_id", "segment", "event_type")
+    name = f"ssx_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -176,3 +176,108 @@ def test_audio_window_energy_skips_non_wav(spark):
         [(1, bytearray(b"BMnot-a-wav")), (2, None)], "id: long, payload: binary"
     )
     assert audio_window_energy(df, "id", "payload").count() == 0
+
+
+# --- perceptual hash --------------------------------------------------------
+
+
+def _bmp(w, h, pixel_bytes):
+    assert len(pixel_bytes) == 3 * w * h and w % 4 == 0
+    hdr = b"BM" + struct.pack("<I", 54 + len(pixel_bytes)) + b"\x00" * 4 + struct.pack("<I", 54)
+    dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+    return hdr + dib + bytes(pixel_bytes)
+
+
+def test_ahash64_halves(spark):
+    """Top stored-half bright, bottom dark -> exactly the 32 bright-cell bits
+    set; constant image -> all zero (strict > mean)."""
+    from etl_healthcare_spark.operators.multimodal import ahash64
+
+    w = h = 8
+    dark_rows, bright_rows = [10] * (3 * w * 4), [200] * (3 * w * 4)
+    img = _bmp(w, h, dark_rows + bright_rows)
+    got = ahash64(img)
+    assert got == "0" * 32 + "1" * 32  # stored rows 4..7 = cells 32..63
+    assert ahash64(_bmp(w, h, [77] * (3 * w * h))) == "0" * 64
+    assert ahash64(b"not an image") is None
+
+
+def test_ahash_near_pairs_blocking_equals_naive(spark):
+    """A 2-bit perturbation pairs up; a 20-bit one must not (and the blocked
+    join must equal the naive threshold join on these hashes)."""
+    from etl_healthcare_spark.operators.multimodal import ahash_near_pairs
+
+    base = "01" * 32
+    two_flips = "10" + base[2:]
+    many_flips = ("10" * 10) + base[20:]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, two_flips), (4, many_flips)], "id: long, ahash: string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in ahash_near_pairs(df).collect()}
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_mm_phash_kernel_matches_oracle_construction(spark):
+    """The registry query's kernel hash on real bytes == the arithmetic
+    reconstruction, for one spot-checked doc shape."""
+    from etl_healthcare_spark.operators.multimodal import image_ahash, synth_bmp_with_pixels
+
+    d = spark.range(7, 8).select(
+        F.col("id").alias("doc_id"),
+        synth_bmp_with_pixels(
+            F.lit(8) * (F.lit(1) + F.col("id") % 3), F.lit(8) * (F.lit(1) + F.col("id") % 4), F.col("id") % 5
+        ).alias("payload"),
+    )
+    got = image_ahash(d, "doc_id", "payload").collect()[0]["ahash"]
+    w, h, seed = 8 * (1 + 7 % 3), 8 * (1 + 7 % 4), 7 % 5
+    cs, cn, tot = [0] * 64, [0] * 64, 0
+    for p in range(w * h):
+        gray = sum(((3 * p + c) * 37 + seed) % 256 for c in range(3)) // 3
+        cell = ((p // w) * 8 // h) * 8 + (p % w) * 8 // w
+        cs[cell] += gray
+        cn[cell] += 1
+        tot += gray
+    want = "".join("1" if cs[c] * w * h > tot * cn[c] else "0" for c in range(64))
+    assert got == want
+
+
+# --- inverted index ---------------------------------------------------------
+
+
+def test_index_probe_prunes_bucket_partitions(spark, tmp_path):
+    from etl_healthcare_spark.operators.search import index_build, index_probe
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge rows"), (2, "spark spark spark"), (3, "unrelated words here")],
+        "doc_id: long, text: string",
+    )
+    d = str(tmp_path / "idx")
+    index_build(docs, "text", "doc_id", d)
+    probe = index_probe(spark, d, ["spark", "merge"], k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    got = {r["doc"]: r for r in probe.collect()}
+    assert set(got) == {1, 2}
+    # df(spark)=2, df(merge)=1 -> w(spark)=333333, w(merge)=500000
+    assert got[2]["score"] == 3 * 333333
+    assert got[1]["score"] == 333333 + 500000
+    assert got[1]["n_terms_hit"] == 2
+
+
+# --- IQR outliers -----------------------------------------------------------
+
+
+def test_iqr_outlier_stats_planted(spark):
+    from etl_healthcare_spark.operators.anomaly import iqr_outlier_stats
+
+    vals = list(range(1, 12)) + [1000, -1000]  # 13 rows; q1 rank 4, q3 rank 9(->10? n=13)
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp: string, event_id: long, v: long"
+    )
+    out = iqr_outlier_stats(df, "grp", "v", "event_id").collect()[0]
+    n = 13
+    s = sorted(vals)
+    q1, med, q3 = s[(n + 3) // 4 - 1], s[(n + 1) // 2 - 1], s[(3 * n + 3) // 4 - 1]
+    assert (out["q1"], out["med"], out["q3"]) == (q1, med, q3)
+    assert out["iqr"] == q3 - q1
+    assert out["n_low"] == 1 and out["n_high"] == 1

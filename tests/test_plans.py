@@ -307,6 +307,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "stream_sessionize",
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
         "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
+        "search_index_probe",  # writes the inverted index (build phase)
+        "stream_static_join",
     }
     ARROW_OK = {
         "mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample",
@@ -314,6 +316,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         # per-bucket numpy GEMM pair scorer — the declared embedding-dedup
         # Arrow slot (operators/dedup.embedding_lsh_dedup_pairs)
         "dedup_embedding_lsh",
+        # real-byte decode kernels of the round-3 analytics batch
+        "mm_audio_windows", "mm_phash_pairs",
     }
     audited = 0
     for name in REGISTRY:
