@@ -75,3 +75,74 @@ def zorder_layout(df: DataFrame, x_col: str, y_col: str, bits: int = 10) -> Data
     tight (x, y) rectangle, giving footer-stat pruning on both columns."""
     z = df.withColumn("zvalue", morton_key(F.col(x_col), F.col(y_col), bits))
     return z.repartitionByRange(F.col("zvalue")).sortWithinPartitions("zvalue")
+
+
+def range_bounds(
+    df: DataFrame, value_col: str, n_parts: int, bin_width: int
+) -> DataFrame:
+    """Balanced RANGE-PARTITION boundaries from a fixed-bin histogram — the
+    deterministic version of what repartitionByRange's reservoir sampling
+    decides, exposed as a plannable operator (write-layout planning for
+    sorted/bucketed output; companion to zorder_layout).
+
+    One skinny (bin) aggregation (map-side combined, |bins| rows however big
+    the corpus), then the k-1 split points are read off the cumulative
+    histogram: split i = the lowest bin whose cumulative count reaches
+    ceil(i*n/k).  Boundary precision is one bin width — the planner
+    tradeoff, stated rather than hidden in a sample.  All integer; unlike a
+    sampled boundary set, two runs (or two engines) produce THE SAME bounds,
+    so incremental writes land in stable partitions.
+
+    Output (split_idx 1..k-1, bound) where bound is the bin's inclusive
+    upper edge in value units."""
+    from pyspark.sql import Window
+
+    bins = (
+        df.select(F.expr(f"CAST({value_col} DIV {bin_width} AS BIGINT)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select("bin", F.sum("cnt").over(w).alias("cum"))
+    total = bins.agg(F.sum("cnt").alias("n"))
+    splits = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "cum",
+            F.explode(F.sequence(F.lit(1), F.lit(n_parts - 1))).alias("split_idx"),
+            F.col("n"),
+        )
+        .where(F.col("cum") >= F.expr(f"((split_idx * n) + {n_parts} - 1) DIV {n_parts}"))
+        .groupBy("split_idx")
+        .agg(F.min("bin").alias("bin"))
+        .select("split_idx", ((F.col("bin") + 1) * bin_width - 1).alias("bound"))
+    )
+    return splits
+
+
+def range_bounds_oracle_sql(
+    table: str, value_expr: str, n_parts: int, bin_width: int, where: str = "TRUE"
+) -> str:
+    """DuckDB twin of range_bounds."""
+    return f"""
+    WITH bins AS (
+      SELECT ({value_expr}) // {bin_width} AS bin, count(*) AS cnt
+      FROM {table} WHERE {where} GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bins
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+    hits AS (
+      SELECT s.i AS split_idx, min(c.bin) AS bin
+      FROM cum c
+      CROSS JOIN t
+      JOIN (SELECT unnest(generate_series(1, {n_parts - 1})) AS i) s
+        ON c.cum >= ((s.i * t.n) + {n_parts} - 1) // {n_parts}
+      GROUP BY s.i
+    )
+    SELECT split_idx, (bin + 1) * {bin_width} - 1 AS bound FROM hits
+    """

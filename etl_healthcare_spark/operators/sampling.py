@@ -287,3 +287,49 @@ def dsir_oracle_sql(
              < accept_ppm AS kept
     FROM imp
     """
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the integer
+    form of Efraimidis–Spirakis A-ES (keys u^(1/w) become, after the
+    monotone -log transform, priorities (-ln u)/w; here the uniform draw is
+    a 12-hex sha256 integer and the priority is ``hash DIV weight``, the
+    same order statistic with integer arithmetic): take the k SMALLEST
+    priorities, so a row with twice the weight is ~twice as likely to make
+    the cut, and the whole sample is a pure function of (salt, ids,
+    weights).
+
+    Scale: priority is map-only; the selection is a TakeOrderedAndProject
+    top-k (per-partition heaps, no global sort).  Re-running on a re-
+    partitioned corpus returns the identical sample — the property that
+    makes weighted corpus subsets reproducible across engine versions.
+
+    Output (id, weight, priority) — the k winners, priority ascending."""
+    pr = F.expr(
+        f"CAST(conv(substring(sha2(concat('{salt}:', CAST({id_col} AS STRING)), 256), 1, 12), 16, 10) AS BIGINT)"
+        f" DIV {weight_col}"
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(F.col(id_col).alias("id"), F.col(weight_col).alias("weight"), pr.alias("priority"))
+        .orderBy("priority", "id")
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str, id_col: str, weight_expr: str, k: int, salt: str = "ws", where: str = "TRUE"
+) -> str:
+    """DuckDB twin of weighted_sample."""
+    return f"""
+    WITH src AS (
+      SELECT {id_col} AS id, {weight_expr} AS weight FROM {table}
+      WHERE ({where}) AND {weight_expr} > 0
+    )
+    SELECT id, weight,
+           ('0x' || substr(sha256('{salt}:' || CAST(id AS VARCHAR)), 1, 12))::BIGINT
+             // weight AS priority
+    FROM src ORDER BY priority, id LIMIT {k}
+    """

@@ -299,3 +299,88 @@ def merge_registers(registers: DataFrame, coarse_grp) -> DataFrame:
         .groupBy("grp", "register")
         .agg(F.max("rank").alias("rank"))
     )
+
+
+def countmin_join_size(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """Equi-join CARDINALITY estimation from two count-min sketches — the
+    planning primitive behind "should this join broadcast / salt / pre-agg":
+    |A join B| = sum_k a_k * b_k, and the inner product of two CM rows is an
+    upper bound on it (Cormode & Muthukrishnan §4.2), with the min over the
+    depth rows the usable estimate.  Both sketches are d x w counter tables
+    (constant size regardless of input), so two 100 TB fact tables can be
+    "join-sized" from KB-scale state — and per-batch sketches merge by SUM,
+    so the estimate maintains incrementally where the exact product needs a
+    re-join per batch.
+
+    Output one row: (est, exact, err_ppm) — est >= exact always (one-sided
+    CM error); err_ppm = (est - exact) ppm of exact.  The exact product is
+    computed alongside (two |keys|-row aggs + one join) as the verification
+    twin, mirroring countmin_estimates."""
+    la = countmin_table(left, left_key).withColumnRenamed("cnt", "ca")
+    rb = countmin_table(right, right_key).withColumnRenamed("cnt", "cb")
+    # inner join: only colliding buckets contribute to a row's dot product.
+    # A depth row with NO collisions has dot 0 — it must drive the min to 0,
+    # not vanish (min over surviving rows would overestimate; with all rows
+    # collision-free the min would be NULL).
+    est = (
+        la.join(rb, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("mind"), F.count(F.lit(1)).alias("nrows"))
+        .select(
+            F.when(F.col("nrows") < CM_DEPTH, F.lit(0).cast("long"))
+            .otherwise(F.col("mind"))
+            .alias("est")
+        )
+    )
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+    exact = (
+        lc.join(rc, "k")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0).cast("long")).alias("exact"))
+    )
+    return est.crossJoin(exact).select(
+        "est",
+        "exact",
+        F.expr("CASE WHEN exact = 0 THEN NULL ELSE (1000000 * (est - exact)) DIV exact END").alias("err_ppm"),
+    )
+
+
+def countmin_join_size_oracle_sql(left_cte: str, right_cte: str) -> str:
+    """DuckDB twin.  The CTEs must define la(item) and rb(item)."""
+    rows_l = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS row, substr(sha256('cm{r}:' || CAST(item AS VARCHAR)), 1, 2) AS bucket FROM la"
+        for r in range(CM_DEPTH)
+    )
+    rows_r = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS row, substr(sha256('cm{r}:' || CAST(item AS VARCHAR)), 1, 2) AS bucket FROM rb"
+        for r in range(CM_DEPTH)
+    )
+    return f"""
+    WITH {left_cte},
+    {right_cte},
+    ba AS (SELECT row, bucket, count(*) AS ca FROM ({rows_l}) GROUP BY 1, 2),
+    bb AS (SELECT row, bucket, count(*) AS cb FROM ({rows_r}) GROUP BY 1, 2),
+    dots AS (
+      SELECT ba.row, CAST(sum(ba.ca * bb.cb) AS BIGINT) AS dot
+      FROM ba JOIN bb ON ba.row = bb.row AND ba.bucket = bb.bucket
+      GROUP BY ba.row
+    ),
+    est AS (
+      SELECT CASE WHEN count(*) < {CM_DEPTH} THEN 0
+                  ELSE CAST(min(dot) AS BIGINT) END AS est
+      FROM dots
+    ),
+    lc AS (SELECT item AS k, count(*) AS na FROM la GROUP BY 1),
+    rc AS (SELECT item AS k, count(*) AS nb FROM rb GROUP BY 1),
+    ex AS (
+      SELECT CAST(coalesce(sum(lc.na * rc.nb), 0) AS BIGINT) AS exact
+      FROM lc JOIN rc ON lc.k = rc.k
+    )
+    SELECT est.est, ex.exact,
+           CASE WHEN ex.exact = 0 THEN NULL
+                ELSE (1000000 * (est.est - ex.exact)) // ex.exact END AS err_ppm
+    FROM est CROSS JOIN ex
+    """

@@ -436,3 +436,97 @@ def stream_static_join(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# sketches: join-cardinality estimation from count-min inner products
+# ---------------------------------------------------------------------------
+
+
+def _join_size_oracle() -> str:
+    from ..operators.sketch import countmin_join_size_oracle_sql
+
+    return countmin_join_size_oracle_sql(
+        "la AS (SELECT o_custkey AS item FROM orders)",
+        "rb AS (SELECT user_id AS item FROM events)",
+    )
+
+
+@register(
+    "sketch_join_size",
+    sql=_join_size_oracle(),
+    doc="Equi-join cardinality estimation from two count-min sketches "
+    "(inner product of counter rows, min over depth — Cormode & "
+    "Muthukrishnan): the broadcast/salt/pre-agg planning decision for a "
+    "100 TB join made from two KB-sized mergeable sketches "
+    "(operators/sketch.countmin_join_size).  Output (est, exact, err_ppm) "
+    "with est >= exact one-sided error, the exact product computed "
+    "alongside as the verification twin.",
+)
+def sketch_join_size(spark, sf_dir):
+    from ..operators.sketch import countmin_join_size
+
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    return countmin_join_size(orders, "o_custkey", events, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# layout: deterministic range-partition boundary planning
+# ---------------------------------------------------------------------------
+
+
+def _range_bounds_oracle() -> str:
+    from ..operators.bucketing import range_bounds_oracle_sql
+
+    return range_bounds_oracle_sql(
+        "lineitem", "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        n_parts=8, bin_width=50000,
+    )
+
+
+@register(
+    "layout_range_bounds",
+    sql=_range_bounds_oracle(),
+    doc="Balanced range-partition boundaries from a fixed-bin histogram "
+    "(operators/bucketing.range_bounds) — the deterministic replacement for "
+    "repartitionByRange's reservoir sample when planning sorted/bucketed "
+    "layouts: one |bins|-row aggregate however large the corpus, split "
+    "points read off the cumulative histogram, boundary precision exactly "
+    "one bin width.  Two runs (or two engines) produce identical bounds, "
+    "so incremental writes land in stable partitions.",
+)
+def layout_range_bounds(spark, sf_dir):
+    from ..operators.bucketing import range_bounds
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents")
+    )
+    return range_bounds(li, "cents", n_parts=8, bin_width=50000)
+
+
+# ---------------------------------------------------------------------------
+# sampling: deterministic weighted sample (integer Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_oracle() -> str:
+    from ..operators.sampling import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql("documents", "doc_id", "n_chars", k=100)
+
+
+@register(
+    "sample_weighted",
+    sql=_weighted_oracle(),
+    doc="Weighted sampling without replacement, deterministic (integer "
+    "Efraimidis-Spirakis: priority = sha256-draw DIV weight, keep the k "
+    "smallest — operators/sampling.weighted_sample).  Longer documents are "
+    "proportionally likelier; the winner set is a pure function of "
+    "(salt, ids, weights), identical across runs, engines, and partition "
+    "counts.  Map-only priorities + TakeOrderedAndProject.",
+)
+def sample_weighted(spark, sf_dir):
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100)

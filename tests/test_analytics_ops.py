@@ -281,3 +281,66 @@ def test_iqr_outlier_stats_planted(spark):
     assert (out["q1"], out["med"], out["q3"]) == (q1, med, q3)
     assert out["iqr"] == q3 - q1
     assert out["n_low"] == 1 and out["n_high"] == 1
+
+
+# --- count-min join size ----------------------------------------------------
+
+
+def test_countmin_join_size_overestimates_exact(spark):
+    from etl_healthcare_spark.operators.sketch import countmin_join_size
+
+    left = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "k: long")
+    right = spark.createDataFrame([(k,) for k in [1, 2, 2, 9]], "k: long")
+    out = countmin_join_size(left, "k", right, "k").collect()[0]
+    assert out["exact"] == 3 * 1 + 1 * 2  # k=1: 3x1, k=2: 1x2
+    assert out["est"] >= out["exact"]  # CM error is one-sided
+    assert out["err_ppm"] == 1_000_000 * (out["est"] - out["exact"]) // out["exact"]
+
+
+def test_countmin_join_size_disjoint_keys(spark):
+    from etl_healthcare_spark.operators.sketch import countmin_join_size
+
+    left = spark.createDataFrame([(1,), (2,)], "k: long")
+    right = spark.createDataFrame([(8,), (9,)], "k: long")
+    out = countmin_join_size(left, "k", right, "k").collect()[0]
+    assert out["exact"] == 0 and out["err_ppm"] is None
+    assert out["est"] >= 0
+
+
+# --- range bounds -----------------------------------------------------------
+
+
+def test_range_bounds_balanced_quartiles(spark):
+    from etl_healthcare_spark.operators.bucketing import range_bounds
+
+    # 400 rows uniform over [0, 400) with bin width 10 -> splits at 100/200/300
+    df = spark.createDataFrame([(i,) for i in range(400)], "v: long")
+    out = {r["split_idx"]: r["bound"] for r in range_bounds(df, "v", 4, 10).collect()}
+    assert out == {1: 99, 2: 199, 3: 299}
+
+
+def test_range_bounds_skewed_mass(spark):
+    from etl_healthcare_spark.operators.bucketing import range_bounds
+
+    # 90% of mass in bin 0 -> every split lands on bin 0's upper edge
+    df = spark.createDataFrame([(1,)] * 90 + [(1000,)] * 10, "v: long")
+    out = {r["split_idx"]: r["bound"] for r in range_bounds(df, "v", 4, 10).collect()}
+    assert out == {1: 9, 2: 9, 3: 9}
+
+
+# --- weighted sample --------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from etl_healthcare_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 500 else 1000) for i in range(520)]
+    df = spark.createDataFrame(rows, "id: long, w: long")
+    got1 = [r["id"] for r in weighted_sample(df, "id", "w", 10).collect()]
+    got2 = [r["id"] for r in weighted_sample(df.repartition(7), "id", "w", 10).collect()]
+    assert got1 == got2  # partitioning-independent
+    # the 20 heavy rows are 1000x likelier: expect the winners to be mostly heavy
+    heavy = sum(1 for i in got1 if i >= 500)
+    assert heavy >= 8
+    zero = spark.createDataFrame([(1, 0)], "id: long, w: long")
+    assert weighted_sample(zero, "id", "w", 5).count() == 0  # zero weight never sampled
