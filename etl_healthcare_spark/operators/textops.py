@@ -600,3 +600,170 @@ def hashed_linear_oracle_sql(n_buckets: int = 1024, src: str = "documents") -> s
     )
     SELECT id AS doc_id, n_tokens, score, score > 0 AS positive FROM scored
     """
+
+
+def _bpe_one_round(state: DataFrame, rnd: int):
+    """One BPE round over the (w, f, syms) word-frequency state: count
+    adjacent symbol pairs (weighted by word frequency), pick the top pair
+    (count desc, then lexicographic — total order), and merge it greedily
+    left-to-right in every word.  Returns (new_state, merge_row_df).
+
+    The greedy non-overlapping merge is expressed RELATIONALLY (position
+    explode + three window layers) instead of a sequential fold, so the
+    identical computation runs in DuckDB: a position starts a merge iff the
+    raw pair matches AND (for the self-pair a==b case) its offset inside the
+    maximal run of a's is even — provably the set of positions left-to-right
+    greedy picks; a position is consumed iff its predecessor started a merge.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        state.where(F.size("syms") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.expr("transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("f").alias("cnt"))
+    )
+    top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+
+    pos = (
+        state.select("w", "f", F.posexplode("syms").alias("i", "s"))
+        .crossJoin(F.broadcast(top.select(F.col("a").alias("ta"), F.col("b").alias("tb"))))
+    )
+    ww = Window.partitionBy("w").orderBy("i")
+    before = ww.rowsBetween(Window.unboundedPreceding, -1)
+    l1 = pos.select(
+        "w", "f", "i", "s", "ta", "tb",
+        F.lead("s").over(ww).alias("nxt"),
+        F.last(F.when(F.col("s") != F.col("ta"), F.col("i")), ignorenulls=True)
+        .over(before)
+        .alias("prev_non_a"),
+    )
+    l2 = l1.select(
+        "w", "f", "i", "s", "ta", "tb",
+        (
+            (F.col("s") == F.col("ta"))
+            & (F.col("nxt") == F.col("tb"))
+            & (
+                (F.col("ta") != F.col("tb"))
+                | (((F.col("i") - F.coalesce(F.col("prev_non_a"), F.lit(-1)) - 1) % 2) == 0)
+            )
+        ).alias("valid"),
+    )
+    l3 = l2.select(
+        "w", "f", "i", "valid",
+        F.when(F.col("valid"), F.concat("ta", "tb")).otherwise(F.col("s")).alias("out"),
+        F.coalesce(F.lag("valid").over(ww), F.lit(False)).alias("consumed"),
+    )
+    new_state = (
+        l3.where(~F.col("consumed"))
+        .groupBy("w", "f")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "out"))).alias("po"))
+        .select("w", "f", F.expr("transform(po, x -> x.out)").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merge_row = top.select(F.lit(rnd).alias("round"), "a", "b", "cnt")
+    return new_state, merge_row
+
+
+def bpe_train(df: DataFrame, text_col: str, rounds: int = 3, max_word_len: int = 16) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al., arXiv:1508.07909) over the
+    corpus — EXACT and engine-reproducible: the learned merges are a pure
+    integer function of the word-frequency table, with ties broken
+    lexicographically, so Spark and the DuckDB oracle learn the SAME
+    vocabulary (no reference analog; north-star LLM-pipeline layer — the
+    tokenizer-training step of a data pipeline).
+
+    Convention (documented, mirrored in the oracle): symbols start as the
+    characters of each lowercased alphanumeric token (no end-of-word
+    marker); pair counting weights every adjacent position by word
+    frequency (overlapping included); merging is greedy left-to-right
+    non-overlapping; one merge learned per round.
+
+    Scale: the ONLY corpus-scale work is the initial token count — one
+    explode + partial-aggregated groupBy.  Every round then runs at
+    VOCAB grain (distinct words x word length), orders of magnitude
+    smaller; the top pair is a 1-row broadcast (never a driver collect),
+    and the state is checkpointed per round to keep lineage flat.
+
+    Returns (round, a, b, cnt): the merge learned in each round.
+    """
+    from ..functions.text import tokens
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.length("w") <= max_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "w", "f",
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state, merge_rows = words, []
+    for r in range(1, rounds + 1):
+        state, mr = _bpe_one_round(state, r)
+        merge_rows.append(mr)
+    out = merge_rows[0]
+    for mr in merge_rows[1:]:
+        out = out.unionByName(mr)
+    return out
+
+
+def bpe_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "documents") -> str:
+    """DuckDB twin of bpe_train with the rounds unrolled: identical word
+    table, pair counting, tiebreak, and relational greedy merge."""
+    ctes = [f"""words0 AS (
+      SELECT w, count(*) AS f,
+             list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM {src})
+      WHERE length(w) <= {max_word_len} GROUP BY w
+    )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""pc{r} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+      FROM (SELECT f, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM words{p} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""top{r} AS (SELECT a, b, cnt FROM pc{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""pos{r} AS (
+      SELECT w, f, i, syms[i] AS s, t.a AS ta, t.b AS tb
+      FROM (SELECT w, f, syms, unnest(generate_series(1, len(syms))) AS i FROM words{p})
+      CROSS JOIN top{r} t
+    )""")
+        ctes.append(f"""l1_{r} AS (
+      SELECT w, f, i, s, ta, tb,
+             lead(s) OVER (PARTITION BY w ORDER BY i) AS nxt,
+             last_value(CASE WHEN s <> ta THEN i END IGNORE NULLS)
+               OVER (PARTITION BY w ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_non_a
+      FROM pos{r}
+    )""")
+        ctes.append(f"""l2_{r} AS (
+      SELECT w, f, i, s, ta, tb,
+             (s = ta AND nxt = tb AND
+              (ta <> tb OR (i - coalesce(prev_non_a, 0) - 1) % 2 = 0)) AS valid
+      FROM l1_{r}
+    )""")
+        ctes.append(f"""l3_{r} AS (
+      SELECT w, f, i, valid,
+             CASE WHEN valid THEN ta || tb ELSE s END AS out,
+             coalesce(lag(valid) OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+      FROM l2_{r}
+    )""")
+        ctes.append(f"""words{r} AS (
+      SELECT w, f, list_transform(
+               list_sort(list(struct_pack(i := i, o := out))), x -> x.o) AS syms
+      FROM l3_{r} WHERE NOT consumed GROUP BY w, f
+    )""")
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS round, a, b, cnt FROM top{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"

@@ -54,11 +54,16 @@ def graph_triangles(spark, sf_dir):
 # joins: interval overlap with grid-cell blocking
 # ---------------------------------------------------------------------------
 
+# o_orderkey < 150000 pins the interval set to the sf0.1 workload at any
+# larger sf: overlap PAIR count grows quadratically with interval density
+# (measured 511M pairs at sf1.0 unbounded — the result itself, not the
+# algorithm, explodes), so the registry query probes a fixed window while
+# the operator stays unbounded.
 _IV_SQL = """iv AS (
       SELECT o_orderkey AS id,
              datediff('day', DATE '1992-01-01', o_orderdate) AS s,
              datediff('day', DATE '1992-01-01', o_orderdate) + o_orderkey % 15 AS e
-      FROM orders WHERE o_orderkey % 37 = 0
+      FROM orders WHERE o_orderkey % 37 = 0 AND o_orderkey < 150000
     )"""
 
 
@@ -83,7 +88,7 @@ def _iv_oracle() -> str:
 def j8_interval_overlap(spark, sf_dir):
     from ..operators.intervals import interval_overlap_pairs
 
-    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 37 == 0)
+    o = _t(spark, sf_dir, "orders").where((F.col("o_orderkey") % 37 == 0) & (F.col("o_orderkey") < 150000))
     day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
     iv = o.select(
         F.col("o_orderkey").alias("id"),
@@ -530,3 +535,33 @@ def sample_weighted(spark, sf_dir):
     from ..operators.sampling import weighted_sample
 
     return weighted_sample(_t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100)
+
+
+# ---------------------------------------------------------------------------
+# text: BPE vocabulary induction (tokenizer training at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle() -> str:
+    from ..operators.textops import bpe_oracle_sql
+
+    return bpe_oracle_sql(rounds=3)
+
+
+@register(
+    "text_bpe_train",
+    sql=_bpe_oracle(),
+    doc="EXACT BPE vocabulary induction (Sennrich et al. 1508.07909) — the "
+    "tokenizer-training step of an LLM data pipeline, engine-reproducible: "
+    "3 merge rounds learned over the corpus word-frequency table with "
+    "lexicographic tie-breaks, greedy left-to-right merging expressed "
+    "RELATIONALLY (position windows + run-parity for the self-pair case) so "
+    "the identical computation runs in DuckDB.  The only corpus-scale work "
+    "is the initial token count; every round is vocab-grain, the top pair "
+    "is a 1-row broadcast, state checkpoints per round "
+    "(operators/textops.bpe_train).",
+)
+def text_bpe_train(spark, sf_dir):
+    from ..operators.textops import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), "text", rounds=3)

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "etl-healthcare-spark", shuffle_partitions: int | 
         # map to TimestampType — read as long, convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # the local harness reads ONE parquet file per table, so the stock
+        # 128 MB split would run a 50 MB-2 GB scan as 1-16 tasks and leave 32
+        # cores idle on CPU-bound stages (regex, hashing).  A 16 MB split
+        # restores the parallelism a real corpus has naturally from file
+        # count; on a cluster, keep the default (override via env).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # managed (bucketed) tables land outside the repo checkout
         .config(

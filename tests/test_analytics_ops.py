@@ -344,3 +344,29 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     assert heavy >= 8
     zero = spark.createDataFrame([(1, 0)], "id: long, w: long")
     assert weighted_sample(zero, "id", "w", 5).count() == 0  # zero weight never sampled
+
+
+# --- BPE --------------------------------------------------------------------
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """Self-pair runs must merge greedily left-to-right: 'aaaa' -> two 'aa',
+    'aaa' -> 'aa'+'a'; counting includes overlapping positions."""
+    from etl_healthcare_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa aaa")], "doc_id: long, text: string")
+    out = {r["round"]: r for r in bpe_train(df, "text", rounds=2).collect()}
+    assert (out[1]["a"], out[1]["b"], out[1]["cnt"]) == ("a", "a", 5)  # 3 + 2 overlapping
+    # after merging: aaaa -> [aa, aa], aaa -> [aa, a]; pairs: (aa,aa)=1, (aa,a)=1
+    assert (out[2]["a"], out[2]["b"]) == ("aa", "a")  # tie 1 vs 1 -> lexicographic
+
+
+def test_bpe_tiebreak_and_chain(spark):
+    """Adjacent merges must not cascade within a round: 'abab' merges both
+    ab occurrences (disjoint), and round 2 sees the merged symbols."""
+    from etl_healthcare_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([(1, "abab abab abab")], "doc_id: long, text: string")
+    out = {r["round"]: r for r in bpe_train(df, "text", rounds=2).collect()}
+    assert (out[1]["a"], out[1]["b"], out[1]["cnt"]) == ("a", "b", 6)  # 2 per word x 3
+    assert (out[2]["a"], out[2]["b"], out[2]["cnt"]) == ("ab", "ab", 3)
