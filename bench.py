@@ -62,6 +62,10 @@ HEADLINE = [
     "mm_phash_pairs",        # real aHash kernel + Hamming-LSH blocking
     "search_index_probe",    # partitioned inverted index build + pruned probe
     "anomaly_iqr",           # rank-exact quartiles + integer Tukey fences
+    "sketch_join_size",      # count-min inner-product join sizing
+    "layout_range_bounds",   # histogram-derived range split points
+    "sample_weighted",       # integer Efraimidis-Spirakis top-k
+    "text_bpe_train",        # 3-round BPE merge learning (vocab-grain)
 ]
 
 

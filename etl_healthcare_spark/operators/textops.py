@@ -715,9 +715,10 @@ def bpe_train(df: DataFrame, text_col: str, rounds: int = 3, max_word_len: int =
     return out
 
 
-def bpe_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "documents") -> str:
-    """DuckDB twin of bpe_train with the rounds unrolled: identical word
-    table, pair counting, tiebreak, and relational greedy merge."""
+def _bpe_ctes(rounds: int = 3, max_word_len: int = 16, src: str = "documents") -> str:
+    """The unrolled DuckDB CTE chain shared by the train and apply oracles:
+    identical word table, pair counting, tiebreak, and relational greedy
+    merge per round."""
     ctes = [f"""words0 AS (
       SELECT w, count(*) AS f,
              list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
@@ -763,7 +764,74 @@ def bpe_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "document
                list_sort(list(struct_pack(i := i, o := out))), x -> x.o) AS syms
       FROM l3_{r} WHERE NOT consumed GROUP BY w, f
     )""")
+    return ",\n    ".join(ctes)
+
+
+def bpe_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "documents") -> str:
+    """DuckDB twin of bpe_train."""
     unions = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS round, a, b, cnt FROM top{r}" for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+    return "WITH " + _bpe_ctes(rounds, max_word_len, src) + f"\n    {unions}"
+
+
+def bpe_apply(df: DataFrame, text_col: str, id_col: str, rounds: int = 3, max_word_len: int = 16) -> DataFrame:
+    """APPLY side of the BPE split: tokenize the corpus with the merges
+    bpe_train learned, reporting per-document token and symbol counts (the
+    compression the vocabulary buys — the number that drives context-window
+    budgeting).  Mirrors the build/probe discipline of sim_ivf_probe /
+    search_index_probe: training is vocab-grain, application is one
+    corpus-scale join against the (word -> n_symbols) table.
+
+    Words longer than ``max_word_len`` fall back to character count
+    (untrained words tokenize symbol-per-char), declared in the oracle too.
+
+    Returns (id, n_tokens, n_symbols) with n_symbols <= total chars.
+    """
+    from ..functions.text import tokens
+
+    state = None
+    # re-run the training to materialize the final word -> |syms| table;
+    # rounds are vocab-grain (see bpe_train), so this costs the train pass
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.length("w") <= max_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "w", "f",
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = words
+    for r in range(1, rounds + 1):
+        state, _ = _bpe_one_round(state, r)
+    wlen = state.select("w", F.size("syms").alias("n_syms"))
+    doc_words = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    return (
+        doc_words.join(wlen, "w", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("n_syms"), F.length("w"))).alias("n_symbols"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "n_symbols")
+    )
+
+
+def bpe_apply_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "documents") -> str:
+    """DuckDB twin of bpe_apply: the train CTE chain + the corpus join."""
+    return f"""WITH {_bpe_ctes(rounds, max_word_len, src)},
+    wlen AS (SELECT w, len(syms) AS n_syms FROM words{rounds}),
+    dw AS (
+      SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM {src}
+    )
+    SELECT dw.id AS doc_id, count(*) AS n_tokens,
+           CAST(sum(coalesce(wlen.n_syms, length(dw.w))) AS BIGINT) AS n_symbols
+    FROM dw LEFT JOIN wlen ON dw.w = wlen.w
+    GROUP BY dw.id
+    """

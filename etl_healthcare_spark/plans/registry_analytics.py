@@ -565,3 +565,25 @@ def text_bpe_train(spark, sf_dir):
     from ..operators.textops import bpe_train
 
     return bpe_train(_t(spark, sf_dir, "documents"), "text", rounds=3)
+
+
+def _bpe_apply_oracle() -> str:
+    from ..operators.textops import bpe_apply_oracle_sql
+
+    return bpe_apply_oracle_sql(rounds=3)
+
+
+@register(
+    "text_bpe_apply",
+    sql=_bpe_apply_oracle(),
+    doc="APPLY side of the BPE split: tokenize the corpus with the learned "
+    "merges and report per-doc token/symbol counts — the context-window "
+    "budgeting number.  Training is vocab-grain (see text_bpe_train); "
+    "application is one corpus join against the word -> n_symbols table "
+    "(operators/textops.bpe_apply), the same build/apply discipline as the "
+    "ANN and inverted-index splits.",
+)
+def text_bpe_apply(spark, sf_dir):
+    from ..operators.textops import bpe_apply
+
+    return bpe_apply(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=3)
