@@ -171,6 +171,57 @@ class ParquetStateStore:
         )
         return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
 
+    def delete_subjects(self, subjects: DataFrame) -> DataFrame:
+        """Targeted right-to-be-forgotten delete: remove every row whose
+        (tenantId, patientId) appears in ``subjects``, rewriting ONLY the
+        tenant partitions the delete set touches — the same dynamic-
+        partition-overwrite discipline as merge(), so a delete for one
+        tenant never rewrites (or even reads) the others at any store size.
+
+        The anti-join is the Delta/Iceberg `DELETE WHERE` shape expressed
+        natively: broadcast the (small) subject set, keep non-matching rows,
+        overwrite matched partitions.  Returns the tombstone ledger
+        (tenantId, patientId, n_deleted) — the auditable record a GDPR
+        pipeline must emit; a subject with no rows reports n_deleted = 0
+        (proof of absence, not silence)."""
+        subj = F.broadcast(subjects.select("tenantId", "patientId").distinct())
+        tenants = F.broadcast(subj.select("tenantId").distinct())
+        state = self.read().join(tenants, "tenantId", "left_semi")
+        # ledger BEFORE the rewrite; checkpoint so it cannot re-read the
+        # post-delete files (same lineage hazard as merge())
+        ledger = (
+            subj.join(
+                state.groupBy("tenantId", "patientId").agg(F.count(F.lit(1)).alias("n_deleted")),
+                ["tenantId", "patientId"],
+                "left",
+            )
+            .select("tenantId", "patientId", F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"))
+            .localCheckpoint()
+        )
+        survivors = state.join(subj, ["tenantId", "patientId"], "left_anti").localCheckpoint()
+        (
+            survivors.repartition("tenantId")
+            .sortWithinPartitions("patientId", "effectiveDateTime")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tenantId")
+            .parquet(self.path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # data: a tenant whose every row was deleted writes nothing and its
+        # stale files would survive — the classic leak.  Those directories
+        # are removed explicitly (the set is O(|subject tenants|), already
+        # driver-small; Delta/Iceberg's DELETE subsumes this transactionally).
+        import shutil
+
+        emptied = (
+            tenants.join(survivors.select("tenantId").distinct(), "tenantId", "left_anti")
+            .collect()
+        )
+        for r in emptied:
+            shutil.rmtree(f"{self.path}/tenantId={r['tenantId']}", ignore_errors=True)
+        return ledger
+
 
 def compact_small_files(
     spark,

@@ -213,3 +213,40 @@ def test_snapshot_store_atomic_commits_and_time_travel(spark, tmp_path):
     (tmp_path / "snap" / "_current").write_text("not-a-number")
     with pytest.raises(RuntimeError):
         store.current_version()
+
+
+def test_delete_subjects_targeted_rewrite(spark, tmp_path):
+    """GDPR targeted delete: subject rows vanish, untouched tenants' files
+    stay byte-identical on disk, fully-emptied tenants leave no stale
+    partition, and the ledger reports per-subject counts including proof of
+    absence (n_deleted=0)."""
+    import os
+
+    t0 = dt.datetime(2025, 1, 1)
+    path = str(tmp_path / "state")
+    store = ParquetStateStore(spark, path)
+    rows = [
+        ("t1", "observation", "e1", "pA", t0, 1.0, "k1"),
+        ("t1", "observation", "e2", "pA", t0, 2.0, "k2"),
+        ("t1", "observation", "e3", "pB", t0, 3.0, "k3"),
+        ("t2", "observation", "e4", "pC", t0, 4.0, "k4"),
+        ("t3", "observation", "e5", "pD", t0, 5.0, "k5"),
+    ]
+    store.merge(_batch(spark, rows), updated_at=t0)
+
+    def files(tenant):
+        d = os.path.join(path, f"tenantId={tenant}")
+        if not os.path.isdir(d):
+            return None
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in sorted(os.listdir(d))}
+
+    t2_before = files("t2")
+    subjects = spark.createDataFrame(
+        [("t1", "pA"), ("t3", "pD"), ("t1", "pZ")], "tenantId string, patientId string"
+    )
+    ledger = {(r.tenantId, r.patientId): r.n_deleted for r in store.delete_subjects(subjects).collect()}
+    assert ledger == {("t1", "pA"): 2, ("t3", "pD"): 1, ("t1", "pZ"): 0}
+    left = {(r.tenantId, r.patientId, r.entityId) for r in store.read().collect()}
+    assert left == {("t1", "pB", "e3"), ("t2", "pC", "e4")}
+    assert files("t2") == t2_before  # untouched tenant: same files, same mtimes
+    assert files("t3") is None  # fully-emptied tenant leaves no stale partition
