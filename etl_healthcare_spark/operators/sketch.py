@@ -384,3 +384,94 @@ def countmin_join_size_oracle_sql(left_cte: str, right_cte: str) -> str:
                 ELSE (1000000 * (est.est - ex.exact)) // ex.exact END AS err_ppm
     FROM est CROSS JOIN ex
     """
+
+
+KMV_SCALE = 1 << 48  # hash domain: 12 hex chars = 48 bits
+
+
+def kmv_overlap(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str, k: int = 256
+) -> DataFrame:
+    """Set-overlap estimation from two KMV (theta) sketches — the set
+    operation HLL cannot do: registers union by MAX but never intersect.
+    A KMV sketch keeps the k minimum sha256 values of the distinct key set;
+    the k-th minimum theta estimates density ((k-1) * 2^48 / theta distinct
+    values), and two sketches intersect by counting common survivors below
+    the union sketch's theta (the Data Sketches theta-intersection rule).
+
+    Deterministic: sha256 order statistics have exactly one value per set,
+    so Spark and DuckDB compute IDENTICAL sketches, thetas, and estimates
+    (single IEEE division at the end) — an oracle-checkable approximate set
+    algebra.  Sketch size k bounds all state: two 100 TB key sets compare
+    through 2k longs.
+
+    Scale: per side one distinct + TakeOrdered(k) (per-partition heaps);
+    the k-row sketches then broadcast everywhere.  Output one row:
+    (theta_u, est_union, est_inter, exact_union, exact_inter) with exact
+    twins computed alongside for verification."""
+    def h(df, key):
+        return df.select(
+            F.conv(F.substring(F.sha2(F.col(key).cast("string"), 256), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).distinct()
+
+    ha, hb = h(left, left_key), h(right, right_key)
+    kha = ha.orderBy("h").limit(k)
+    khb = hb.orderBy("h").limit(k)
+    u = kha.unionByName(khb).distinct().orderBy("h").limit(k)
+    theta = u.agg(F.max("h").alias("theta_u"), F.count(F.lit(1)).alias("ku"))
+    inter_hits = (
+        u.join(F.broadcast(kha), "h", "left_semi")
+        .join(F.broadcast(khb), "h", "left_semi")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta_u"))  # strictly below theta: the k-th value itself is the boundary
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        ha.join(hb, "h", "full_outer")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(ha.join(hb, "h", "left_semi").agg(F.count(F.lit(1)).alias("exact_inter")))
+    )
+    return (
+        theta.crossJoin(inter_hits)
+        .crossJoin(exact)
+        .select(
+            "theta_u",
+            (F.lit(float(KMV_SCALE)) * (F.col("ku") - 1) / F.col("theta_u").cast("double")).alias("est_union"),
+            (F.lit(float(KMV_SCALE)) * F.col("n_inter") / F.col("theta_u").cast("double")).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+def kmv_overlap_oracle_sql(left_cte: str, right_cte: str, k: int = 256) -> str:
+    """DuckDB twin.  CTEs must define la(item) and rb(item)."""
+    return f"""
+    WITH {left_cte},
+    {right_cte},
+    ha AS (SELECT DISTINCT ('0x' || substr(sha256(CAST(item AS VARCHAR)), 1, 12))::BIGINT AS h FROM la),
+    hb AS (SELECT DISTINCT ('0x' || substr(sha256(CAST(item AS VARCHAR)), 1, 12))::BIGINT AS h FROM rb),
+    kha AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    khb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM kha UNION ALL SELECT h FROM khb)
+          ORDER BY h LIMIT {k}),
+    theta AS (SELECT max(h) AS theta_u, count(*) AS ku FROM u),
+    hits AS (
+      SELECT count(*) AS n_inter
+      FROM u CROSS JOIN theta
+      WHERE u.h < theta.theta_u
+        AND EXISTS (SELECT 1 FROM kha WHERE kha.h = u.h)
+        AND EXISTS (SELECT 1 FROM khb WHERE khb.h = u.h)
+    ),
+    ex AS (
+      SELECT (SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS exact_union,
+             (SELECT count(*) FROM ha WHERE EXISTS (SELECT 1 FROM hb WHERE hb.h = ha.h)) AS exact_inter
+    )
+    SELECT theta.theta_u,
+           {float(KMV_SCALE)!r} * (theta.ku - 1) / CAST(theta.theta_u AS DOUBLE) AS est_union,
+           {float(KMV_SCALE)!r} * hits.n_inter / CAST(theta.theta_u AS DOUBLE) AS est_inter,
+           ex.exact_union, ex.exact_inter
+    FROM theta CROSS JOIN hits CROSS JOIN ex
+    """

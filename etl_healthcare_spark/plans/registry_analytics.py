@@ -587,3 +587,38 @@ def text_bpe_apply(spark, sf_dir):
     from ..operators.textops import bpe_apply
 
     return bpe_apply(_t(spark, sf_dir, "documents"), "text", "doc_id", rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# sketches: KMV/theta set-overlap estimation
+# ---------------------------------------------------------------------------
+
+
+def _kmv_oracle() -> str:
+    from ..operators.sketch import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql(
+        "la AS (SELECT user_id AS item FROM events WHERE event_type = 'click')",
+        "rb AS (SELECT user_id AS item FROM events WHERE event_type = 'purchase')",
+        k=64,
+    )
+
+
+@register(
+    "sketch_kmv_overlap",
+    sql=_kmv_oracle(),
+    doc="Audience-overlap estimation from KMV (theta) sketches — the set "
+    "intersection HLL cannot express: k minimum sha256 values per side, "
+    "theta from the union sketch, intersection counted among common "
+    "survivors below theta (operators/sketch.kmv_overlap).  sha256 order "
+    "statistics make both sketches, theta, and the single-division "
+    "estimates bit-identical in DuckDB; exact union/intersection computed "
+    "alongside.  Two 100 TB key sets compare through 2k longs.",
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    from ..operators.sketch import kmv_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return kmv_overlap(clicks, "user_id", purchases, "user_id", k=64)

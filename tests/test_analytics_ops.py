@@ -370,3 +370,30 @@ def test_bpe_tiebreak_and_chain(spark):
     out = {r["round"]: r for r in bpe_train(df, "text", rounds=2).collect()}
     assert (out[1]["a"], out[1]["b"], out[1]["cnt"]) == ("a", "b", 6)  # 2 per word x 3
     assert (out[2]["a"], out[2]["b"], out[2]["cnt"]) == ("ab", "ab", 3)
+
+
+# --- KMV overlap ------------------------------------------------------------
+
+
+def test_kmv_overlap_estimates_track_exact(spark):
+    """Two 600-key sets sharing 200 keys: estimates within 25% of exact, and
+    the sketch is partitioning-independent."""
+    from etl_healthcare_spark.operators.sketch import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(600)], "k: long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "k: long")
+    out = kmv_overlap(a, "k", b, "k", k=256).collect()[0]
+    assert out["exact_union"] == 1000 and out["exact_inter"] == 200
+    assert abs(out["est_union"] - 1000) / 1000 < 0.25
+    assert abs(out["est_inter"] - 200) / 200 < 0.25
+    out2 = kmv_overlap(a.repartition(7), "k", b.repartition(5), "k", k=256).collect()[0]
+    assert out2["est_union"] == out["est_union"] and out2["est_inter"] == out["est_inter"]
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    from etl_healthcare_spark.operators.sketch import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k: long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 1100)], "k: long")
+    out = kmv_overlap(a, "k", b, "k", k=64).collect()[0]
+    assert out["exact_inter"] == 0 and out["est_inter"] == 0.0
