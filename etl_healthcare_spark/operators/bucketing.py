@@ -94,7 +94,9 @@ def range_bounds(
     so incremental writes land in stable partitions.
 
     Output (split_idx 1..k-1, bound) where bound is the bin's inclusive
-    upper edge in value units."""
+    upper edge in value units.  Values must be NON-NEGATIVE: Spark's DIV
+    truncates toward zero while SQL // floors, so negative inputs would bin
+    differently across engines — shift the domain first."""
     from pyspark.sql import Window
 
     bins = (

@@ -35,7 +35,9 @@ def interval_overlap_pairs(
 ) -> DataFrame:
     """All pairs (a < b) of overlapping [start_day, end_day] intervals with
     their overlap length in days (inclusive bounds).  Input columns are
-    integer day numbers; output one row per overlapping pair."""
+    NON-NEGATIVE integer day numbers (cell assignment truncates toward zero,
+    which equals floor only for non-negatives — shift a signed domain
+    first); output one row per overlapping pair."""
     cells = iv.select(
         F.col(id_col).alias("id"),
         F.col(start_col).alias("s"),
