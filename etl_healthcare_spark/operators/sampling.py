@@ -213,9 +213,14 @@ def dsir_resample(
     """
     from ..functions.text import tokens
 
+    # NULL target predicates pin to False: under three-valued logic a NULL
+    # would silently fall out of Spark's conditional SUM but land in a SQL
+    # CASE's ELSE branch — a cross-engine divergence the sf1.0 sweep caught
+    # on NULL-lang documents.  A doc with unknown target status is a
+    # candidate, not a target.
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.col(target_col).cast("boolean").alias("__tgt"),
+        F.coalesce(F.col(target_col).cast("boolean"), F.lit(False)).alias("__tgt"),
         F.explode(tokens(F.col(text_col))).alias("w"),
     )
     tf = toks.groupBy("w").agg(
@@ -261,7 +266,7 @@ def dsir_oracle_sql(
     over the source table's columns."""
     return f"""
     WITH toks AS (
-      SELECT doc_id AS id, ({target_pred}) AS tgt,
+      SELECT doc_id AS id, coalesce(({target_pred}), FALSE) AS tgt,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       FROM {src}
     ),

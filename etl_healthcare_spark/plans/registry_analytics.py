@@ -134,9 +134,13 @@ def sample_dsir(spark, sf_dir):
 def _cross_oracle() -> str:
     from .registry_llm import _minhash_ctes
 
+    # doc_id < 50000 pins the oracle-checked window to the sf0.1 corpus at
+    # any larger sf (the DuckDB twin recomputes ~200M seeded sha256 digests
+    # per 500k docs — the oracle's cost, not the operator's); sf <= 0.1 is
+    # unaffected (max doc_id 4999).
     return f"""
-    WITH {_minhash_ctes()},
-    side AS (SELECT doc_id, source LIKE 'src1%' AS is_ref FROM documents)
+    WITH {_minhash_ctes(src="(SELECT doc_id, text FROM documents WHERE doc_id < 50000)")},
+    side AS (SELECT doc_id, source LIKE 'src1%' AS is_ref FROM documents WHERE doc_id < 50000)
     SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -161,8 +165,10 @@ def _cross_oracle() -> str:
 def dedup_cross_corpus(spark, sf_dir):
     from ..operators.dedup import minhash_cross_pairs
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "is_ref", F.col("source").startswith("src1")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50000)
+        .withColumn("is_ref", F.col("source").startswith("src1"))
     )
     return minhash_cross_pairs(docs, "text", "doc_id", "is_ref")
 
