@@ -368,6 +368,34 @@ class SnapshotStateStore(ParquetStateStore):
         os.replace(tmp, self._pointer_path())
         return merged.select(*self.keys, "version", F.col(ACTION_COL).alias("action"))
 
+    def diff(self, v_old: int, v_new: int) -> DataFrame:
+        """Snapshot DIFF — what changed between two committed versions, as
+        a key-grained change set: action in {added, deleted, changed,
+        version_bumped}.  The lakehouse table_changes()/CDF read expressed
+        natively: one full-outer join of the two immutable snapshots on the
+        merge keys (both sides partitioned identically on tenantId, so at
+        scale the join co-partitions), comparing the row version.
+
+        Immutability is what makes this exact: snapshots never mutate, so
+        the diff is reproducible forever — the audit answer to "what did
+        batch N actually do", computable long after the fact without a
+        commit log."""
+        old, new = self.read(v_old), self.read(v_new)
+        o = old.select(*self.keys, F.col("version").alias("__vo"))
+        n = new.select(*self.keys, F.col("version").alias("__vn"))
+        j = o.join(n, self.keys, "full_outer")
+        action = (
+            F.when(F.col("__vo").isNull(), F.lit("added"))
+            .when(F.col("__vn").isNull(), F.lit("deleted"))
+            .when(F.col("__vn") != F.col("__vo"), F.lit("version_bumped"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            j.select(*self.keys, F.col("__vo").alias("version_old"),
+                     F.col("__vn").alias("version_new"), action.alias("action"))
+            .where(F.col("action") != "unchanged")
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshots older than the newest ``keep_last``; never the live
         one.  Returns the dropped version numbers."""

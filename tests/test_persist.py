@@ -250,3 +250,23 @@ def test_delete_subjects_targeted_rewrite(spark, tmp_path):
     assert left == {("t1", "pB", "e3"), ("t2", "pC", "e4")}
     assert files("t2") == t2_before  # untouched tenant: same files, same mtimes
     assert files("t3") is None  # fully-emptied tenant leaves no stale partition
+
+
+def test_snapshot_diff_key_grained_change_set(spark, tmp_path):
+    """diff(v1, v3): inserts show as added, idempotent re-sends don't
+    surface, key rewrites show as version_bumped, and unchanged keys stay
+    silent.  Reproducible against immutable snapshots at any later time."""
+    from etl_healthcare_spark.operators.persist import SnapshotStateStore
+
+    t0 = dt.datetime(2025, 1, 1)
+    store = SnapshotStateStore(spark, str(tmp_path / "snap"))
+    store.merge(_batch(spark, [_row(entity="e1", idk="k1"), _row(entity="e2", idk="k2")]), updated_at=t0)
+    store.merge(_batch(spark, [_row(entity="e2", idk="k2")]), updated_at=t0)  # idempotent noop
+    store.merge(_batch(spark, [_row(entity="e2", idk="k9"), _row(entity="e3", idk="k3")]), updated_at=t0)
+
+    d13 = {(r.entityId): (r.action, r.version_old, r.version_new)
+           for r in store.diff(1, 3).collect()}
+    assert d13 == {"e2": ("version_bumped", 1, 2), "e3": ("added", None, 1)}
+    assert store.diff(2, 2).count() == 0
+    d31 = {r.entityId: r.action for r in store.diff(3, 1).collect()}
+    assert d31 == {"e2": "version_bumped", "e3": "deleted"}  # reverse view
