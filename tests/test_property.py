@@ -284,3 +284,105 @@ def test_cc_star_matches_minlabel_on_random_graphs(spark, edges):
     star = {r.node: r.cluster_id for r in connected_components_star(pairs).collect()}
     minl = {r.node: r.cluster_id for r in connected_components(pairs, max_iter=100).collect()}
     assert star == minl
+
+
+# --- round-3 analytics properties -------------------------------------------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=40
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-oriented wedge closing == brute-force triple enumeration on
+    arbitrary small graphs (self-loops and duplicate/reversed edges allowed
+    in the input)."""
+    from etl_healthcare_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges or [(0, 0)], "a: long, b: long")
+    got = {r["node"]: r["tri_count"] for r in triangle_counts(df).collect()}
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    want = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            for w in nodes[nodes.index(v) + 1:]:
+                if {(u, v), (u, w), (v, w)} <= es:
+                    for n in (u, v, w):
+                        want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)), min_size=0, max_size=25
+    )
+)
+def test_interval_overlap_matches_bruteforce(spark, iv):
+    from etl_healthcare_spark.operators.intervals import interval_overlap_pairs
+
+    rows = [(i, s, s + d) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "id: long, start_day: long, end_day: long")
+    got = {(r["id_a"], r["id_b"]): r["overlap_days"]
+           for r in interval_overlap_pairs(df, cell_days=16).collect()}
+    want = {}
+    for a, sa, ea in rows:
+        for b, sb, eb in rows:
+            if a < b and sa <= eb and sb <= ea:
+                want[(a, b)] = min(ea, eb) - max(sa, sb) + 1
+    assert got == want
+
+
+def _bpe_reference(words: dict[str, int], rounds: int):
+    """Plain-Python BPE: overlapping pair counting, (count desc, pair asc)
+    tiebreak, greedy left-to-right merge."""
+    state = {w: [c for c in w] for w in words}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + words[w]
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = top
+        merges.append((a, b, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=8), st.integers(1, 5)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_train_matches_python_reference(spark, words):
+    """The relational greedy merge (windows + run parity) == a sequential
+    Python BPE on arbitrary small corpora — including all-same-letter words
+    where the self-pair parity logic is the whole game."""
+    from etl_healthcare_spark.operators.textops import bpe_train
+
+    freq = {}
+    for w, f in words:
+        freq[w] = freq.get(w, 0) + f
+    text = " ".join(w for w, f in freq.items() for _ in range(f))
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    got = [(r["a"], r["b"], r["cnt"]) for r in bpe_train(df, "text", rounds=3).orderBy("round").collect()]
+    want = _bpe_reference(freq, 3)
+    assert got == want
