@@ -751,3 +751,115 @@ def ahash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("total_delay_cs", T.LongType(), True),
+    ]
+)
+
+
+def synth_gif(width, height, n_frames) -> Column:
+    """A COMPLETE animated GIF89a: logical screen descriptor (no global
+    color table), then per frame i (1-based) a Graphic Control Extension
+    with delay ``4 + (i % 3)`` centiseconds and a minimal image descriptor
+    + LZW body (2-bit min code size, one 1-byte sub-block — structurally
+    valid; the frame WALK never decompresses).  Real container bytes, so a
+    block-structure bug in the decoder cannot hash-match the oracle."""
+    frame = lambda i: F.concat(  # noqa: E731
+        F.lit("21F904"),  # GCE introducer, label, block size 4
+        F.lit("00"),  # flags
+        _le16(F.lit(4) + i % F.lit(3)),  # delay in centiseconds (LE16)
+        F.lit("0000"),  # transparent idx + block terminator
+        F.lit("2C"),  # image descriptor
+        F.lit("00000000"),  # x, y
+        _le16(width),
+        _le16(height),
+        F.lit("00"),  # no local color table
+        F.lit("02"),  # LZW min code size
+        F.lit("014400"),  # one 1-byte sub-block + terminator
+    )
+    frames = F.array_join(
+        F.transform(F.sequence(F.lit(1), n_frames), frame), ""
+    )
+    return F.unhex(
+        F.concat(
+            F.lit("474946383961"),  # "GIF89a"
+            _le16(width),
+            _le16(height),
+            F.lit("000000"),  # no GCT, bg, aspect
+            frames,
+            F.lit("3B"),
+        )
+    )
+
+
+def gif_frame_info(b: bytes):
+    """(width, height, n_frames, total_delay_cs) from a REAL walk of the
+    GIF block structure: skips global/local color tables by their flag
+    bits, sums Graphic Control Extension delays, counts image descriptors,
+    and steps over LZW sub-blocks by their length prefixes WITHOUT
+    decompressing — exactly what container-level media probing does.
+    Returns None for non-GIF/corrupt payloads."""
+    try:
+        if b is None or b[:4] != b"GIF8" or len(b) < 13:
+            return None
+        w, h = struct.unpack("<HH", b[6:10])
+        flags = b[10]
+        pos = 13
+        if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+            pos += 3 * (2 << (flags & 0x07))
+        n_frames, total_delay = 0, 0
+        while pos < len(b):
+            marker = b[pos]
+            if marker == 0x3B:  # trailer
+                break
+            if marker == 0x21:  # extension
+                label = b[pos + 1]
+                pos += 2
+                if label == 0xF9 and b[pos] >= 4:
+                    total_delay += struct.unpack("<H", b[pos + 2 : pos + 4])[0]
+                while b[pos] != 0:  # sub-blocks
+                    pos += 1 + b[pos]
+                pos += 1
+            elif marker == 0x2C:  # image descriptor
+                lflags = b[pos + 9]
+                pos += 10
+                if lflags & 0x80:
+                    pos += 3 * (2 << (lflags & 0x07))
+                pos += 1  # LZW min code size
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+                n_frames += 1
+            else:
+                return None  # unknown block: corrupt
+        return (w, h, n_frames, total_delay)
+    except (struct.error, IndexError):
+        return None
+
+
+def gif_frames(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, width, height, n_frames, total_delay_cs) via the Arrow kernel —
+    map-only; undecodable payloads yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parsed = [gif_frame_info(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "width": pd.Series([p[0] if p else None for p in parsed], dtype="Int32"),
+                    "height": pd.Series([p[1] if p else None for p in parsed], dtype="Int32"),
+                    "n_frames": pd.Series([p[2] if p else None for p in parsed], dtype="Int32"),
+                    "total_delay_cs": pd.Series([p[3] if p else None for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=GIF_FRAMES_SCHEMA)

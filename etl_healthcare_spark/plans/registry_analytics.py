@@ -628,3 +628,47 @@ def sketch_kmv_overlap(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click")
     purchases = ev.where(F.col("event_type") == "purchase")
     return kmv_overlap(clicks, "user_id", purchases, "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: animated-GIF container walk (frame count + duration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_gif_frames",
+    sql="""
+    WITH vid AS (
+      SELECT doc_id, 16 + doc_id % 64 AS w, 12 + doc_id % 48 AS h,
+             1 + doc_id % 12 AS n
+      FROM documents WHERE doc_id < 800
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(4 + i % 3) AS BIGINT) AS total_delay_cs
+      FROM (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM vid)
+      GROUP BY doc_id
+    )
+    SELECT vid.doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(n AS INT) AS n_frames, d.total_delay_cs
+    FROM vid JOIN d ON vid.doc_id = d.doc_id
+    """,
+    doc="Animated-GIF container walk on REAL bytes (the video-metadata "
+    "probe): synth_gif emits complete GIF89a streams (screen descriptor, "
+    "per-frame Graphic Control Extensions with varying delays, image "
+    "descriptors, LZW sub-blocks), and gif_frame_info walks the block "
+    "structure — skipping color tables by flag bits and sub-blocks by "
+    "length prefixes, never decompressing — to count frames and sum "
+    "durations (operators/multimodal.gif_frames).  The oracle predicts "
+    "every field arithmetically, so a block-walk bug cannot hash-match.  "
+    "Map-only at any scale.",
+)
+def mm_gif_frames(spark, sf_dir):
+    from ..operators.multimodal import gif_frames, synth_gif
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_gif(F.lit(16) + d % 64, F.lit(12) + d % 48, F.lit(1) + d % 12).alias("payload"),
+    )
+    return gif_frames(media, "doc_id", "payload")

@@ -397,3 +397,28 @@ def test_kmv_overlap_disjoint_sets(spark):
     b = spark.createDataFrame([(i,) for i in range(1000, 1100)], "k: long")
     out = kmv_overlap(a, "k", b, "k", k=64).collect()[0]
     assert out["exact_inter"] == 0 and out["est_inter"] == 0.0
+
+
+# --- GIF container walk -----------------------------------------------------
+
+
+def test_gif_frame_info_hand_built():
+    """Hand-assembled GIF with a global color table, two frames with
+    different delays, a comment extension, and a local color table — every
+    skip path exercised."""
+    from etl_healthcare_spark.operators.multimodal import gif_frame_info
+
+    gct = bytes(3 * 4)  # flags declare a 4-entry global table
+    frame1 = (b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE delay 10
+              + b"\x2c" + struct.pack("<HHHH", 0, 0, 5, 3) + b"\x81"  # local table flag, 4 entries
+              + bytes(3 * 4)  # local color table
+              + b"\x02\x02\x44\x44\x00")  # LZW: min code + 2-byte sub-block
+    comment = b"\x21\xfe\x03abc\x00"
+    frame2 = (b"\x21\xf9\x04\x00\x07\x00\x00\x00"  # delay 7
+              + b"\x2c" + struct.pack("<HHHH", 0, 0, 5, 3) + b"\x00"
+              + b"\x02\x01\x44\x00")
+    gif = (b"GIF89a" + struct.pack("<HH", 5, 3) + b"\x81\x00\x00" + gct
+           + frame1 + comment + frame2 + b"\x3b")
+    assert gif_frame_info(gif) == (5, 3, 2, 17)
+    assert gif_frame_info(b"notagif") is None
+    assert gif_frame_info(gif[:20]) is None or gif_frame_info(gif[:20])[2] == 0

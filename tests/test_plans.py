@@ -317,7 +317,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         # Arrow slot (operators/dedup.embedding_lsh_dedup_pairs)
         "dedup_embedding_lsh",
         # real-byte decode kernels of the round-3 analytics batch
-        "mm_audio_windows", "mm_phash_pairs",
+        "mm_audio_windows", "mm_phash_pairs", "mm_gif_frames",
     }
     audited = 0
     for name in REGISTRY:
