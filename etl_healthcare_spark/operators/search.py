@@ -213,3 +213,53 @@ def index_probe_oracle_sql(terms: list[str], k: int = 10, src: str = "documents"
     GROUP BY tf.doc
     ORDER BY score DESC, tf.doc ASC LIMIT {k}
     """
+
+
+def phrase_match(docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact PHRASE search via positional token joins — the query shape a
+    positional inverted index serves: tokens exploded with positions, one
+    equi-join per phrase gap on (doc, position+offset), so a k-word phrase
+    is k-1 position-keyed hash joins over only the phrase terms' postings
+    (term filters push into the scan; everything else never leaves it).
+
+    Returns (id, n_hits) — documents containing the exact token sequence,
+    with the number of distinct starting positions.  Token adjacency is
+    defined by the engine tokenizer (regex token stream), identical in the
+    oracle."""
+    from ..functions.text import tokens
+
+    pos = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    first = pos.where(F.col("tok") == phrase[0]).select("doc", F.col("p").alias("p0"))
+    out = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos.where(F.col("tok") == term).select(
+            F.col("doc"), (F.col("p") - i).alias("p0")
+        )
+        out = out.join(nxt, ["doc", "p0"])
+    return (
+        out.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def phrase_oracle_sql(phrase: list[str], src: str = "documents") -> str:
+    """DuckDB twin of phrase_match."""
+    joins = "\n      ".join(
+        f"JOIN pos t{i} ON t{i}.doc = t0.doc AND t{i}.p = t0.p + {i} AND t{i}.tok = '{t}'"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+    WITH pos AS (
+      SELECT doc_id AS doc, i - 1 AS p, t[i] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}),
+           unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    t0 AS (SELECT doc, p FROM pos WHERE tok = '{phrase[0]}')
+    SELECT t0.doc, count(*) AS n_hits
+    FROM t0
+      {joins}
+    GROUP BY t0.doc
+    """

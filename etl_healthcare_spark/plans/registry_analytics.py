@@ -672,3 +672,72 @@ def mm_gif_frames(spark, sf_dir):
         synth_gif(F.lit(16) + d % 64, F.lit(12) + d % 48, F.lit(1) + d % 12).alias("payload"),
     )
     return gif_frames(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# search: positional phrase matching
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["table", "hash"]
+
+
+def _phrase_oracle() -> str:
+    from ..operators.search import phrase_oracle_sql
+
+    return phrase_oracle_sql(_PHRASE)
+
+
+@register(
+    "search_phrase",
+    sql=_phrase_oracle(),
+    doc="Exact phrase search via POSITIONAL token joins — the query a "
+    "positional inverted index serves (operators/search.phrase_match): "
+    "tokens exploded with positions, one (doc, position+offset) hash join "
+    "per phrase gap, restricted to the phrase terms' postings before any "
+    "join.  Adjacency is tokenizer-defined, identical in the oracle; "
+    "output is (doc, n_hits) over distinct starting positions.",
+)
+def search_phrase(spark, sf_dir):
+    from ..operators.search import phrase_match
+
+    return phrase_match(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# aggregation: sliding-window DISTINCT counts (the window family's gap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g20_sliding_distinct",
+    sql="""
+    WITH ev AS (
+      SELECT (epoch_us(ts) // 900000000) * 900000000 AS q, user_id FROM events
+    ),
+    cover AS (
+      SELECT DISTINCT q - u.k * 900000000 AS win_start_us, user_id
+      FROM ev, (SELECT unnest(generate_series(0, 3)) AS k) u
+    )
+    SELECT win_start_us, count(*) AS n_distinct_users
+    FROM cover GROUP BY 1
+    """,
+    doc="Sliding-window DISTINCT user counts (1h window, 15min slide): "
+    "Spark windows cannot take COUNT(DISTINCT), so each event expands to "
+    "its 4 covering windows in-task (explode — row fan-out before any "
+    "shuffle), the (window, user) pairs dedupe once, and one count per "
+    "window closes it.  Two key-grained shuffles regardless of event "
+    "volume; the slide/width ratio bounds the fan-out constant (an event "
+    "covers exactly width/slide windows).",
+)
+def g20_sliding_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    q = (F.unix_micros("ts") / 900_000_000).cast("long") * 900_000_000
+    covered = ev.select(
+        F.explode(F.sequence(q - 3 * 900_000_000, q, F.lit(900_000_000))).alias("win_start_us"),
+        "user_id",
+    )
+    return (
+        covered.distinct()
+        .groupBy("win_start_us")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
