@@ -442,3 +442,83 @@ def knn_join(
         .where(F.col("n_rank") <= k)
         .select("query_id", "neighbor_id", "n_rank")
     )
+
+
+def multiprobe_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    qvec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """MULTI-PROBE LSH retrieval + exact re-rank — the production two-stage
+    shape (Lv et al., multi-probe LSH): probe the query's hyperplane bucket
+    AND every Hamming-1 neighbor bucket (the buckets a near-boundary
+    neighbor most likely fell into), then re-rank the united candidate set
+    by exact similarity.  Recall rises from 1-bucket coverage to
+    (n_planes+1)-bucket coverage while still touching (b+1)/2^b of the
+    corpus — the standard recall/cost dial when a single probe misses
+    boundary neighbors, without rebuilding the index at a lower b.
+
+    Cross-engine exactness end to end: buckets are signs of INT64 dots on
+    the 1e-6 grid (hyperplane_bucket_exact), the probe set is a literal IN
+    list derived from the SAME integer arithmetic on the query, and the
+    re-rank score is int64_dot(v_q, q_q) / sqrt(int64_dot(v_q, v_q)) — two
+    IEEE double ops over exact integers, bit-identical in DuckDB.
+
+    At 100 TB the bucket is a partition column (see sim_ivf_probe) and a
+    multi-probe reads b+1 partitions instead of 1."""
+    import math
+
+    from ..functions.vectors import hyperplane_bucket_exact, int_dot, quantize_vec
+
+    qq = [int(math.floor(float(x) * scale)) for x in qvec]
+    qp = [[int(math.floor(float(x) * scale)) for x in p] for p in planes]
+    qbucket = "".join(
+        "1" if sum(a * b for a, b in zip(qq, pp)) >= 0 else "0" for pp in qp
+    )
+    probes = [qbucket] + [
+        qbucket[:i] + ("0" if qbucket[i] == "1" else "1") + qbucket[i + 1 :]
+        for i in range(len(qbucket))
+    ]
+    b = corpus.withColumn("__bucket", hyperplane_bucket_exact(F.col(vec_col), planes, scale))
+    qlit = F.array(*[F.lit(v) for v in qq])
+    qv = quantize_vec(F.col(vec_col), scale)
+    score = int_dot(qv, qlit).cast("double") / F.sqrt(int_dot(qv, qv).cast("double"))
+    return (
+        b.where(F.col("__bucket").isin(probes))
+        .select(F.col(id_col).alias("id"), F.col("__bucket").alias("bucket"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def multiprobe_oracle_sql(
+    query_id: int, plane_lo: int, plane_hi: int, k: int = 5, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of multiprobe_topk with planes/query taken from the
+    embeddings table (same convention as sim_ann_lsh)."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {scale})) AS qv
+      FROM embeddings
+    ),
+    planes AS (SELECT vec_id AS pid, qv AS qp FROM q WHERE vec_id BETWEEN {plane_lo} AND {plane_hi}),
+    bk AS (
+      SELECT q.vec_id, q.qv,
+             string_agg(CASE WHEN list_inner_product(q.qv, p.qp) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+      FROM q CROSS JOIN planes p GROUP BY q.vec_id, q.qv
+    ),
+    qb AS (SELECT bucket AS qbucket, qv AS qq FROM bk WHERE vec_id = {query_id})
+    SELECT b.vec_id AS id, b.bucket,
+           list_inner_product(b.qv, qb.qq) / sqrt(list_inner_product(b.qv, b.qv)) AS score
+    FROM bk b CROSS JOIN qb
+    WHERE length(list_filter(generate_series(1, length(b.bucket)),
+                 i -> substr(b.bucket, i, 1) <> substr(qb.qbucket, i, 1))) <= 1
+      AND b.vec_id <> {query_id}
+    ORDER BY score DESC, b.vec_id ASC LIMIT {k}
+    """

@@ -741,3 +741,35 @@ def g20_sliding_distinct(spark, sf_dir):
         .groupBy("win_start_us")
         .agg(F.count(F.lit(1)).alias("n_distinct_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity: multi-probe LSH + exact re-rank (two-stage retrieval)
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    from ..operators.similarity import multiprobe_oracle_sql
+
+    return multiprobe_oracle_sql(query_id=0, plane_lo=1, plane_hi=8, k=5)
+
+
+@register(
+    "sim_multiprobe",
+    sql=_multiprobe_oracle(),
+    doc="MULTI-PROBE LSH retrieval (Lv et al.) + exact re-rank — the "
+    "two-stage production shape: probe the query's integer-exact hyperplane "
+    "bucket AND all Hamming-1 neighbors (where boundary neighbors fall), "
+    "re-rank the candidate union by int64-dot/sqrt scores "
+    "(operators/similarity.multiprobe_topk).  Raises recall to 9-bucket "
+    "coverage while reading 9/256 of a bucket-partitioned corpus; every "
+    "bucket bit and score is bit-identical in DuckDB.",
+)
+def sim_multiprobe(spark, sf_dir):
+    from ..operators.similarity import multiprobe_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    planes = [list(r[0]) for r in rows]
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    return multiprobe_topk(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", qvec, planes, k=5)

