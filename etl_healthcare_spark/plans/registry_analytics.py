@@ -773,3 +773,60 @@ def sim_multiprobe(spark, sf_dir):
     planes = [list(r[0]) for r in rows]
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
     return multiprobe_topk(emb.where(F.col("vec_id") != 0), "embedding", "vec_id", qvec, planes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# curation: model-based quality funnel (the round-3 scorer chain composed)
+# ---------------------------------------------------------------------------
+
+
+def _quality_funnel_oracle() -> str:
+    from ..operators.textops import hashed_linear_oracle_sql, lm_bigram_oracle_sql
+
+    clf = hashed_linear_oracle_sql(n_buckets=1024)
+    lm = lm_bigram_oracle_sql()
+    return f"""
+    WITH clf AS ({clf}),
+    lm AS ({lm}),
+    s1 AS (SELECT doc_id FROM documents),
+    s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM clf WHERE positive)),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN
+             (SELECT doc_id FROM lm WHERE lm_score_ppm >= 1500)),
+    s4 AS (SELECT s3.doc_id FROM s3 JOIN documents d ON d.doc_id = s3.doc_id
+           WHERE d.n_chars >= 100)
+    SELECT 1 AS stage_ord, 'raw' AS stage, (SELECT count(*) FROM s1) AS n_docs
+    UNION ALL SELECT 2, 'classifier', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'lm_score', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, 'length', (SELECT count(*) FROM s4)
+    """
+
+
+@register(
+    "curation_quality_funnel",
+    sql=_quality_funnel_oracle(),
+    doc="MODEL-BASED quality funnel — the scorer chain composed end-to-end "
+    "(companion to curation_e2e's dedup chain): hashed linear classifier "
+    "sign gate -> corpus-bigram-LM score floor -> length floor, reported as "
+    "the attrition funnel (stage, n_docs).  Each stage is the registry "
+    "operator itself (text_classifier_score, text_lm_score); survivors "
+    "chain by left-semi joins, counts are O(1)-output aggregates.",
+)
+def curation_quality_funnel(spark, sf_dir):
+    from ..operators.textops import hashed_linear_score, lm_bigram_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    clf = hashed_linear_score(docs, "text", "doc_id")
+    s2 = docs.join(clf.where(F.col("positive")).select("doc_id"), "doc_id", "left_semi")
+    lm = lm_bigram_scores(docs, "text", "doc_id")
+    s3 = s2.join(
+        lm.where(F.col("lm_score_ppm") >= 1500).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    s4 = s3.where(F.col("n_chars") >= 100)
+    stages = [("raw", docs), ("classifier", s2), ("lm_score", s3), ("length", s4)]
+    out = None
+    for i, (name, sdf) in enumerate(stages, 1):
+        row = sdf.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), F.col("n_docs")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
