@@ -236,3 +236,83 @@ def iqr_oracle_sql(table: str, group_col: str, value_expr: str, id_col: str, whe
     SELECT q.g AS {group_col}, q.n, q.q1, q.med, q.q3, q.q3 - q.q1 AS iqr, f.n_low, f.n_high
     FROM q JOIN f ON q.g = f.g
     """
+
+
+def seasonal_baseline_flags(
+    df: DataFrame, ts_col: str, group_col: str, high_x2: int = 4, low_x2: int = 1
+) -> DataFrame:
+    """Seasonality-aware volume anomalies: each (group, hour) bucket's event
+    count compares against the RANK-EXACT MEDIAN count of the same
+    hour-of-day across the observation window — the robust baseline that a
+    global mean would get wrong twice (diurnal cycles inflate daytime
+    variance; outages drag the mean toward themselves).
+
+    Integer end to end: counts are exact, the baseline is the value at rank
+    ceil(n/2) (no interpolation — same discipline as iqr_outlier_stats),
+    and flags are cross-multiplies ``2*cnt > high_x2*med`` / ``2*cnt <
+    low_x2*med`` (default: flag hours above 2x or below 0.5x their
+    hour-of-day median).
+
+    Scale: one (group, hour-bucket) count aggregation (partial-aggregated:
+    buckets ~ groups x hours-of-window), one window over the per-(group,
+    hod) count series for the median rank, one broadcast-sized join back.
+    Output one row per flagged hour bucket."""
+    from pyspark.sql import Window
+
+    hourly = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hod", F.hour("h"))
+    )
+    w = Window.partitionBy("g", "hod").orderBy("cnt", "h")
+    ranked = hourly.withColumn("r", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g", "hod"))
+    )
+    med = (
+        ranked.where(F.col("r") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("g"), F.col("hod"), F.col("cnt").alias("med"))
+    )
+    return (
+        hourly.join(med, ["g", "hod"])
+        .where(
+            (2 * F.col("cnt") > F.lit(high_x2) * F.col("med"))
+            | (2 * F.col("cnt") < F.lit(low_x2) * F.col("med"))
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.unix_micros("h").alias("hour_us"),
+            "hod",
+            "cnt",
+            "med",
+            (2 * F.col("cnt") > F.lit(high_x2) * F.col("med")).alias("is_high"),
+        )
+    )
+
+
+def seasonal_oracle_sql(
+    table: str, ts_col: str, group_col: str, high_x2: int = 4, low_x2: int = 1
+) -> str:
+    """DuckDB twin of seasonal_baseline_flags."""
+    return f"""
+    WITH hourly AS (
+      SELECT {group_col} AS g, date_trunc('hour', {ts_col}) AS h, count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    hod AS (SELECT g, h, cnt, extract(hour FROM h) AS hod FROM hourly),
+    ranked AS (
+      SELECT g, hod, cnt,
+             row_number() OVER (PARTITION BY g, hod ORDER BY cnt, h) AS r,
+             count(*) OVER (PARTITION BY g, hod) AS n
+      FROM hod
+    ),
+    med AS (SELECT g, hod, cnt AS med FROM ranked WHERE r = (n + 1) // 2)
+    SELECT hod.g AS {group_col}, epoch_us(hod.h) AS hour_us,
+           CAST(hod.hod AS INT) AS hod, hod.cnt, med.med,
+           2 * hod.cnt > {high_x2} * med.med AS is_high
+    FROM hod JOIN med ON hod.g = med.g AND hod.hod = med.hod
+    WHERE 2 * hod.cnt > {high_x2} * med.med OR 2 * hod.cnt < {low_x2} * med.med
+    """

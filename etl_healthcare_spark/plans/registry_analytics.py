@@ -830,3 +830,30 @@ def curation_quality_funnel(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# anomalies: seasonality-aware volume baseline
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_oracle() -> str:
+    from ..operators.anomaly import seasonal_oracle_sql
+
+    return seasonal_oracle_sql("events", "ts", "event_type")
+
+
+@register(
+    "anomaly_seasonal",
+    sql=_seasonal_oracle(),
+    doc="Seasonality-aware volume anomalies "
+    "(operators/anomaly.seasonal_baseline_flags): each (event_type, hour) "
+    "count compares against the rank-exact MEDIAN of the same hour-of-day — "
+    "the robust diurnal baseline a global mean gets wrong twice.  Flags are "
+    "integer cross-multiplies (2*cnt vs 4*med / 1*med); one bucket-count "
+    "aggregation, one per-(group, hod) window, one join back.",
+)
+def anomaly_seasonal(spark, sf_dir):
+    from ..operators.anomaly import seasonal_baseline_flags
+
+    return seasonal_baseline_flags(_t(spark, sf_dir, "events"), "ts", "event_type")
