@@ -316,3 +316,81 @@ def seasonal_oracle_sql(
     FROM hod JOIN med ON hod.g = med.g AND hod.hod = med.hod
     WHERE 2 * hod.cnt > {high_x2} * med.med OR 2 * hod.cnt < {low_x2} * med.med
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM — exact integer cumulative-sum changepoint scan
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(df: DataFrame, ts_col: str, group_col: str) -> DataFrame:
+    """Per-group changepoint candidate by the CUSUM statistic over hourly
+    volumes: S_t = sum_{i<=t} (n*x_i - T) — the mean-removed cumulative sum
+    cross-multiplied by n so every term is an exact int64 (no mean division).
+    |S_t| peaks at the split point where the before/after level difference is
+    largest (Page's CUSUM, offline form); the emitted row per group is that
+    argmax hour with (abs_s DESC, hour ASC) total tiebreak.
+
+    Scale shape: one bucket-count aggregation (partial-aggregable), a
+    broadcast of the per-group (n, T) totals, one per-group ordered window
+    for the running sum — the same topology as w3_moving_avg, so a hot group
+    degrades to one sorted partition of its OWN buckets (bounded by the time
+    range, not the row count).  Magnitudes: |S| <= n * T <= 10^4 buckets x
+    row count — int64-safe beyond 10^14 rows per group.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("cnt").alias("total")
+    )
+    w_cum = Window.partitionBy("grp").orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_seq = Window.partitionBy("grp").orderBy("bucket")
+    s = (
+        counts.join(F.broadcast(tot), "grp")
+        .withColumn(
+            "s",
+            F.col("n_buckets") * F.sum("cnt").over(w_cum)
+            - F.row_number().over(w_seq) * F.col("total"),
+        )
+        .withColumn("abs_s", F.abs(F.col("s")))
+    )
+    w_pick = Window.partitionBy("grp").orderBy(F.col("abs_s").desc(), F.col("bucket").asc())
+    return (
+        s.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "grp",
+            "n_buckets",
+            "total",
+            F.unix_micros(F.col("bucket")).alias("cp_hour_us"),
+            F.col("abs_s").alias("max_abs_s"),
+        )
+    )
+
+
+def cusum_oracle_sql(table: str, ts_col: str, group_col: str) -> str:
+    """DuckDB twin of cusum_changepoint: identical bucket counts, running
+    cross-multiplied sum, and (abs_s, bucket) argmax tiebreak."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, date_trunc('hour', {ts_col}) AS bucket, count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, count(*) AS n_buckets, sum(cnt) AS total FROM counts GROUP BY grp),
+    s AS (
+      SELECT c.grp, t.n_buckets, t.total, c.bucket,
+             abs(t.n_buckets * sum(c.cnt) OVER (PARTITION BY c.grp ORDER BY c.bucket)
+                 - (row_number() OVER (PARTITION BY c.grp ORDER BY c.bucket)) * t.total
+             ) AS abs_s
+      FROM counts c JOIN tot t USING (grp)
+    )
+    SELECT grp, n_buckets, CAST(total AS BIGINT) AS total,
+           epoch_us(bucket) AS cp_hour_us, CAST(abs_s AS BIGINT) AS max_abs_s
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY abs_s DESC, bucket ASC) AS rn
+      FROM s
+    ) WHERE rn = 1
+    """

@@ -148,3 +148,77 @@ def range_bounds_oracle_sql(
     )
     SELECT split_idx, (bin + 1) * {bin_width} - 1 AS bound FROM hits
     """
+
+
+def compaction_plan(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    payload_col: str,
+    target_bytes: int = 262_144,
+    row_overhead: int = 64,
+) -> DataFrame:
+    """Small-file COMPACTION planner: bin-pack a partition's hourly micro-files
+    into ~``target_bytes`` output files WITHOUT breaking the time order — the
+    maintenance job every streaming sink needs (each 5 s micro-batch writes a
+    sliver; a month later the table is a million tiny files and every scan is
+    metadata-bound).
+
+    Packing rule: within a partition, walk files in time order and assign
+    bin = floor(preceding_cumulative_bytes / target) — next-fit packing that
+    KEEPS CONSECUTIVE HOURS IN THE SAME OUTPUT FILE, so the compacted file's
+    min/max footer stats still cover a tight time range and timestamp
+    predicates keep pruning (size-sorted first-fit would pack January next to
+    June and destroy that).  Bins can overflow target by at most one file —
+    the price of never splitting a file.
+
+    Exact integers throughout (bytes = payload length + fixed row overhead);
+    one count aggregation + one per-partition ordered window — the same
+    topology as w3_moving_avg, skew-bounded by the time range.
+    """
+    from pyspark.sql import Window
+
+    files = df.groupBy(
+        F.col(part_col).alias("part_key"), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(
+        (F.sum(F.length(F.col(payload_col))) + F.lit(row_overhead) * F.count(F.lit(1))).alias(
+            "bytes"
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_prev = F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_prev")
+    return (
+        files.select("part_key", "bucket", "bytes", cum_prev)
+        .select(
+            "part_key",
+            F.unix_micros(F.col("bucket")).alias("bucket_us"),
+            "bytes",
+            F.expr(f"cum_prev div {target_bytes}").alias("bin"),
+        )
+    )
+
+
+def compaction_oracle_sql(
+    table: str,
+    part_col: str,
+    ts_col: str,
+    payload_col: str,
+    target_bytes: int = 262_144,
+    row_overhead: int = 64,
+) -> str:
+    """DuckDB twin of compaction_plan."""
+    return f"""
+    WITH files AS (
+      SELECT {part_col} AS part_key, date_trunc('hour', {ts_col}) AS bucket,
+             sum(length({payload_col})) + {row_overhead} * count(*) AS bytes
+      FROM {table} GROUP BY 1, 2
+    )
+    SELECT part_key, epoch_us(bucket) AS bucket_us, CAST(bytes AS BIGINT) AS bytes,
+           CAST(coalesce(sum(bytes) OVER (
+                  PARTITION BY part_key ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {target_bytes} AS BIGINT) AS bin
+    FROM files
+    """

@@ -146,6 +146,71 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, hops) shortest hop distance from the seed set over the
+    undirected graph, bounded to `max_hops` rounds — multi-source BFS, the
+    reachability primitive under contamination tracing ("everything within k
+    dedup-graph hops of a flagged document") and fraud/abuse neighborhoods.
+
+    Scale shape (Pregel frontier expansion in DataFrame ops): per round ONE
+    equi-join frontier->edges plus one anti-join against the visited set —
+    both keyed on node id, both partial-aggregable; the frontier only ever
+    holds NEWLY discovered nodes, so work per round is proportional to the
+    frontier, not the graph.  `visited` is localCheckpoint-ed per round to cut
+    lineage, exactly like connected_components.  The hop bound is a fixed
+    constant, making the result a pure function of the graph (and keeping the
+    driver loop O(max_hops), not data-dependent).
+
+    Deterministic: hop numbers are exact integers; a node is labeled with the
+    FIRST round that reaches it, which is unique regardless of partitioning.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col(src) != F.col(dst)
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint(eager=True)
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    visited = frontier.select("node", F.lit(0).cast("int").alias("hops")).localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = visited.where(F.col("hops") == h).select("node")
+    return visited
+
+
+def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int = 4) -> str:
+    """DuckDB twin via bounded recursive CTE + min-hop rollup.  `edges_cte`
+    must define raw(s, t); `seeds_sql` a one-column relation of seed nodes.
+    The UNION ALL recursion re-walks cycles but the hop bound terminates it;
+    min(hops) collapses the walk multiplicity to BFS distance."""
+    return f"""
+    WITH RECURSIVE {edges_cte},
+    e AS (
+      SELECT s AS a, t AS b FROM raw WHERE s <> t
+      UNION SELECT t, s FROM raw WHERE s <> t
+    ),
+    walk(node, hops) AS (
+      SELECT node, 0 FROM ({seeds_sql})
+      UNION ALL
+      SELECT e.b, walk.hops + 1
+      FROM walk JOIN e ON e.a = walk.node
+      WHERE walk.hops < {max_hops}
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+    """
+
+
 def triangle_oracle_sql(edges_cte: str) -> str:
     """DuckDB twin: rank-free u<v<w triple join (exact on small graphs).
     `edges_cte` must define raw(s, t)."""

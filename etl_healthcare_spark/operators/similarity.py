@@ -522,3 +522,78 @@ def multiprobe_oracle_sql(
       AND b.vec_id <> {query_id}
     ORDER BY score DESC, b.vec_id ASC LIMIT {k}
     """
+
+
+def range_search(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred,
+    tau_ppm: int = 200_000,
+    scale: int = 1_000,
+) -> DataFrame:
+    """RADIUS (range) search: every corpus vector whose cosine with a query
+    vector is >= tau — the "all neighbors within a threshold" companion to
+    top-k (top-k bounds the COUNT, range search bounds the QUALITY; retrieval
+    filtering and near-dup audits want the latter).
+
+    Exactness: vectors quantize to the 1/scale grid (floor — int64 codes),
+    and the threshold test is the fully cross-multiplied integer predicate
+
+        dot > 0  AND  dot^2 * 1e12 >= tau_ppm^2 * |v|^2 * |q|^2
+
+    promoted to decimal(38,0)/HUGEINT (dot^2 * 1e12 peaks ~4e27 at dim 64) —
+    no sqrt, no division, no float boundary: the emitted pair set is a pure
+    function of the data on any engine.
+
+    Scale shape: the query batch (a predicate over the corpus) broadcasts;
+    the scan is MAP-ONLY — no shuffle at all, every corpus partition filters
+    against the in-memory query list and emits qualifying pairs.  Linear in
+    |corpus| x |queries|; for large query batches, block both sides by LSH
+    bucket first (multiprobe_topk) and apply the same integer predicate.
+    """
+    from ..functions.vectors import int_dot, quantize_vec
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
+    )
+    queries = vecs.where(query_pred).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("query_id"))
+    dot = int_dot(F.col("qv"), F.col("qq"))
+    n2v = int_dot(F.col("qv"), F.col("qv"))
+    n2q = int_dot(F.col("qq"), F.col("qq"))
+    scored = pairs.select("query_id", "id", dot.alias("dot"), n2v.alias("n2v"), n2q.alias("n2q"))
+    keep = (F.col("dot") > 0) & (
+        dec(F.col("dot")) * dec(F.col("dot")) * F.lit(10**12).cast("decimal(38,0)")
+        >= F.lit(tau_ppm * tau_ppm).cast("decimal(38,0)") * dec(F.col("n2v")) * dec(F.col("n2q"))
+    )
+    return scored.where(keep).select("query_id", "id", "dot")
+
+
+def range_search_oracle_sql(
+    query_mod: int, tau_ppm: int = 200_000, scale: int = 1_000, src: str = "embeddings"
+) -> str:
+    """DuckDB twin of range_search with queries = vec_id % query_mod == 0."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {src}
+    ),
+    q AS (SELECT id AS query_id, qv AS qq FROM v WHERE id % {query_mod} = 0),
+    pairs AS (
+      SELECT q.query_id, v.id,
+             CAST(list_inner_product(v.qv, q.qq) AS BIGINT) AS dot,
+             CAST(list_inner_product(v.qv, v.qv) AS BIGINT) AS n2v,
+             CAST(list_inner_product(q.qq, q.qq) AS BIGINT) AS n2q
+      FROM v CROSS JOIN q WHERE v.id <> q.query_id
+    )
+    SELECT query_id, id, dot FROM pairs
+    WHERE dot > 0
+      AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(1000000000000 AS HUGEINT)
+          >= CAST({tau_ppm * tau_ppm} AS HUGEINT) * CAST(n2v AS HUGEINT) * CAST(n2q AS HUGEINT)
+    """

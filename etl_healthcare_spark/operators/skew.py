@@ -48,6 +48,39 @@ def salted_latest_per_group(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_source: Column,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof shuffle equi-join: salt the FACT side's key with a
+    deterministic bucket derived from ``salt_source`` (a within-key-varying
+    column), replicate every DIM row across all ``buckets`` salt values, and
+    join on (key, salt).  Result is row-identical to ``fact.join(dim, key)``;
+    only the shuffle topology changes — a hot fact key's rows now land on
+    ``buckets`` reduce tasks instead of one.
+
+    When to use: the dim side is too large to broadcast AND the fact side has
+    hot keys AQE's skew split can't fix (AQE splits oversized *partitions*,
+    which helps only when a partition holds several keys; a single key bigger
+    than memory still needs salting).  Cost: dim shuffle volume x buckets —
+    cheap when |dim| << |fact|, which is exactly the skewed-join regime.
+
+    The salt comes from xxhash64(salt_source) % buckets, never rand():
+    rerun-stable plans and oracle determinism (SURVEY §7.3).  The replicated
+    dim is built with a literal array+explode — no Python loop, no union of
+    ``buckets`` scans.
+    """
+    salt = F.pmod(F.xxhash64(salt_source), F.lit(buckets)).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
 def salted_sum_count(
     df: DataFrame,
     keys: list[str],

@@ -110,3 +110,136 @@ def grouped_regression(
             "(CAST(1000000 AS DECIMAL(38,0)) * _rxy * _rxy) div nullif(_rxx * _ryy, CAST(0 AS DECIMAL(38,0)))"
         ).alias("corr2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series second moments: autocovariance and cross-covariance
+# ---------------------------------------------------------------------------
+
+
+def autocov_lags(
+    df: DataFrame, ts_col: str, group_col: str, lags: tuple[int, ...] = (1, 2)
+) -> DataFrame:
+    """Per-group lag-k autocovariance NUMERATORS over the hourly volume
+    series: acov_num(k) = sum_t dev_t * dev_{t-k} with dev_t = n*x_t - T
+    (mean removed by cross-multiplication — exact int64, no division).  A
+    strongly positive lag-1 value means volume shocks persist hour-to-hour;
+    sign flips expose oscillating load.  The n-scaled numerator orders lags
+    identically to the normalized autocorrelation within a group, so the
+    exact-integer form keeps the full diagnostic power without a float
+    boundary.
+
+    Shape: one bucket-count aggregation, a broadcast of (n, T), ONE ordered
+    window computing all lags in a single pass, then a partial-aggregable
+    rollup; the stack() unpivot is map-side.  Products promote to
+    decimal(38,0) before summing — dev^2 crosses int64 near 10^9-row groups.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("cnt").alias("total")
+    )
+    w = Window.partitionBy("grp").orderBy("bucket")
+    dev = (
+        counts.join(F.broadcast(tot), "grp")
+        .withColumn("dev", F.col("n_buckets") * F.col("cnt") - F.col("total"))
+    )
+    for k in lags:
+        dev = dev.withColumn(
+            f"p{k}",
+            (
+                F.col("dev").cast("decimal(38,0)")
+                * F.lag("dev", k).over(w).cast("decimal(38,0)")
+            ),
+        )
+    pairs = dev.select(
+        "grp",
+        F.expr(
+            "stack("
+            + str(len(lags))
+            + ", "
+            + ", ".join(f"{k}, p{k}" for k in lags)
+            + ") AS (lag, prod)"
+        ),
+    )
+    return pairs.groupBy("grp", "lag").agg(
+        F.count("prod").alias("n_pairs"),
+        F.sum("prod").cast("long").alias("acov_num"),
+    )
+
+
+def autocov_oracle_sql(table: str, ts_col: str, group_col: str, lags: tuple[int, ...] = (1, 2)) -> str:
+    """DuckDB twin of autocov_lags (HUGEINT products, identical lag frame)."""
+    lag_rows = "\nUNION ALL\n".join(
+        f"SELECT grp, {k} AS lag, CAST(dev AS HUGEINT) * CAST("
+        f"lag(dev, {k}) OVER (PARTITION BY grp ORDER BY bucket) AS HUGEINT) AS prod FROM dev"
+        for k in lags
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, date_trunc('hour', {ts_col}) AS bucket, count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, count(*) AS n_buckets, sum(cnt) AS total FROM counts GROUP BY grp),
+    dev AS (
+      SELECT c.grp, c.bucket, t.n_buckets * c.cnt - t.total AS dev
+      FROM counts c JOIN tot t USING (grp)
+    ),
+    pairs AS ({lag_rows})
+    SELECT grp, lag, count(prod) AS n_pairs, CAST(sum(prod) AS BIGINT) AS acov_num
+    FROM pairs GROUP BY grp, lag
+    """
+
+
+def cross_covariance(df: DataFrame, ts_col: str, group_col: str) -> DataFrame:
+    """Cross-covariance NUMERATOR between every pair of groups' hourly volume
+    series: cov_num = n*S_ab - S_a*S_b over the hours BOTH groups are active
+    — the correlation-mining primitive behind "which event types move
+    together" (co-incident errors and purchases point at checkout trouble;
+    decoupled view/click at a broken tracker).
+
+    Shape: the (grp, bucket, cnt) table is tiny relative to the input (bounded
+    by |groups| x time range), so the bucket-keyed self-join below it is NOT a
+    row-level self-join — it shuffles the pre-aggregated series only.  Pair
+    count is |groups| choose 2; products promote to decimal(38,0).
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = counts.select(F.col("grp").alias("grp_a"), "bucket", F.col("cnt").alias("ca"))
+    b = counts.select(F.col("grp").alias("grp_b"), "bucket", F.col("cnt").alias("cb"))
+    joined = a.join(b, "bucket").where(F.col("grp_a") < F.col("grp_b"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = joined.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb").cast("decimal(38,0)")).alias("sab"),
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_hours",
+        (dec("n_hours") * F.col("sab") - dec("sa") * dec("sb")).cast("long").alias("cov_num"),
+    )
+
+
+def cross_covariance_oracle_sql(table: str, ts_col: str, group_col: str) -> str:
+    """DuckDB twin of cross_covariance."""
+    return f"""
+    WITH counts AS (
+      SELECT {group_col} AS grp, date_trunc('hour', {ts_col}) AS bucket, count(*) AS cnt
+      FROM {table} GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b, a.cnt AS ca, b.cnt AS cb
+      FROM counts a JOIN counts b ON a.bucket = b.bucket AND a.grp < b.grp
+    )
+    SELECT grp_a, grp_b, count(*) AS n_hours,
+           CAST(CAST(count(*) AS HUGEINT) * sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT))
+                - CAST(sum(ca) AS HUGEINT) * CAST(sum(cb) AS HUGEINT) AS BIGINT) AS cov_num
+    FROM j GROUP BY grp_a, grp_b
+    """

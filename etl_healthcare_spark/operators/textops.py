@@ -835,3 +835,200 @@ def bpe_apply_oracle_sql(rounds: int = 3, max_word_len: int = 16, src: str = "do
     FROM dw LEFT JOIN wlen ON dw.w = wlen.w
     GROUP BY dw.id
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_span_df: int = 8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram CONTAINMENT C = |A∩B| / min(|A|,|B|)
+    over candidate pairs — the metric that catches a short document embedded
+    verbatim inside a long one, which symmetric Jaccard structurally misses
+    (a 100-gram quote inside a 10k-gram page has J ≈ 0.01 but C = 1.0).
+    Broder's containment companion to dedup_ngram_jaccard.
+
+    Blocking (the scale story): candidate pairs come ONLY from RARE shared
+    k-gram spans (2 <= document frequency <= ``max_span_df``), the same
+    rare-feature blocking as j7_fuzzy_match_join — a boilerplate span shared
+    by half the corpus generates no pairs, so pair volume is bounded by
+    sum over rare spans of df^2 <= max_span_df * |spans|, linear in corpus
+    size.  The intersection count then runs candidate-bounded: the pair list
+    joins back to the two docs' span sets (hash joins on doc id + span hash),
+    never an open self-join.  Exact integer ppm; distinct (doc, span) pairs
+    only.
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 4 ways below
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    rare = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
+    )
+    r = spans.join(rare.select("h"), "h")
+    cand = (
+        r.select(F.col("doc_id").alias("a"), "h")
+        .join(r.select(F.col("doc_id").alias("b"), "h"), "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = spans.select(F.col("doc_id").alias("a"), "h")
+    sb = spans.select(F.col("doc_id").alias("b"), "h")
+    inter = cand.join(sa, "a").join(sb, ["b", "h"]).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    na = per_doc.select(F.col("doc_id").alias("a"), F.col("n_spans").alias("n_a"))
+    nb = per_doc.select(F.col("doc_id").alias("b"), F.col("n_spans").alias("n_b"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("(1000000 * n_inter) div least(n_a, n_b)").alias("containment_ppm"),
+        )
+    )
+
+
+def containment_oracle_sql(k: int = 5, max_span_df: int = 8, src: str = "documents") -> str:
+    """DuckDB twin of containment_pairs."""
+    grams = " || ' ' || ".join(f"t[j+{i}]" for i in range(k))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id, substr(sha256({grams}), 1, 16) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
+            FROM tok WHERE len(t) >= {k})
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+    rare AS (
+      SELECT h FROM (SELECT h, count(*) AS df_count FROM spans GROUP BY h)
+      WHERE df_count BETWEEN 2 AND {max_span_df}
+    ),
+    r AS (SELECT s.doc_id, s.h FROM spans s JOIN rare USING (h)),
+    cand AS (
+      SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+      FROM r r1 JOIN r r2 ON r1.h = r2.h AND r1.doc_id < r2.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN spans sa ON sa.doc_id = c.a
+      JOIN spans sb ON sb.doc_id = c.b AND sb.h = sa.h
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, pa.n_spans AS n_a, pb.n_spans AS n_b, i.n_inter,
+           (1000000 * i.n_inter) // least(pa.n_spans, pb.n_spans) AS containment_ppm
+    FROM inter i
+    JOIN per_doc pa ON pa.doc_id = i.a
+    JOIN per_doc pb ON pb.doc_id = i.b
+    """
+
+
+def chi2_keyness(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    side_pred,
+    min_total: int = 20,
+    top_n: int = 50,
+) -> DataFrame:
+    """Chi-squared KEYNESS of every token between two corpus slices (the
+    corpus-linguistics "what words characterize slice A vs the rest" test —
+    the drift detector run between crawl snapshots / language slices before
+    a training mix changes).  ``side_pred`` is a Column predicate over the
+    input rows defining slice A.
+
+    For token w with occurrence counts a (in A), b (in B), against slice
+    totals NA, NB (c = NA-a, d = NB-b):
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d)),  N = NA+NB
+
+    computed EXACTLY: counts are int64, the numerator/denominator promote to
+    decimal(38,0) (HUGEINT in the oracle — numerator peaks ~1e33 at sf1.0,
+    far past int64), and the emitted statistic is the floor millis
+    (num - num % den) / den — floor division spelled so both engines agree
+    bit-for-bit.  Output: top ``top_n`` tokens by (chi2_milli DESC, token).
+
+    Shape: ONE token-count aggregation with the side folded in as a
+    conditional sum (partial-aggregable, vocabulary-sized result), a 1-row
+    broadcast of the totals, map-only arithmetic, TakeOrderedAndProject.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.when(side_pred, F.lit(1)).otherwise(F.lit(0)).alias("in_a"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("in_a").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("b"),
+    )
+    totals = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = counts.crossJoin(F.broadcast(totals)).where(F.col("a") + F.col("b") >= min_total)
+    diff = dec(F.col("a")) * dec(F.col("nb") - F.col("b")) - dec(F.col("b")) * dec(
+        F.col("na") - F.col("a")
+    )
+    num = F.lit(1000).cast("decimal(38,0)") * dec(F.col("na") + F.col("nb")) * diff * diff
+    den = (
+        dec(F.col("a") + F.col("b"))
+        * dec(F.col("na") - F.col("a") + F.col("nb") - F.col("b"))
+        * dec(F.col("na"))
+        * dec(F.col("nb"))
+    )
+    out = j.select(
+        "token",
+        "a",
+        "b",
+        ((num - num % den) / den).cast("long").alias("chi2_milli"),
+    )
+    return out.orderBy(F.col("chi2_milli").desc(), F.col("token")).limit(top_n)
+
+
+def chi2_keyness_oracle_sql(
+    side_sql: str, min_total: int = 20, top_n: int = 50, src: str = "documents"
+) -> str:
+    """DuckDB twin of chi2_keyness; ``side_sql`` is the slice-A predicate."""
+    return f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token,
+             CASE WHEN {side_sql} THEN 1 ELSE 0 END AS in_a
+      FROM {src}
+    ),
+    counts AS (
+      SELECT token, sum(in_a) AS a, sum(1 - in_a) AS b FROM tok GROUP BY token
+    ),
+    totals AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts)
+    SELECT token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(
+             (CAST(1000 AS HUGEINT) * (na + nb)
+              * (a * (nb - b) - b * (na - a)) * (a * (nb - b) - b * (na - a)))
+             // ((a + b) * (na - a + nb - b) * na * nb)
+           AS BIGINT) AS chi2_milli
+    FROM counts, totals
+    WHERE a + b >= {min_total}
+    ORDER BY chi2_milli DESC, token LIMIT {top_n}
+    """

@@ -1,0 +1,319 @@
+"""Round-3 mining batch: graph reachability (multi-source BFS), skew-salted
+joins, changepoint/autocovariance/cross-covariance time-series moments,
+asymmetric containment dedup, chi-squared corpus keyness, cosine range
+search, and small-file compaction planning.
+
+All queries follow the registry's cross-engine determinism conventions
+(integer/ppm/decimal(38,0) arithmetic, sha256-only hashing, total tiebreaks —
+see plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# ---------------------------------------------------------------------------
+# graph: multi-source BFS hop distance
+# ---------------------------------------------------------------------------
+
+_BFS_EDGES_SQL = """raw AS (
+      SELECT o_orderkey % 97 AS s, (o_orderkey * 13 + o_custkey) % 97 AS t
+      FROM orders WHERE o_orderkey % 5 = 0
+    )"""
+_BFS_SEEDS_SQL = "SELECT * FROM (VALUES (0), (7), (23)) AS seeds(node)"
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    from ..operators.graph import bfs_oracle_sql
+
+    return bfs_oracle_sql(_BFS_EDGES_SQL, _BFS_SEEDS_SQL, _BFS_HOPS)
+
+
+@register(
+    "graph_bfs_hops",
+    sql=_bfs_oracle(),
+    doc="Multi-source BFS: shortest hop distance from a seed set, bounded to "
+    "4 rounds (operators/graph.bfs_hops) — the contamination-trace primitive "
+    "('everything within k dedup-graph hops of a flagged document').  Pregel "
+    "frontier expansion in DataFrame ops: per round one node-keyed equi-join "
+    "plus one anti-join against the visited set, frontier holds only NEWLY "
+    "discovered nodes, visited localCheckpoints per round.  The oracle is a "
+    "bounded recursive CTE collapsed by min(hops).",
+)
+def graph_bfs_hops(spark, sf_dir):
+    from ..operators.graph import bfs_hops
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    edges = o.select(
+        (F.col("o_orderkey") % 97).alias("a"),
+        ((F.col("o_orderkey") * 13 + F.col("o_custkey")) % 97).alias("b"),
+    )
+    seeds = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(0), F.lit(7), F.lit(23))).alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=_BFS_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# joins: skew-salted shuffle join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j9_salted_skew_join",
+    sql="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS key,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_cents
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT p_partkey % 100 AS key, count(*) AS n_parts,
+             sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS retail_cents
+      FROM part GROUP BY 1
+    )
+    SELECT f.key, count(*) AS n_rows, CAST(sum(f.qty_cents) AS BIGINT) AS qty_cents,
+           max(d.n_parts) AS n_parts, CAST(max(d.retail_cents) AS BIGINT) AS retail_cents
+    FROM fact f JOIN dim d USING (key)
+    GROUP BY f.key
+    """,
+    doc="Skew-proof shuffle join (operators/skew.salted_join): ~70% of fact "
+    "rows share ONE key — the regime where a plain shuffle join puts the hot "
+    "key on one reduce task and AQE's partition splitting cannot help "
+    "(a single key bigger than memory still lands together).  The fact side "
+    "salts on xxhash64(row id) % 16, the dim side replicates across all 16 "
+    "salt values via a literal sequence+explode, the join keys on "
+    "(key, salt) — row-identical to the plain join (the oracle IS the plain "
+    "join), hot-key work spread over 16 tasks.  Post-join rollup keeps the "
+    "output key-sized.",
+)
+def j9_salted_skew_join(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    cents = lambda c: (F.col(c).cast("decimal(18,2)") * 100).cast("long")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .cast("long")
+        .alias("key"),
+        cents("l_quantity").alias("qty_cents"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("row_id"),
+    )
+    dim = (
+        _t(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 100).cast("long").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(cents("p_retailprice")).alias("retail_cents"),
+        )
+    )
+    joined = salted_join(fact, dim, "key", salt_source=F.col("row_id"), buckets=16)
+    return joined.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty_cents").alias("qty_cents"),
+        F.max("n_parts").alias("n_parts"),
+        F.max("retail_cents").alias("retail_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time series: CUSUM changepoint, autocovariance, cross-covariance
+# ---------------------------------------------------------------------------
+
+
+def _cusum_oracle() -> str:
+    from ..operators.anomaly import cusum_oracle_sql
+
+    return cusum_oracle_sql("events", "ts", "event_type")
+
+
+@register(
+    "anomaly_cusum",
+    sql=_cusum_oracle(),
+    doc="Offline CUSUM changepoint scan (operators/anomaly.cusum_changepoint): "
+    "per event type, the hour where the cumulative mean-removed sum "
+    "S_t = sum(n*x_i - T) peaks in magnitude — the level-shift locator "
+    "complementing anomaly_seasonal's pointwise flags.  All-integer "
+    "cross-multiplied arithmetic, (abs_s, hour) total tiebreak; one "
+    "bucket-count aggregation + one per-group ordered window.",
+)
+def anomaly_cusum(spark, sf_dir):
+    from ..operators.anomaly import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"), "ts", "event_type")
+
+
+def _autocov_oracle() -> str:
+    from ..operators.stats import autocov_oracle_sql
+
+    return autocov_oracle_sql("events", "ts", "event_type", lags=(1, 2))
+
+
+@register(
+    "w9_autocov",
+    sql=_autocov_oracle(),
+    doc="Lag-1/lag-2 autocovariance numerators of the hourly volume series "
+    "per event type (operators/stats.autocov_lags): dev_t = n*x_t - T exact "
+    "int64, products promoted to decimal(38,0)/HUGEINT, both lags computed "
+    "in ONE ordered window pass then unpivoted map-side with stack().  The "
+    "persistence diagnostic behind alarm debouncing (high lag-1: shocks "
+    "linger; flip-flopping sign: oscillating load).",
+)
+def w9_autocov(spark, sf_dir):
+    from ..operators.stats import autocov_lags
+
+    return autocov_lags(_t(spark, sf_dir, "events"), "ts", "event_type", lags=(1, 2))
+
+
+def _crosscov_oracle() -> str:
+    from ..operators.stats import cross_covariance_oracle_sql
+
+    return cross_covariance_oracle_sql("events", "ts", "event_type")
+
+
+@register(
+    "g21_cross_covariance",
+    sql=_crosscov_oracle(),
+    doc="Cross-covariance numerators between every PAIR of event types' "
+    "hourly volume series (operators/stats.cross_covariance) — 'which "
+    "signals move together' correlation mining.  The self-join runs on the "
+    "PRE-AGGREGATED (type, hour, count) table (bounded by |types| x time "
+    "range, never row-level), keyed on the hour bucket; n*Sab - Sa*Sb in "
+    "decimal(38,0)/HUGEINT.",
+)
+def g21_cross_covariance(spark, sf_dir):
+    from ..operators.stats import cross_covariance
+
+    return cross_covariance(_t(spark, sf_dir, "events"), "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# dedup: asymmetric containment
+# ---------------------------------------------------------------------------
+
+
+def _containment_oracle() -> str:
+    from ..operators.textops import containment_oracle_sql
+
+    return containment_oracle_sql(k=5, max_span_df=8)
+
+
+@register(
+    "dedup_containment",
+    sql=_containment_oracle(),
+    doc="Asymmetric n-gram CONTAINMENT |A∩B| / min(|A|,|B|) over rare-span "
+    "candidate pairs (operators/textops.containment_pairs) — catches a short "
+    "document embedded verbatim in a long one, which symmetric Jaccard "
+    "structurally misses (quote inside a page: J≈0.01, C=1.0; Broder's "
+    "containment).  Blocking: pairs only from shared 5-gram spans with "
+    "2<=df<=8 (rare-feature blocking à la j7) — pair volume linear in corpus "
+    "size; the intersection count is candidate-bounded via hash joins back "
+    "to the two span sets.  Exact integer ppm.",
+)
+def dedup_containment(spark, sf_dir):
+    from ..operators.textops import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5, max_span_df=8)
+
+
+# ---------------------------------------------------------------------------
+# text: chi-squared keyness between corpus slices
+# ---------------------------------------------------------------------------
+
+
+def _chi2_oracle() -> str:
+    from ..operators.textops import chi2_keyness_oracle_sql
+
+    return chi2_keyness_oracle_sql("lang = 'en'", min_total=20, top_n=50)
+
+
+@register(
+    "corpus_chi2_keyness",
+    sql=_chi2_oracle(),
+    doc="Chi-squared keyness of every token between the lang='en' slice and "
+    "the rest (operators/textops.chi2_keyness) — the corpus-drift test run "
+    "before a training-mix change.  chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) "
+    "computed EXACTLY in decimal(38,0)/HUGEINT (numerator ~1e33 at sf1.0), "
+    "floor millis emitted via (num - num % den)/den so both engines agree "
+    "bit-for-bit.  One conditional-sum token aggregation + a 1-row broadcast "
+    "+ TakeOrderedAndProject.",
+)
+def corpus_chi2_keyness(spark, sf_dir):
+    from ..operators.textops import chi2_keyness
+
+    return chi2_keyness(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        side_pred=F.col("lang") == "en",
+        min_total=20,
+        top_n=50,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity: cosine range (radius) search
+# ---------------------------------------------------------------------------
+
+
+def _range_search_oracle() -> str:
+    from ..operators.similarity import range_search_oracle_sql
+
+    return range_search_oracle_sql(query_mod=97, tau_ppm=200_000, scale=1_000)
+
+
+@register(
+    "sim_range_search",
+    sql=_range_search_oracle(),
+    doc="Cosine RANGE search: all corpus vectors within tau=0.2 of each "
+    "query vector (queries = vec_id % 97 == 0), decided by the fully "
+    "cross-multiplied integer predicate dot^2 * 1e12 >= tau_ppm^2 * "
+    "|v|^2 * |q|^2 in decimal(38,0)/HUGEINT — no sqrt, no division "
+    "(operators/similarity.range_search).  The query batch broadcasts; the "
+    "scan is MAP-ONLY (zero shuffle).  Bounds result QUALITY where top-k "
+    "bounds COUNT — the retrieval-filtering shape.",
+)
+def sim_range_search(spark, sf_dir):
+    from ..operators.similarity import range_search
+
+    return range_search(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        query_pred=F.col("id") % 97 == 0,
+        tau_ppm=200_000,
+        scale=1_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout: small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+def _compaction_oracle() -> str:
+    from ..operators.bucketing import compaction_oracle_sql
+
+    return compaction_oracle_sql("events", "event_type", "ts", "props", target_bytes=262_144)
+
+
+@register(
+    "layout_compaction",
+    sql=_compaction_oracle(),
+    doc="Small-file compaction planner (operators/bucketing.compaction_plan): "
+    "bin-packs each partition's hourly micro-files into ~256 KiB output "
+    "files by next-fit over the TIME order — consecutive hours stay in one "
+    "output file, so compacted footer min/max stats still prune timestamp "
+    "predicates (size-sorted first-fit would destroy that).  Exact integer "
+    "byte accounting; one aggregation + one ordered window.",
+)
+def layout_compaction(spark, sf_dir):
+    from ..operators.bucketing import compaction_plan
+
+    return compaction_plan(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "props", target_bytes=262_144
+    )

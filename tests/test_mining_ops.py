@@ -1,0 +1,213 @@
+"""Planted-data semantics tests for the round-3 mining batch: BFS hops,
+salted skew join, CUSUM, autocovariance / cross-covariance, containment,
+chi-squared keyness, range search, compaction planning."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_healthcare_spark.operators.anomaly import cusum_changepoint
+from etl_healthcare_spark.operators.bucketing import compaction_plan
+from etl_healthcare_spark.operators.graph import bfs_hops
+from etl_healthcare_spark.operators.similarity import range_search
+from etl_healthcare_spark.operators.skew import salted_join
+from etl_healthcare_spark.operators.stats import autocov_lags, cross_covariance
+from etl_healthcare_spark.operators.textops import chi2_keyness, containment_pairs
+
+
+# --- BFS --------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    """Seed at one end of a path: hops = index; nodes past max_hops absent;
+    a disconnected component never appears."""
+    edges = [(i, i + 1) for i in range(8)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    seeds = spark.createDataFrame([(0,)], "node: long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, seeds, max_hops=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    """Two seeds on a path: every node labeled by its NEAREST seed; the
+    undirected expansion walks both directions."""
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    seeds = spark.createDataFrame([(0,), (10,)], "node: long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, seeds, max_hops=5).collect()}
+    assert got[5] == 5 and got[4] == 4 and got[6] == 4 and got[10] == 0
+
+
+def test_bfs_ignores_self_loops_and_duplicates(spark):
+    edges = [(0, 0), (0, 1), (1, 0), (0, 1)]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    seeds = spark.createDataFrame([(0,)], "node: long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, seeds, max_hops=2).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+# --- salted join ------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Row-identical to the unsalted join, including a hot key carrying 70%
+    of the fact rows and dim keys with no fact match."""
+    fact = spark.createDataFrame(
+        [(0 if i % 10 < 7 else i % 5, i) for i in range(500)], "key: long, row_id: long"
+    )
+    dim = spark.createDataFrame([(k, k * 100) for k in range(7)], "key: long, attr: long")
+    got = salted_join(fact, dim, "key", salt_source=F.col("row_id"), buckets=8)
+    want = fact.join(dim, "key")
+    assert sorted(got.select("key", "row_id", "attr").collect()) == sorted(
+        want.select("key", "row_id", "attr").collect()
+    )
+    assert "_salt" not in got.columns
+
+
+# --- CUSUM ------------------------------------------------------------------
+
+
+def test_cusum_finds_level_shift(spark):
+    """Counts 1/hour for 6 hours then 5/hour for 6 hours: |S| peaks at the
+    last low hour (the split point)."""
+    rows = []
+    for h in range(6):
+        rows.append(("g", datetime(2024, 1, 1, h, 30)))
+    for h in range(6, 12):
+        rows += [("g", datetime(2024, 1, 1, h, m)) for m in range(5)]
+    df = spark.createDataFrame(rows, "grp: string, ts: timestamp")
+    out = cusum_changepoint(df, "ts", "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buckets"] == 12 and r["total"] == 36
+    # argmax of |n*cum - t*T| is hour 5 (last pre-shift bucket): S = 12*6-6*36 = -144
+    assert r["cp_hour_us"] == int(datetime(2024, 1, 1, 5).timestamp() * 1_000_000)
+    assert r["max_abs_s"] == 144
+
+
+# --- autocovariance ---------------------------------------------------------
+
+
+def test_autocov_alternating_series_signs(spark):
+    """A strictly alternating series has negative lag-1 and positive lag-2
+    autocovariance; pair counts are n-k."""
+    rows = []
+    for h in range(8):
+        n = 1 if h % 2 == 0 else 3
+        rows += [("g", datetime(2024, 1, 1, h, m)) for m in range(n)]
+    df = spark.createDataFrame(rows, "grp: string, ts: timestamp")
+    out = {r["lag"]: r for r in autocov_lags(df, "ts", "grp", lags=(1, 2)).collect()}
+    assert out[1]["n_pairs"] == 7 and out[2]["n_pairs"] == 6
+    assert out[1]["acov_num"] < 0 < out[2]["acov_num"]
+
+
+def test_cross_covariance_sign_and_symmetry(spark):
+    """Two co-moving types -> positive cov_num; a<b ordering emits each pair
+    once; hours where one side is absent are excluded."""
+    rows = []
+    for h in range(6):
+        n = 1 if h % 2 == 0 else 4
+        rows += [("a", datetime(2024, 1, 1, h, m)) for m in range(n)]
+        rows += [("b", datetime(2024, 1, 1, h, m)) for m in range(n)]
+    rows.append(("a", datetime(2024, 1, 2, 0, 0)))  # hour with no 'b'
+    df = spark.createDataFrame(rows, "grp: string, ts: timestamp")
+    out = cross_covariance(df, "ts", "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+    assert r["n_hours"] == 6 and r["cov_num"] > 0
+
+
+# --- containment ------------------------------------------------------------
+
+
+def test_containment_short_doc_inside_long(spark):
+    """A 7-token doc embedded verbatim in a 100-token doc: containment of the
+    short side is 1.0 (1e6 ppm) even though Jaccard is tiny."""
+    short = "alpha beta gamma delta epsilon zeta eta"
+    long = short + " " + " ".join(f"w{i}" for i in range(93))
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id: long, text: string"
+    )
+    out = containment_pairs(df, "text", "doc_id", k=5, max_span_df=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["n_a"] == 3 and r["n_inter"] == 3  # 7 tokens -> 3 distinct 5-grams
+    assert r["containment_ppm"] == 1_000_000
+
+
+def test_containment_common_span_blocked(spark):
+    """A span shared by more than max_span_df docs must generate no candidate
+    pairs (the boilerplate guard)."""
+    boiler = "one two three four five"
+    df = spark.createDataFrame(
+        [(i, boiler + f" tail{i}") for i in range(12)], "doc_id: long, text: string"
+    )
+    out = containment_pairs(df, "text", "doc_id", k=5, max_span_df=8).collect()
+    assert out == []
+
+
+# --- chi2 keyness -----------------------------------------------------------
+
+
+def test_chi2_keyness_exact_value(spark):
+    """Hand-checked 2x2: token 'x' only in slice A, 'y' only in B, filler in
+    both.  chi2 for a perfectly separating token with a=10,b=0,NA=30,NB=30:
+    N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) = 60*300^2/(10*50*30*30) = 12.0."""
+    a_doc = ("x " * 10 + "f " * 20).strip()
+    b_doc = ("y " * 10 + "f " * 20).strip()
+    df = spark.createDataFrame(
+        [(1, a_doc, "en"), (2, b_doc, "de")], "doc_id: long, text: string, lang: string"
+    )
+    out = {
+        r["token"]: r
+        for r in chi2_keyness(
+            df, "text", "doc_id", side_pred=F.col("lang") == "en", min_total=5, top_n=10
+        ).collect()
+    }
+    assert out["x"]["chi2_milli"] == 12_000 and out["y"]["chi2_milli"] == 12_000
+    assert out["f"]["chi2_milli"] == 0
+    assert (out["x"]["a"], out["x"]["b"]) == (10, 0)
+
+
+# --- range search -----------------------------------------------------------
+
+
+def test_range_search_threshold_boundary(spark):
+    """Orthogonal vector excluded, parallel vector included, and the result
+    never contains the query itself."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # cos = 1
+        (2, [0.0, 1.0, 0.0, 0.0]),   # cos = 0
+        (3, [0.8, 0.6, 0.0, 0.0]),   # cos = 0.8
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = range_search(
+        df, "embedding", "vec_id", query_pred=F.col("id") == 0, tau_ppm=500_000
+    ).collect()
+    got = sorted((r["query_id"], r["id"]) for r in out)
+    assert got == [(0, 1), (0, 3)]
+
+
+# --- compaction plan --------------------------------------------------------
+
+
+def test_compaction_plan_bins_preserve_time_order(spark):
+    """Hourly files of 100 payload bytes + overhead pack next-fit in time
+    order; bin ids are non-decreasing over time within a partition."""
+    rows = []
+    for h in range(10):
+        rows.append(("k", datetime(2024, 1, 1, h, 0), "x" * 100))
+    df = spark.createDataFrame(rows, "part: string, ts: timestamp, payload: string")
+    out = sorted(
+        compaction_plan(df, "part", "ts", "payload", target_bytes=400, row_overhead=64).collect(),
+        key=lambda r: r["bucket_us"],
+    )
+    assert [r["bytes"] for r in out] == [164] * 10
+    bins = [r["bin"] for r in out]
+    assert bins == sorted(bins)  # time order preserved
+    assert bins[0] == 0 and bins[1] == 0 and bins[2] == 0  # 0,164,328 < 400
+    assert bins[3] == 1  # cum_prev 492 -> bin 1
