@@ -394,3 +394,94 @@ def cusum_oracle_sql(table: str, ts_col: str, group_col: str) -> str:
       FROM s
     ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# MAD — rank-exact median absolute deviation outliers
+# ---------------------------------------------------------------------------
+
+
+def mad_flags(df: DataFrame, group_col: str, value_col: str, id_col: str) -> DataFrame:
+    """Rows where |value - median| exceeds 3 * 1.4826 * MAD within the group
+    (MAD = median of absolute deviations from the median) — the robust
+    outlier rule that survives what breaks both z-score (mean and stddev are
+    themselves dragged by the outliers being hunted) and IQR (degenerate when
+    >50% of values tie).  Hampel's standard consistency constant 1.4826
+    enters as the exact integer cross-multiply 10000*dev > 44478*mad — no
+    float boundary.
+
+    Both medians are RANK-exact lower medians (r = (n+1)//2), computed with
+    the same window shape as anomaly_seasonal/anomaly_iqr: two per-group
+    ordered windows over the (already small) per-group value lists, one
+    broadcast join back over a map-only flagging pass.  Emits
+    (grp, id, v_cents, med, mad).
+    """
+    from pyspark.sql import Window
+
+    v = _cents(F.col(value_col))
+    src = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id"), v.alias("v_cents")
+    )
+    w1 = Window.partitionBy("grp").orderBy("v_cents", "id")
+    ranked = src.select(
+        "grp",
+        "v_cents",
+        F.row_number().over(w1).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    med = ranked.where(F.col("r") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("v_cents").alias("med")
+    )
+    dev = src.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("v_cents") - F.col("med"))
+    )
+    w2 = Window.partitionBy("grp").orderBy("dev", "id")
+    dranked = dev.select(
+        "grp",
+        "dev",
+        F.row_number().over(w2).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    mad = dranked.where(F.col("r") == F.expr("(n + 1) div 2")).select(
+        "grp", F.col("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .where(F.lit(10000) * F.col("dev") > F.lit(44478) * F.col("mad"))
+        .select("grp", "id", "v_cents", "med", "mad")
+    )
+
+
+def mad_oracle_sql(table: str, group_col: str, value_col: str, id_col: str) -> str:
+    """DuckDB twin of mad_flags: identical cents quantization, lower-median
+    ranks, and integer cross-multiply."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM {table}
+    ),
+    med AS (
+      SELECT grp, v AS med FROM (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM src
+      ) WHERE r = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT src.grp, src.id, src.v, med.med, abs(src.v - med.med) AS dev
+      FROM src JOIN med USING (grp)
+    ),
+    mad AS (
+      SELECT grp, dev AS mad FROM (
+        SELECT grp, dev,
+               row_number() OVER (PARTITION BY grp ORDER BY dev, id) AS r,
+               count(*) OVER (PARTITION BY grp) AS n
+        FROM dev
+      ) WHERE r = (n + 1) // 2
+    )
+    SELECT dev.grp, dev.id, dev.v AS v_cents, dev.med, mad.mad
+    FROM dev JOIN mad USING (grp)
+    WHERE 10000 * dev.dev > 44478 * mad.mad
+    """

@@ -231,3 +231,62 @@ def triangle_oracle_sql(edges_cte: str) -> str:
       UNION ALL SELECT c FROM tri
     ) GROUP BY node
     """
+
+
+def kcore_nodes(edges: DataFrame, src: str = "a", dst: str = "b", k: int = 3, rounds: int = 4) -> DataFrame:
+    """(node, deg) after ``rounds`` k-core peeling rounds: repeatedly delete
+    every node with degree < k (and its edges) from the undirected graph —
+    the densest-region extractor behind spam-farm detection on link graphs
+    and hub isolation in near-dup clusters (a k-core survives only where
+    every member has k surviving neighbors; chains and tendrils peel away).
+
+    Fixed round count (like pagerank_ppm) keeps the result a pure function
+    of the graph; ``rounds`` rounds peel any graph whose degeneracy ordering
+    is shorter than that, and the registry workload converges well inside it
+    (converged = a fixpoint, extra rounds are no-ops on it).
+
+    Scale shape: per round one degree aggregation (partial-aggregable) and
+    two semi-joins keyed on node id to drop edges touching peeled nodes;
+    edges localCheckpoint per round — same lineage discipline as bfs_hops /
+    connected_components.  Work shrinks monotonically (edges only ever get
+    deleted).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(F.col(src) != F.col(dst))
+    cur = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg")).where(
+        F.col("deg") >= k
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 4) -> str:
+    """DuckDB twin with the peel rounds unrolled.  `edges_cte` must define
+    raw(s, t)."""
+    ctes = [
+        """e0 AS (
+      SELECT s AS a, t AS b FROM raw WHERE s <> t
+      UNION SELECT t, s FROM raw WHERE s <> t
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""k{r} AS (
+      SELECT a FROM e{r} GROUP BY a HAVING count(*) >= {k}
+    ),
+    e{r + 1} AS (
+      SELECT e.a, e.b FROM e{r} e
+      JOIN k{r} x ON e.a = x.a JOIN k{r} y ON e.b = y.a
+    )"""
+        )
+    return f"""
+    WITH {edges_cte},
+    {','.join(ctes)}
+    SELECT a AS node, count(*) AS deg FROM e{rounds} GROUP BY a HAVING count(*) >= {k}
+    """

@@ -863,3 +863,70 @@ def gif_frames(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
+
+
+AUDIO_AUTOCORR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("lag", T.IntegerType(), False),
+        T.StructField("n_terms", T.IntegerType(), False),
+        T.StructField("r", T.LongType(), False),
+    ]
+)
+
+
+def audio_autocorr(
+    df: DataFrame, id_col: str, payload_col: str, max_lag: int = 3
+) -> DataFrame:
+    """Exact integer autocorrelation numerators of the PCM16 sample stream,
+    r_k = sum_t s_t * s_{t+k} for k = 0..max_lag — the periodicity/pitch
+    feature a speech curation pipeline screens on (r_0 is energy; a tonal
+    clip holds high |r_k| at its period, white noise decays immediately),
+    computed from REAL decoded WAV bytes inside the Arrow-batched
+    mapInPandas kernel.
+
+    All integer: PCM16 products are <= 2^30, so int64 holds the sum exactly
+    to ~10^9 samples per clip — the oracle regenerates every sample
+    arithmetically and must match bit-for-bit (same contract as
+    audio_window_energy).  Lag fan-out (max_lag+1 rows per clip) happens
+    in-task; non-PCM16 payloads yield no rows."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in ("id", "lag", "n_terms", "r")}
+            for i, p in zip(b["id"], b["payload"]):
+                kind, n, _s, _mn, _mx = decode_pixel_samples(p)
+                if kind != "wav" or not n:
+                    continue
+                off = 12
+                samples = None
+                while off + 8 <= len(p):
+                    cid = p[off : off + 4]
+                    sz = struct.unpack("<I", p[off + 4 : off + 8])[0]
+                    if cid == b"data":
+                        data = p[off + 8 : off + 8 + sz]
+                        m = len(data) // 2
+                        samples = struct.unpack(f"<{m}h", data[: 2 * m])
+                        break
+                    off += 8 + sz + (sz & 1)
+                if not samples:
+                    continue
+                for k in range(0, max_lag + 1):
+                    terms = [
+                        samples[t] * samples[t + k] for t in range(len(samples) - k)
+                    ]
+                    out["id"].append(i)
+                    out["lag"].append(k)
+                    out["n_terms"].append(len(terms))
+                    out["r"].append(sum(terms))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(out["id"], dtype="int64"),
+                    "lag": pd.Series(out["lag"], dtype="int32"),
+                    "n_terms": pd.Series(out["n_terms"], dtype="int32"),
+                    "r": pd.Series(out["r"], dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_AUTOCORR_SCHEMA)

@@ -1,7 +1,9 @@
-"""Round-3 mining batch: graph reachability (multi-source BFS), skew-salted
-joins, changepoint/autocovariance/cross-covariance time-series moments,
-asymmetric containment dedup, chi-squared corpus keyness, cosine range
-search, and small-file compaction planning.
+"""Round-3 mining batch: graph reachability (multi-source BFS) and k-core
+peeling, skew-salted and spatial grid-blocked joins,
+changepoint/autocovariance/cross-covariance time-series moments, rank-exact
+MAD outliers, asymmetric containment dedup, chi-squared corpus keyness,
+cosine range search, PCM autocorrelation from real WAV bytes, and
+small-file compaction planning.
 
 All queries follow the registry's cross-engine determinism conventions
 (integer/ppm/decimal(38,0) arithmetic, sha256-only hashing, total tiebreaks —
@@ -317,3 +319,176 @@ def layout_compaction(spark, sf_dir):
     return compaction_plan(
         _t(spark, sf_dir, "events"), "event_type", "ts", "props", target_bytes=262_144
     )
+
+
+# ---------------------------------------------------------------------------
+# graph: k-core decomposition (fixed peel rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_EDGES_SQL = """raw AS (
+      SELECT o_orderkey % 211 AS s, (o_orderkey * 7 + o_custkey) % 211 AS t
+      FROM orders WHERE o_orderkey % 45 = 0
+      UNION ALL
+      SELECT a.n AS s, b.n AS t
+      FROM (SELECT unnest(generate_series(0, 208, 13)) AS n) a,
+           (SELECT unnest(generate_series(0, 208, 13)) AS n) b
+      WHERE a.n < b.n
+    )"""
+
+
+def _kcore_oracle() -> str:
+    from ..operators.graph import kcore_oracle_sql
+
+    return kcore_oracle_sql(_KCORE_EDGES_SQL, k=10, rounds=4)
+
+
+@register(
+    "graph_kcore",
+    sql=_kcore_oracle(),
+    doc="k-core peeling (k=10, 4 fixed rounds; operators/graph.kcore_nodes): "
+    "repeatedly drop nodes with degree < k — the dense-region extractor "
+    "behind spam-farm detection and hub isolation (chains and tendrils peel "
+    "away, a k-core survives only where every member keeps k surviving "
+    "neighbors).  The workload plants a 17-clique inside a sparse random "
+    "graph: peeling must dissolve the random part (mean degree ~3 at "
+    "sf0.01) and keep exactly the clique — verified converged (rounds 4 and 6 "
+    "identical).  Per round one partial-aggregable degree count + two "
+    "node-keyed semi-joins; edges localCheckpoint per round, work shrinks "
+    "monotonically.  The oracle unrolls the same 4 rounds as CTEs.",
+)
+def graph_kcore(spark, sf_dir):
+    from ..operators.graph import kcore_nodes
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 45 == 0)
+    rand_edges = o.select(
+        (F.col("o_orderkey") % 211).alias("a"),
+        ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 211).alias("b"),
+    )
+    nodes = spark.range(0, 209, 13).select(F.col("id").alias("n"))
+    clique = (
+        nodes.select(F.col("n").alias("a"))
+        .crossJoin(F.broadcast(nodes.select(F.col("n").alias("b"))))
+        .where(F.col("a") < F.col("b"))
+    )
+    return kcore_nodes(rand_edges.unionAll(clique), k=10, rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# joins: spatial grid-blocked distance pairing
+# ---------------------------------------------------------------------------
+
+_SPATIAL_PTS_SQL = """pts AS (
+      SELECT c_custkey AS id, (c_custkey * 7919) % 500 AS x,
+             (c_custkey * 104729) % 500 AS y
+      FROM customer WHERE c_custkey <= 15000
+    )"""
+
+
+def _spatial_oracle() -> str:
+    from ..operators.spatial import chebyshev_oracle_sql
+
+    return chebyshev_oracle_sql(_SPATIAL_PTS_SQL, dist=2)
+
+
+@register(
+    "j10_spatial_pairs",
+    sql=_spatial_oracle(),
+    doc="Spatial distance-threshold join (operators/spatial.chebyshev_pairs): "
+    "all point pairs within Chebyshev distance 2 on an integer grid, found "
+    "by grid-cell blocking — each point probes its 3x3 cell neighborhood "
+    "(9x map-side explode, in-task) and hash-joins the home-cell side; the "
+    "exact predicate filters survivors.  Pair cost bounded by cell density, "
+    "never n^2; the oracle IS the naive quadratic join, so blocking must be "
+    "provably lossless.  Probe<home id ordering emits each pair exactly "
+    "once with no distinct.  Fixed 15k-point workload (scale-invariant "
+    "result, like j8).",
+)
+def j10_spatial_pairs(spark, sf_dir):
+    from ..operators.spatial import chebyshev_pairs
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 15000)
+        .select(
+            F.col("c_custkey").alias("id"),
+            ((F.col("c_custkey") * 7919) % 500).alias("x"),
+            ((F.col("c_custkey") * 104729) % 500).alias("y"),
+        )
+    )
+    return chebyshev_pairs(pts, "id", "x", "y", dist=2, cell=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal: PCM autocorrelation from real WAV bytes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_autocorr",
+    sql="""
+    WITH src AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    wav AS (
+      SELECT doc_id, 32 + (doc_id % 8) * 8 AS n, doc_id % 251 AS seed FROM src
+    ),
+    s AS (
+      SELECT doc_id, n, j,
+             (j * 73 + seed) % 65536
+               - CASE WHEN (j * 73 + seed) % 65536 >= 32768 THEN 65536 ELSE 0 END AS v
+      FROM (SELECT doc_id, seed, n, unnest(generate_series(0, n - 1)) AS j FROM wav)
+    ),
+    lags AS (SELECT unnest(generate_series(0, 3)) AS lag)
+    SELECT a.doc_id AS id, CAST(l.lag AS INT) AS lag,
+           CAST(count(*) AS INT) AS n_terms, CAST(sum(a.v * b.v) AS BIGINT) AS r
+    FROM lags l
+    JOIN s a ON TRUE
+    JOIN s b ON b.doc_id = a.doc_id AND b.j = a.j + l.lag
+    GROUP BY a.doc_id, l.lag
+    """,
+    doc="Exact integer PCM autocorrelation r_k = sum s_t*s_{t+k}, k=0..3, "
+    "from REAL decoded WAV bytes in the Arrow-batched mapInPandas kernel "
+    "(operators/multimodal.audio_autocorr) — the periodicity/pitch screen "
+    "of a speech curation pipeline (r_0 = energy; tonal clips hold |r_k| "
+    "high at their period).  The oracle regenerates every sample "
+    "arithmetically, so a chunk-walk/endianness/sign bug cannot hash-match; "
+    "lag fan-out happens in-task.",
+)
+def mm_audio_autocorr(spark, sf_dir):
+    from ..operators.multimodal import audio_autocorr, synth_wav_with_samples
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_wav_with_samples(
+            F.lit(8000), F.lit(1), F.lit(32) + (d % 8) * 8, d % 251
+        ).alias("payload"),
+    )
+    return audio_autocorr(media, "doc_id", "payload", max_lag=3)
+
+
+# ---------------------------------------------------------------------------
+# anomaly: rank-exact MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def _mad_oracle() -> str:
+    from ..operators.anomaly import mad_oracle_sql
+
+    return mad_oracle_sql("events", "event_type", "value", "event_id")
+
+
+@register(
+    "anomaly_mad",
+    sql=_mad_oracle(),
+    doc="Median-absolute-deviation outliers (operators/anomaly.mad_flags): "
+    "|v - median| > 3 * 1.4826 * MAD by the exact integer cross-multiply "
+    "10000*dev > 44478*mad — the robust rule that survives what breaks "
+    "z-score (outliers drag mean and stddev) and IQR (degenerate under "
+    ">50% ties).  Both medians rank-exact lower medians (r = (n+1) div 2) "
+    "with (value, id) total tiebreaks; two per-group windows + broadcast "
+    "joins back over a map-only flagging pass.",
+)
+def anomaly_mad(spark, sf_dir):
+    from ..operators.anomaly import mad_flags
+
+    return mad_flags(_t(spark, sf_dir, "events"), "event_type", "value", "event_id")

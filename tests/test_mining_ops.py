@@ -211,3 +211,111 @@ def test_compaction_plan_bins_preserve_time_order(spark):
     assert bins == sorted(bins)  # time order preserved
     assert bins[0] == 0 and bins[1] == 0 and bins[2] == 0  # 0,164,328 < 400
     assert bins[3] == 1  # cum_prev 492 -> bin 1
+
+
+# --- k-core ----------------------------------------------------------------
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    """A 5-clique with a pendant path: the path (and nothing else) must peel
+    at k=3; clique degrees are 4."""
+    from etl_healthcare_spark.operators.graph import kcore_nodes
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    path = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "a: long, b: long")
+    got = {r["node"]: r["deg"] for r in kcore_nodes(df, k=3, rounds=4).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_cascade_dissolves_chain(spark):
+    """A pure cycle is its own 2-core but has no 3-core: peeling must empty
+    it entirely once one round drops every node at once."""
+    from etl_healthcare_spark.operators.graph import kcore_nodes
+
+    cycle = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(cycle, "a: long, b: long")
+    assert kcore_nodes(df, k=3, rounds=4).count() == 0
+    got = {r["node"]: r["deg"] for r in kcore_nodes(df, k=2, rounds=4).collect()}
+    assert got == {i: 2 for i in range(8)}
+
+
+# --- spatial pairs ----------------------------------------------------------
+
+
+def test_chebyshev_pairs_match_naive(spark):
+    """Grid blocking must equal the naive quadratic join, including pairs
+    that straddle cell boundaries."""
+    from etl_healthcare_spark.operators.spatial import chebyshev_pairs
+
+    pts = [(1, 0, 0), (2, 2, 1), (3, 3, 3), (4, 4, 4), (5, 100, 100), (6, 7, 0)]
+    df = spark.createDataFrame(pts, "id: long, x: long, y: long")
+    got = sorted((r["id_a"], r["id_b"]) for r in chebyshev_pairs(df, "id", "x", "y", dist=2, cell=4).collect())
+    naive = sorted(
+        (a[0], b[0])
+        for a in pts
+        for b in pts
+        if a[0] < b[0] and abs(a[1] - b[1]) <= 2 and abs(a[2] - b[2]) <= 2
+    )
+    assert got == naive and got == [(1, 2), (2, 3), (3, 4)]
+    assert (4, 6) not in got  # x distance 3 > 2
+
+
+def test_chebyshev_pairs_no_duplicates_same_point(spark):
+    """Coincident points pair exactly once with dx = dy = 0."""
+    from etl_healthcare_spark.operators.spatial import chebyshev_pairs
+
+    df = spark.createDataFrame([(1, 5, 5), (2, 5, 5)], "id: long, x: long, y: long")
+    out = chebyshev_pairs(df, "id", "x", "y", dist=2, cell=4).collect()
+    assert len(out) == 1 and out[0]["dx"] == 0 and out[0]["dy"] == 0
+
+
+# --- audio autocorrelation --------------------------------------------------
+
+
+def test_audio_autocorr_exact_values(spark):
+    """Hand-built WAV with known samples: r_k must equal the brute-force
+    integer sums; lag 0 equals the energy."""
+    from etl_healthcare_spark.operators.multimodal import audio_autocorr, synth_wav_with_samples
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(7,)], "doc_id: long").select(
+        "doc_id",
+        synth_wav_with_samples(F2.lit(8000), F2.lit(1), F2.lit(16), F2.col("doc_id") % 251).alias(
+            "payload"
+        ),
+    )
+    out = {r["lag"]: r for r in audio_autocorr(df, "doc_id", "payload", max_lag=2).collect()}
+    # regenerate samples exactly like the synth: (j*73+seed) % 65536, signed
+    seed = 7 % 251
+    s = [((j * 73 + seed) % 65536) - (65536 if (j * 73 + seed) % 65536 >= 32768 else 0) for j in range(16)]
+    for k in (0, 1, 2):
+        want = sum(s[t] * s[t + k] for t in range(16 - k))
+        assert out[k]["r"] == want and out[k]["n_terms"] == 16 - k
+
+
+# --- MAD --------------------------------------------------------------------
+
+
+def test_mad_flags_outlier_and_ties(spark):
+    """9 values at 10.00 plus one at 99.00: median 10.00, MAD 0 -> any
+    deviation flags; the tied bulk never flags."""
+    from etl_healthcare_spark.operators.anomaly import mad_flags
+
+    rows = [("g", float(10), i) for i in range(9)] + [("g", 99.0, 99)]
+    df = spark.createDataFrame(rows, "grp: string, value: double, event_id: long")
+    out = mad_flags(df, "grp", "value", "event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["id"] == 99 and r["med"] == 1000 and r["mad"] == 0 and r["v_cents"] == 9900
+
+
+def test_mad_even_count_uses_lower_median(spark):
+    """n=4 distinct values: lower median (rank 2) on both passes."""
+    from etl_healthcare_spark.operators.anomaly import mad_flags
+
+    rows = [("g", v, i) for i, v in enumerate([1.0, 2.0, 3.0, 100.0])]
+    df = spark.createDataFrame(rows, "grp: string, value: double, event_id: long")
+    out = mad_flags(df, "grp", "value", "event_id").collect()
+    # med = 200 cents (rank 2); devs = [100, 0, 100, 9800]; mad = lower median = 100
+    assert len(out) == 1 and out[0]["id"] == 3 and out[0]["med"] == 200 and out[0]["mad"] == 100
