@@ -66,6 +66,13 @@ HEADLINE = [
     "layout_range_bounds",   # histogram-derived range split points
     "sample_weighted",       # integer Efraimidis-Spirakis top-k
     "text_bpe_train",        # 3-round BPE merge learning (vocab-grain)
+    # round-3 mining batch (prior sets stay cross-round comparable)
+    "graph_bfs_hops",        # 4-round frontier expansion + anti-join visited
+    "j9_salted_skew_join",   # 16-way salted hot-key join
+    "dedup_containment",     # rare-span blocking + candidate-bounded intersect
+    "sim_range_search",      # map-only broadcast radius scan
+    "j10_spatial_pairs",     # 3x3 grid-cell blocked distance join
+    "anomaly_mad",           # two rank-exact medians + cross-multiply flags
 ]
 
 
