@@ -1032,3 +1032,146 @@ def chi2_keyness_oracle_sql(
     WHERE a + b >= {min_total}
     ORDER BY chi2_milli DESC, token LIMIT {top_n}
     """
+
+
+def lm_trigram_backoff_scores(
+    df: DataFrame, text_col: str, id_col: str, side_pred
+) -> DataFrame:
+    """CROSS-CORPUS trigram LM scoring with stupid backoff (Brants et al.,
+    arXiv/EMNLP 2007 "Large Language Models in Machine Translation") — the
+    shape CCNet actually runs: train the LM on a REFERENCE slice
+    (``side_pred``), score the OTHER slice against it.  Unlike the
+    self-trained bigram proxy (lm_bigram_scores), held-out scoring makes
+    backoff real: a scored document's trigram may be absent from the
+    reference, in which case the score backs off to the bigram, then the
+    unigram, each step multiplied by alpha = 0.4.
+
+    Integer-exact throughout: conditional probabilities live in ppm via
+    floor division, the backoff multipliers are the exact rationals
+    2/5 and 4/25 applied as integer cross-multiplies, unseen-everywhere
+    trigrams score 0, and a document's score is the integer mean of its
+    trigram scores — rank-equivalent to log-space stupid backoff for
+    filtering, and bit-identical on any engine.
+
+    Shape at 100 TB: three count aggregations over the train slice (each
+    vocabulary-sized, full map-side combine), scoring is three LEFT joins of
+    doc-trigrams against count tables keyed on token tuples, a 1-row total
+    broadcast, one per-doc sum.  No floats, no UDFs, no driver state.
+
+    Returns (id, n_trigrams, lm_bo_score_ppm) for scored-slice docs with
+    >= 3 tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), side_pred.alias("__train"), tokens(F.col(text_col)).alias("t")
+    )
+    train = toks.where(F.col("__train"))
+    tri_of = lambda d: d.where(F.size("t") >= 3).select(  # noqa: E731
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(t)-1), "
+                "i -> struct(t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3))"
+            )
+        ).alias("g"),
+    ).select("__id", "g.w1", "g.w2", "g.w3")
+    c3 = tri_of(train).groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    bi = train.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    tot = c1.agg(F.sum("c1").alias("T"))
+    scored_tris = tri_of(toks.where(~F.col("__train")))
+    j = (
+        scored_tris.join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(F.col("w1").alias("w1"), F.col("w2").alias("w2"), F.col("c2").alias("cp")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("cb")),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w3"), F.col("c1").alias("cu")), "w3", "left")
+        .join(c1.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    score = (
+        F.when(
+            F.coalesce(F.col("c3"), F.lit(0)) > 0,
+            F.expr("(1000000 * c3) DIV cp"),
+        )
+        .when(
+            F.coalesce(F.col("cb"), F.lit(0)) > 0,
+            F.expr("(2 * ((1000000 * cb) DIV cw2)) DIV 5"),
+        )
+        .when(
+            F.coalesce(F.col("cu"), F.lit(0)) > 0,
+            F.expr("(4 * ((1000000 * cu) DIV T)) DIV 25"),
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        j.select("__id", score.alias("s_ppm"))
+        .groupBy("__id")
+        .agg(F.sum("s_ppm").alias("s"), F.count(F.lit(1)).alias("n_trigrams"))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_trigrams",
+            F.expr("s DIV n_trigrams").alias("lm_bo_score_ppm"),
+        )
+    )
+
+
+def lm_trigram_backoff_oracle_sql(side_sql: str, src: str = "documents") -> str:
+    """DuckDB twin of lm_trigram_backoff_scores; ``side_sql`` is the train
+    slice predicate over the source table's columns."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, CASE WHEN {side_sql} THEN 1 ELSE 0 END AS train,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM {src}
+    ),
+    tri AS (
+      SELECT id, train, t[i - 2] AS w1, t[i - 1] AS w2, t[i] AS w3
+      FROM (SELECT id, train, t FROM toks WHERE len(t) >= 3),
+           unnest(generate_series(3, len(t))) AS u(i)
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri WHERE train = 1 GROUP BY 1, 2, 3),
+    bi AS (
+      SELECT t[i - 1] AS w1, t[i] AS w2
+      FROM (SELECT t FROM toks WHERE train = 1 AND len(t) >= 2),
+           unnest(generate_series(2, len(t))) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    c1 AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks WHERE train = 1) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS T FROM c1),
+    scored AS (
+      SELECT s.id,
+        CASE
+          WHEN coalesce(c3.c3, 0) > 0 THEN (1000000 * c3.c3) // cp.c2
+          WHEN coalesce(cb.c2, 0) > 0 THEN (2 * ((1000000 * cb.c2) // cw2.c1)) // 5
+          WHEN coalesce(cu.c1, 0) > 0 THEN (4 * ((1000000 * cu.c1) // tot.T)) // 25
+          ELSE 0
+        END AS s_ppm
+      FROM (SELECT * FROM tri WHERE train = 0) s
+      LEFT JOIN c3 ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+      LEFT JOIN c2 cp ON s.w1 = cp.w1 AND s.w2 = cp.w2
+      LEFT JOIN c2 cb ON s.w2 = cb.w1 AND s.w3 = cb.w2
+      LEFT JOIN c1 cu ON s.w3 = cu.w
+      LEFT JOIN c1 cw2 ON s.w2 = cw2.w
+      CROSS JOIN tot
+    )
+    SELECT id AS doc_id, count(*) AS n_trigrams,
+           CAST(sum(s_ppm) AS BIGINT) // count(*) AS lm_bo_score_ppm
+    FROM scored GROUP BY id
+    """

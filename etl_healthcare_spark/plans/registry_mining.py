@@ -492,3 +492,75 @@ def anomaly_mad(spark, sf_dir):
     from ..operators.anomaly import mad_flags
 
     return mad_flags(_t(spark, sf_dir, "events"), "event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# text: cross-corpus trigram LM with stupid backoff
+# ---------------------------------------------------------------------------
+
+
+def _lm_bo_oracle() -> str:
+    from ..operators.textops import lm_trigram_backoff_oracle_sql
+
+    return lm_trigram_backoff_oracle_sql("lang = 'en'")
+
+
+@register(
+    "text_lm_trigram",
+    sql=_lm_bo_oracle(),
+    doc="CROSS-CORPUS trigram LM scoring with stupid backoff (Brants et al. "
+    "2007; operators/textops.lm_trigram_backoff_scores): train on the "
+    "lang='en' slice, score every other document against it — the CCNet "
+    "held-out shape where backoff is real (unseen trigram -> 0.4 x bigram "
+    "-> 0.16 x unigram, the alphas applied as exact integer "
+    "cross-multiplies).  Three vocab-sized count aggregations on the train "
+    "slice, three LEFT joins keyed on token tuples for scoring, one per-doc "
+    "integer mean.  Complements the self-trained bigram proxy "
+    "(text_lm_score).",
+)
+def text_lm_trigram(spark, sf_dir):
+    from ..operators.textops import lm_trigram_backoff_scores
+
+    return lm_trigram_backoff_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", side_pred=F.col("lang") == "en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation: exact per-group mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g22_mode",
+    sql="""
+    WITH counts AS (
+      SELECT user_id % 100 AS cohort, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cohort, event_type AS mode_type, cnt FROM (
+      SELECT cohort, event_type, cnt,
+             row_number() OVER (PARTITION BY cohort ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+    doc="Exact per-group MODE (most frequent event type per user cohort) "
+    "with a (count DESC, value ASC) total tiebreak — the SQL:2023 MODE() "
+    "aggregate the engine's surface was missing.  One partial-aggregable "
+    "histogram (|cohorts| x |types| rows) then a window over the TINY "
+    "aggregated table — never a row-level window.",
+)
+def g22_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 100).alias("cohort"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("cohort").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cohort", F.col("event_type").alias("mode_type"), "cnt")
+    )

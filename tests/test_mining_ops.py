@@ -319,3 +319,53 @@ def test_mad_even_count_uses_lower_median(spark):
     out = mad_flags(df, "grp", "value", "event_id").collect()
     # med = 200 cents (rank 2); devs = [100, 0, 100, 9800]; mad = lower median = 100
     assert len(out) == 1 and out[0]["id"] == 3 and out[0]["med"] == 200 and out[0]["mad"] == 100
+
+
+# --- trigram backoff LM -----------------------------------------------------
+
+
+def test_lm_trigram_backoff_levels(spark):
+    """Hand-built corpus: a scored doc whose trigram IS in train scores the
+    trigram ppm; one seen only at bigram level takes 0.4x the bigram ppm;
+    fully unseen tokens score 0."""
+    from etl_healthcare_spark.operators.textops import lm_trigram_backoff_scores
+
+    train = "a b c a b c"          # trigrams: abc, bca, cab... tokens a b c a b c
+    doc_tri = "a b c"              # trigram (a,b,c) seen in train
+    doc_bi = "x b c"               # trigram unseen; bigram (b,c) seen
+    doc_none = "q r s"             # nothing seen
+    df = spark.createDataFrame(
+        [(0, train, "en"), (1, doc_tri, "de"), (2, doc_bi, "de"), (3, doc_none, "de")],
+        "doc_id: long, text: string, lang: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_trigram_backoff_scores(
+            df, "text", "doc_id", side_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    # train: tokens [a,b,c,a,b,c]; trigrams abc, bca, cab, abc -> c3(abc)=2
+    # bigram counts: ab=2, bc=2, ca=1; prefix c2(a,b)=2 -> p3 = 1e6*2//2 = 1e6
+    assert out[1]["lm_bo_score_ppm"] == 1_000_000
+    # doc 2: trigram (x,b,c) unseen; bigram (b,c)=2, c1(b)=2 -> p2=1e6, score=2*1e6//5=400000
+    assert out[2]["lm_bo_score_ppm"] == 400_000
+    assert out[3]["lm_bo_score_ppm"] == 0
+    assert 0 not in out  # train docs are not scored
+
+
+# --- mode -------------------------------------------------------------------
+
+
+def test_mode_tiebreak_is_lexicographic(spark):
+    """Equal counts resolve to the lexicographically smallest value."""
+    from pyspark.sql import Window
+
+    rows = [(1, "b"), (1, "a"), (2, "z"), (2, "z"), (2, "a")]
+    df = spark.createDataFrame(rows, "cohort: long, event_type: string")
+    counts = df.groupBy("cohort", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cohort").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    out = {
+        r["cohort"]: r["event_type"]
+        for r in counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).collect()
+    }
+    assert out == {1: "a", 2: "z"}
