@@ -646,14 +646,14 @@ DRIVER_WINDOW: list[str] = [
     "g1_minute_counters",
     "g6_max_by_latest",
     "g8_rollup",
-    "anomaly_iqr",
+    "anomaly_mad",
     # TPC-H suite (G7 family)
     "g7_tpch_q1",
     "g7c_tpch_q3",
-    "g7d_tpch_q5",
     # joins (J family)
     "j4_anti_join",
     "j5b_asof_join",
+    "j9_salted_skew_join",
     "j6_star_join",
     "j8_interval_overlap",
     # window functions (§2.9)
@@ -677,8 +677,8 @@ DRIVER_WINDOW: list[str] = [
     # dedup_url_canonical the no-fetch crawl pass)
     "dedup_exact",
     "text_line_dedup",
-    "dedup_url_canonical",
     "dedup_minhash_lsh",
+    "dedup_containment",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "dedup_semantic",
@@ -686,11 +686,11 @@ DRIVER_WINDOW: list[str] = [
     "decontam_ngram",
     # similarity search
     "sim_topk_cosine",
-    "sim_knn_join",
+    "sim_range_search",
     # text analysis
     "text_stats",
     "text_repetition",
-    "text_classifier_score",
+    "text_lm_trigram",
     # sampling / splits / shard export
     "sample_hash_split",
     "sample_dsir",

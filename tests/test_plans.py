@@ -212,6 +212,8 @@ def test_doc_counts_match_live_registry():
     assert f"{total - rows_only} oracle-checked, {rows_only} rows-only" in cov
     qmd = open("/root/repo/QUERIES.md").read()
     assert qmd.count("| `") == total, "QUERIES.md row count must match the registry"
+    readme = open("/root/repo/README.md").read()
+    assert f"the {total}-query registry" in readme, "README.md count must match"
 
 
 def test_ngram_jaccard_verifies_lsh_candidates_not_blocked_self_join(spark):
@@ -318,6 +320,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "dedup_embedding_lsh",
         # real-byte decode kernels of the round-3 analytics batch
         "mm_audio_windows", "mm_phash_pairs", "mm_gif_frames",
+        # PCM autocorrelation over real WAV bytes (round-3 mining batch)
+        "mm_audio_autocorr",
     }
     audited = 0
     for name in REGISTRY:
