@@ -1175,3 +1175,120 @@ def lm_trigram_backoff_oracle_sql(side_sql: str, src: str = "documents") -> str:
            CAST(sum(s_ppm) AS BIGINT) // count(*) AS lm_bo_score_ppm
     FROM scored GROUP BY id
     """
+
+
+def longest_shared_run(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_span_df: int = 8,
+) -> DataFrame:
+    """LONGEST DUPLICATED TOKEN RUN between candidate document pairs — the
+    substring-level dedup signal of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): their suffix-array
+    pass removes exact duplicated spans >= 50 tokens; this measures the same
+    quantity pairwise, relationally.
+
+    Method (gaps-and-islands over matching k-gram positions): positioned
+    k-gram hashes (doc, j, h) of the two docs join on h, every match lands on
+    diagonal d = j_a - j_b, and a run of CONSECUTIVE shared k-grams on one
+    diagonal is an island (j_a - row_number() constant); the longest island
+    of length L corresponds to a shared token run of L + k - 1.  Candidate
+    pairs come from rare shared spans (2 <= df <= ``max_span_df``), same
+    blocking as containment_pairs, so the position join is candidate-bounded
+    — never an open self-join on the corpus.
+
+    Emits (a, b, max_run_tokens, n_matches) per candidate pair, exact
+    integers.  A doc repeating one k-gram m times contributes m^2 match rows
+    for that hash within a pair — bounded by the span-df cap upstream at
+    corpus level; pathological within-pair repetition is a data-quality
+    signal text_repetition already flags.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans_pos = toks.select(
+        "doc_id",
+        F.posexplode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias(
+            "j", "h"
+        ),
+    ).localCheckpoint(eager=True)
+    spans = spans_pos.select("doc_id", "h").distinct()
+    rare = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
+    )
+    r = spans.join(rare.select("h"), "h")
+    cand = (
+        r.select(F.col("doc_id").alias("a"), "h")
+        .join(r.select(F.col("doc_id").alias("b"), "h"), "h")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = spans_pos.select(F.col("doc_id").alias("a"), F.col("j").alias("ja"), "h")
+    sb = spans_pos.select(F.col("doc_id").alias("b"), F.col("j").alias("jb"), "h")
+    matches = cand.join(sa, "a").join(sb, ["b", "h"]).select(
+        "a", "b", "ja", "jb", (F.col("ja") - F.col("jb")).alias("d")
+    )
+    w = Window.partitionBy("a", "b", "d").orderBy("ja")
+    runs = matches.withColumn("isl", F.col("ja") - F.row_number().over(w)).groupBy(
+        "a", "b", "d", "isl"
+    ).agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy("a", "b")
+        .agg(
+            (F.max("run_len") + F.lit(k - 1)).alias("max_run_tokens"),
+            F.sum("run_len").alias("n_matches"),
+        )
+    )
+
+
+def longest_run_oracle_sql(k: int = 5, max_span_df: int = 8, src: str = "documents") -> str:
+    """DuckDB twin of longest_shared_run."""
+    grams = " || ' ' || ".join(f"t[j+{i}]" for i in range(k))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    spans_pos AS (
+      SELECT doc_id, j - 1 AS j, substr(sha256({grams}), 1, 16) AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
+            FROM tok WHERE len(t) >= {k})
+    ),
+    spans AS (SELECT DISTINCT doc_id, h FROM spans_pos),
+    rare AS (
+      SELECT h FROM (SELECT h, count(*) AS df_count FROM spans GROUP BY h)
+      WHERE df_count BETWEEN 2 AND {max_span_df}
+    ),
+    r AS (SELECT s.doc_id, s.h FROM spans s JOIN rare USING (h)),
+    cand AS (
+      SELECT DISTINCT r1.doc_id AS a, r2.doc_id AS b
+      FROM r r1 JOIN r r2 ON r1.h = r2.h AND r1.doc_id < r2.doc_id
+    ),
+    matches AS (
+      SELECT c.a, c.b, sa.j AS ja, sa.j - sb.j AS d
+      FROM cand c
+      JOIN spans_pos sa ON sa.doc_id = c.a
+      JOIN spans_pos sb ON sb.doc_id = c.b AND sb.h = sa.h
+    ),
+    runs AS (
+      SELECT a, b, d, isl, count(*) AS run_len
+      FROM (
+        SELECT a, b, d, ja,
+               ja - row_number() OVER (PARTITION BY a, b, d ORDER BY ja) AS isl
+        FROM matches
+      ) GROUP BY a, b, d, isl
+    )
+    SELECT a, b, CAST(max(run_len) + {k - 1} AS BIGINT) AS max_run_tokens,
+           CAST(sum(run_len) AS BIGINT) AS n_matches
+    FROM runs GROUP BY a, b
+    """

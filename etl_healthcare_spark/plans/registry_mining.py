@@ -564,3 +564,31 @@ def g22_mode(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("cohort", F.col("event_type").alias("mode_type"), "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: longest duplicated token run (substring-level, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _longest_run_oracle() -> str:
+    from ..operators.textops import longest_run_oracle_sql
+
+    return longest_run_oracle_sql(k=5, max_span_df=8)
+
+
+@register(
+    "dedup_longest_run",
+    sql=_longest_run_oracle(),
+    doc="Longest duplicated token run per candidate pair "
+    "(operators/textops.longest_shared_run) — the substring-level signal of "
+    "Lee et al. 2021 (arXiv:2107.06499: remove exact duplicated spans >= 50 "
+    "tokens), measured pairwise via gaps-and-islands over matching 5-gram "
+    "positions on each (a, b, diagonal): a length-L island = an exact "
+    "shared run of L+4 tokens.  Rare-span blocking bounds candidates; the "
+    "position join is candidate-bounded.  Exact integers.",
+)
+def dedup_longest_run(spark, sf_dir):
+    from ..operators.textops import longest_shared_run
+
+    return longest_shared_run(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5, max_span_df=8)

@@ -369,3 +369,42 @@ def test_mode_tiebreak_is_lexicographic(spark):
         for r in counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).collect()
     }
     assert out == {1: "a", 2: "z"}
+
+
+# --- longest shared run -------------------------------------------------------
+
+
+def test_longest_run_exact_length(spark):
+    """A 12-token block shared verbatim between two docs yields
+    max_run_tokens == 12; an 8-token isolated overlap elsewhere does not
+    extend it."""
+    from etl_healthcare_spark.operators.textops import longest_shared_run
+
+    block = " ".join(f"s{i}" for i in range(12))
+    other8 = " ".join(f"o{i}" for i in range(8))
+    d1 = block + " xx yy " + other8
+    d2 = "aa bb " + block + " zz " + other8
+    filler = " ".join(f"f{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, filler)], "doc_id: long, text: string"
+    )
+    out = longest_shared_run(df, "text", "doc_id", k=5, max_span_df=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # 12-token block -> 8 consecutive 5-gram positions -> run 8+4 = 12
+    assert r["max_run_tokens"] == 12
+
+
+def test_longest_run_broken_by_one_token(spark):
+    """Changing one middle token splits the run: two 7-token halves of a
+    15-token near-copy report max 7, never 15."""
+    from etl_healthcare_spark.operators.textops import longest_shared_run
+
+    left = "a1 a2 a3 a4 a5 a6 a7"
+    right = "b1 b2 b3 b4 b5 b6 b7"
+    d1 = f"{left} mid {right}"
+    d2 = f"{left} MIDX {right}"  # differs only at the middle token
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id: long, text: string")
+    out = longest_shared_run(df, "text", "doc_id", k=5, max_span_df=8).collect()
+    assert len(out) == 1 and out[0]["max_run_tokens"] == 7
