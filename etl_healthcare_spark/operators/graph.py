@@ -190,24 +190,35 @@ def bfs_hops(
 
 
 def bfs_oracle_sql(edges_cte: str, seeds_sql: str, max_hops: int = 4) -> str:
-    """DuckDB twin via bounded recursive CTE + min-hop rollup.  `edges_cte`
-    must define raw(s, t); `seeds_sql` a one-column relation of seed nodes.
-    The UNION ALL recursion re-walks cycles but the hop bound terminates it;
-    min(hops) collapses the walk multiplicity to BFS distance."""
-    return f"""
-    WITH RECURSIVE {edges_cte},
-    e AS (
+    """DuckDB twin with the BFS LEVELS unrolled (frontier/visited per round,
+    like the Spark side) — NOT a recursive walk CTE: an unpruned UNION ALL
+    recursion enumerates paths, which is exponential in density (measured
+    ~2.6e8 walk rows on a near-complete 97-node graph at sf1.0); the level
+    unroll is polynomial on any graph.  `edges_cte` must define raw(s, t);
+    `seeds_sql` a one-column relation of seed nodes."""
+    ctes = [
+        """e AS (
       SELECT s AS a, t AS b FROM raw WHERE s <> t
       UNION SELECT t, s FROM raw WHERE s <> t
+    )""",
+        f"l0 AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "v0 AS (SELECT node, 0 AS hops FROM l0)",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"""l{h} AS (
+      SELECT DISTINCT e.b AS node FROM e JOIN l{h - 1} f ON e.a = f.node
+      WHERE e.b NOT IN (SELECT node FROM v{h - 1})
     ),
-    walk(node, hops) AS (
-      SELECT node, 0 FROM ({seeds_sql})
-      UNION ALL
-      SELECT e.b, walk.hops + 1
-      FROM walk JOIN e ON e.a = walk.node
-      WHERE walk.hops < {max_hops}
-    )
-    SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+    v{h} AS (
+      SELECT node, hops FROM v{h - 1}
+      UNION ALL SELECT node, {h} FROM l{h}
+    )"""
+        )
+    return f"""
+    WITH {edges_cte},
+    {','.join(ctes)}
+    SELECT node, CAST(hops AS INT) AS hops FROM v{max_hops}
     """
 
 

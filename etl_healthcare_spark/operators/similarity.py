@@ -597,3 +597,135 @@ def range_search_oracle_sql(
       AND CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(1000000000000 AS HUGEINT)
           >= CAST({tau_ppm * tau_ppm} AS HUGEINT) * CAST(n2v AS HUGEINT) * CAST(n2q AS HUGEINT)
     """
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred,
+    planes: list[list[float]],
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """INDEX QUALITY measurement: recall@k of single-bucket hyperplane-LSH
+    retrieval against exact search, per query — the self-evaluation every
+    ANN deployment needs before trusting probes at scale (SCALE.md's IVF
+    recall gate, expressed as a first-class query instead of a test).
+
+    Both rankings use the SAME deterministic metric (multiprobe_topk's:
+    int64 dot on the 1/scale grid divided by the int-exact corpus norm — two
+    IEEE ops over exact integers, bit-identical cross-engine) so the recall
+    number isolates BUCKETING loss, not metric drift.  Exact ranks come from
+    a window over the broadcast query batch x corpus; ANN ranks from the
+    same scored pairs restricted to bucket equality.  recall_ppm = 1e6 *
+    |exact_topk ∩ ann_topk| / k (denominator k even when the bucket holds
+    fewer than k candidates — the standard definition).
+
+    One scored-pair shuffle keyed on query id, two windows, one semi-join;
+    |Q| x |corpus| pairs total, the same cost class as knn_join's baseline.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from ..functions.vectors import hyperplane_bucket_exact, int_dot, quantize_vec
+
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), scale).alias("qv"),
+        hyperplane_bucket_exact(F.col(vec_col), planes, scale).alias("bucket"),
+    )
+    queries = b.where(query_pred).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("qq"), F.col("bucket").alias("qbucket")
+    )
+    pairs = b.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("query_id"))
+    score = int_dot(F.col("qv"), F.col("qq")).cast("double") / F.sqrt(
+        int_dot(F.col("qv"), F.col("qv")).cast("double")
+    )
+    scored = pairs.select(
+        "query_id", "id", score.alias("s"), (F.col("bucket") == F.col("qbucket")).alias("same")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("id"))
+    exact = (
+        scored.withColumn("r", F.row_number().over(w_exact))
+        .where(F.col("r") <= k)
+        .select("query_id", "id")
+    )
+    w_ann = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("id"))
+    ann = (
+        scored.where(F.col("same"))
+        .withColumn("r", F.row_number().over(w_ann))
+        .where(F.col("r") <= k)
+        .select("query_id", "id")
+    )
+    hits = exact.join(ann, ["query_id", "id"], "left_semi").groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(n_ann, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_ann"), F.lit(0)).alias("n_ann"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.expr(f"(1000000 * coalesce(n_hits, 0)) div {k}").alias("recall_ppm"),
+        )
+    )
+
+
+def ann_recall_oracle_sql(
+    query_mod: int, plane_lo: int, plane_hi: int, k: int = 10, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of ann_recall_report: queries = vec_id % query_mod == 0,
+    planes = embeddings rows plane_lo..plane_hi (multiprobe conventions)."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {scale})) AS qv
+      FROM embeddings
+    ),
+    planes AS (SELECT vec_id AS pid, qv AS qp FROM v WHERE vec_id BETWEEN {plane_lo} AND {plane_hi}),
+    bk AS (
+      SELECT v.vec_id, v.qv,
+             string_agg(CASE WHEN list_inner_product(v.qv, p.qp) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS bucket
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.qv
+    ),
+    q AS (SELECT vec_id AS query_id, qv AS qq, bucket AS qbucket
+          FROM bk WHERE vec_id % {query_mod} = 0),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS id,
+             list_inner_product(b.qv, q.qq) / sqrt(list_inner_product(b.qv, b.qv)) AS s,
+             b.bucket = q.qbucket AS same
+      FROM bk b CROSS JOIN q WHERE b.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS r
+        FROM scored
+      ) WHERE r <= {k}
+    ),
+    ann AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id) AS r
+        FROM scored WHERE same
+      ) WHERE r <= {k}
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e JOIN ann a ON e.query_id = a.query_id AND e.id = a.id
+      GROUP BY e.query_id
+    ),
+    na AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY query_id)
+    SELECT q.query_id, coalesce(na.n_ann, 0) AS n_ann,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           (1000000 * coalesce(hits.n_hits, 0)) // {k} AS recall_ppm
+    FROM q
+    LEFT JOIN hits ON q.query_id = hits.query_id
+    LEFT JOIN na ON q.query_id = na.query_id
+    """

@@ -592,3 +592,38 @@ def dedup_longest_run(spark, sf_dir):
     from ..operators.textops import longest_shared_run
 
     return longest_shared_run(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5, max_span_df=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity: ANN recall self-evaluation
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from ..operators.similarity import ann_recall_oracle_sql
+
+    return ann_recall_oracle_sql(query_mod=97, plane_lo=1, plane_hi=8, k=10)
+
+
+@register(
+    "sim_recall_report",
+    sql=_recall_oracle(),
+    doc="Recall@10 of single-bucket hyperplane-LSH retrieval vs exact search, "
+    "per query (operators/similarity.ann_recall_report) — the index quality "
+    "gate run BEFORE trusting probes at scale, as a first-class query.  "
+    "Both rankings share one deterministic integer metric (multiprobe's "
+    "int-dot / int-norm), so the recall number isolates bucketing loss; "
+    "buckets are integer-exact sign decisions (hyperplane_bucket_exact).  "
+    "One scored-pair shuffle, two windows, one semi-join.",
+)
+def sim_recall_report(spark, sf_dir):
+    from ..operators.similarity import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id").between(1, 8)).orderBy("vec_id").select("embedding").collect()
+    )
+    planes = [list(r[0]) for r in rows]
+    return ann_recall_report(
+        emb, "embedding", "vec_id", query_pred=F.col("id") % 97 == 0, planes=planes, k=10
+    )

@@ -408,3 +408,56 @@ def test_longest_run_broken_by_one_token(spark):
     df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id: long, text: string")
     out = longest_shared_run(df, "text", "doc_id", k=5, max_span_df=8).collect()
     assert len(out) == 1 and out[0]["max_run_tokens"] == 7
+
+
+# --- ANN recall report --------------------------------------------------------
+
+
+def test_ann_recall_planted_clusters(spark):
+    """Two well-separated clusters and axis-aligned planes: every query's
+    exact top-k lives in its own bucket, so recall@k = 1e6 ppm."""
+    from etl_healthcare_spark.operators.similarity import ann_recall_report
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))        # cluster A (+x)
+        rows.append((100 + i, [-1.0, 0.0, 0.01 * i, 0.0]))  # cluster B (-x)
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    planes = [[1.0, 0.0, 0.0, 0.0]]
+    from pyspark.sql import functions as F2
+
+    out = {
+        r["query_id"]: r
+        for r in ann_recall_report(
+            df, "embedding", "vec_id", query_pred=F2.col("id").isin(0, 100), planes=planes, k=3
+        ).collect()
+    }
+    assert out[0]["recall_ppm"] == 1_000_000 and out[100]["recall_ppm"] == 1_000_000
+    assert out[0]["n_ann"] == 3 and out[0]["n_hits"] == 3
+
+
+def test_ann_recall_detects_bucket_loss(spark):
+    """A query whose nearest neighbor lands across the hyperplane must report
+    recall < 1: the metric isolates bucketing loss."""
+    from etl_healthcare_spark.operators.similarity import ann_recall_report
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (0, [1.0, 0.1, 0.0, 0.0]),    # query, + side
+        (1, [1.0, 0.2, 0.0, 0.0]),    # same side, similar
+        (2, [-0.001, 1.0, 0.0, 0.0]), # NEGATIVE side of plane but high cos to q? no —
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # far, negative side
+    ]
+    # plane x: bucket(q)=1. neighbor 2 is on the other side; exact top-2 of q
+    # is {1, 2} (cos(q,2) ~ 0.095 > cos(q,3) ~ -0.995) but ann set on q's
+    # bucket only holds {1} -> recall@2 = 500000
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["query_id"]: r
+        for r in ann_recall_report(
+            df, "embedding", "vec_id", query_pred=F2.col("id") == 0,
+            planes=[[1.0, 0.0, 0.0, 0.0]], k=2
+        ).collect()
+    }
+    assert out[0]["n_ann"] == 1 and out[0]["n_hits"] == 1
+    assert out[0]["recall_ppm"] == 500_000
