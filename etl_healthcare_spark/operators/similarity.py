@@ -574,9 +574,15 @@ def range_search(
 
 
 def range_search_oracle_sql(
-    query_mod: int, tau_ppm: int = 200_000, scale: int = 1_000, src: str = "embeddings"
+    query_mod: int,
+    tau_ppm: int = 200_000,
+    scale: int = 1_000,
+    src: str = "embeddings",
+    max_query_id: int | None = None,
 ) -> str:
-    """DuckDB twin of range_search with queries = vec_id % query_mod == 0."""
+    """DuckDB twin of range_search with queries = vec_id % query_mod == 0
+    (below max_query_id when given — the sf-invariant bounded batch)."""
+    qbound = f" AND id < {max_query_id}" if max_query_id is not None else ""
     return f"""
     WITH v AS (
       SELECT vec_id AS id,
@@ -584,7 +590,7 @@ def range_search_oracle_sql(
                             x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
       FROM {src}
     ),
-    q AS (SELECT id AS query_id, qv AS qq FROM v WHERE id % {query_mod} = 0),
+    q AS (SELECT id AS query_id, qv AS qq FROM v WHERE id % {query_mod} = 0{qbound}),
     pairs AS (
       SELECT q.query_id, v.id,
              CAST(list_inner_product(v.qv, q.qq) AS BIGINT) AS dot,
@@ -677,10 +683,17 @@ def ann_recall_report(
 
 
 def ann_recall_oracle_sql(
-    query_mod: int, plane_lo: int, plane_hi: int, k: int = 10, scale: int = 1_000_000
+    query_mod: int,
+    plane_lo: int,
+    plane_hi: int,
+    k: int = 10,
+    scale: int = 1_000_000,
+    max_query_id: int | None = None,
 ) -> str:
-    """DuckDB twin of ann_recall_report: queries = vec_id % query_mod == 0,
-    planes = embeddings rows plane_lo..plane_hi (multiprobe conventions)."""
+    """DuckDB twin of ann_recall_report: queries = vec_id % query_mod == 0
+    (below max_query_id when given), planes = embeddings rows
+    plane_lo..plane_hi (multiprobe conventions)."""
+    qbound = f" AND vec_id < {max_query_id}" if max_query_id is not None else ""
     return f"""
     WITH v AS (
       SELECT vec_id,
@@ -695,7 +708,7 @@ def ann_recall_oracle_sql(
       FROM v CROSS JOIN planes p GROUP BY v.vec_id, v.qv
     ),
     q AS (SELECT vec_id AS query_id, qv AS qq, bucket AS qbucket
-          FROM bk WHERE vec_id % {query_mod} = 0),
+          FROM bk WHERE vec_id % {query_mod} = 0{qbound}),
     scored AS (
       SELECT q.query_id, b.vec_id AS id,
              list_inner_product(b.qv, q.qq) / sqrt(list_inner_product(b.qv, b.qv)) AS s,

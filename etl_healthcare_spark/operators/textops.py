@@ -890,8 +890,14 @@ def containment_pairs(
     )
     sa = spans.select(F.col("doc_id").alias("a"), "h")
     sb = spans.select(F.col("doc_id").alias("b"), "h")
-    inter = cand.join(sa, "a").join(sb, ["b", "h"]).groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("n_inter")
+    # the candidate list's STATIC size estimate is tiny (it descends from two
+    # aggregations), but its actual size grows with the corpus — at sf1.0
+    # Spark's broadcast pick for it OOMs the driver.  Hint both pair joins to
+    # shuffle-hash: candidate-keyed hash joins at any scale, no driver build.
+    inter = (
+        cand.hint("shuffle_hash").join(sa, "a").join(sb, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = per_doc.select(F.col("doc_id").alias("a"), F.col("n_spans").alias("n_a"))
     nb = per_doc.select(F.col("doc_id").alias("b"), F.col("n_spans").alias("n_b"))
@@ -1235,7 +1241,9 @@ def longest_shared_run(
     )
     sa = spans_pos.select(F.col("doc_id").alias("a"), F.col("j").alias("ja"), "h")
     sb = spans_pos.select(F.col("doc_id").alias("b"), F.col("j").alias("jb"), "h")
-    matches = cand.join(sa, "a").join(sb, ["b", "h"]).select(
+    # shuffle-hash hint: see containment_pairs — the candidate list must
+    # never be broadcast (static estimate tiny, actual size corpus-scale)
+    matches = cand.hint("shuffle_hash").join(sa, "a").join(sb, ["b", "h"]).select(
         "a", "b", "ja", "jb", (F.col("ja") - F.col("jb")).alias("d")
     )
     w = Window.partitionBy("a", "b", "d").orderBy("ja")

@@ -265,14 +265,16 @@ def corpus_chi2_keyness(spark, sf_dir):
 def _range_search_oracle() -> str:
     from ..operators.similarity import range_search_oracle_sql
 
-    return range_search_oracle_sql(query_mod=97, tau_ppm=200_000, scale=1_000)
+    return range_search_oracle_sql(query_mod=97, tau_ppm=200_000, scale=1_000, max_query_id=1000)
 
 
 @register(
     "sim_range_search",
     sql=_range_search_oracle(),
     doc="Cosine RANGE search: all corpus vectors within tau=0.2 of each "
-    "query vector (queries = vec_id % 97 == 0), decided by the fully "
+    "query vector (queries = vec_id % 97 == 0 below 1000 — a FIXED query "
+    "batch at any sf, so the scan stays linear in the corpus alone), "
+    "decided by the fully "
     "cross-multiplied integer predicate dot^2 * 1e12 >= tau_ppm^2 * "
     "|v|^2 * |q|^2 in decimal(38,0)/HUGEINT — no sqrt, no division "
     "(operators/similarity.range_search).  The query batch broadcasts; the "
@@ -286,7 +288,7 @@ def sim_range_search(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        query_pred=F.col("id") % 97 == 0,
+        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
         tau_ppm=200_000,
         scale=1_000,
     )
@@ -602,7 +604,7 @@ def dedup_longest_run(spark, sf_dir):
 def _recall_oracle() -> str:
     from ..operators.similarity import ann_recall_oracle_sql
 
-    return ann_recall_oracle_sql(query_mod=97, plane_lo=1, plane_hi=8, k=10)
+    return ann_recall_oracle_sql(query_mod=97, plane_lo=1, plane_hi=8, k=10, max_query_id=1000)
 
 
 @register(
@@ -625,5 +627,10 @@ def sim_recall_report(spark, sf_dir):
     )
     planes = [list(r[0]) for r in rows]
     return ann_recall_report(
-        emb, "embedding", "vec_id", query_pred=F.col("id") % 97 == 0, planes=planes, k=10
+        emb,
+        "embedding",
+        "vec_id",
+        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
+        planes=planes,
+        k=10,
     )
