@@ -880,10 +880,14 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("df_count"))
         .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
     )
-    r = spans.join(rare.select("h"), "h")
+    # every join below is hinted shuffle-hash: each side descends from an
+    # aggregation, so its STATIC size estimate is tiny and Spark would plan a
+    # broadcast — but rare spans / candidates / per-doc counts all grow with
+    # the corpus (driver broadcast OOM observed at sf1.0 on the rare join)
+    r = spans.join(rare.select("h").hint("shuffle_hash"), "h")
     cand = (
         r.select(F.col("doc_id").alias("a"), "h")
-        .join(r.select(F.col("doc_id").alias("b"), "h"), "h")
+        .join(r.select(F.col("doc_id").alias("b"), "h").hint("shuffle_hash"), "h")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -902,8 +906,8 @@ def containment_pairs(
     na = per_doc.select(F.col("doc_id").alias("a"), F.col("n_spans").alias("n_a"))
     nb = per_doc.select(F.col("doc_id").alias("b"), F.col("n_spans").alias("n_b"))
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
+        inter.join(na.hint("shuffle_hash"), "a")
+        .join(nb.hint("shuffle_hash"), "b")
         .select(
             "a",
             "b",
@@ -1067,8 +1071,14 @@ def lm_trigram_backoff_scores(
     Returns (id, n_trigrams, lm_bo_score_ppm) for scored-slice docs with
     >= 3 tokens.
     """
+    # NULL-total predicate: a NULL side_pred row (e.g. NULL lang) must land
+    # on the SCORED side, matching SQL's CASE WHEN ... ELSE — a bare boolean
+    # filter would silently drop it from both slices (the cross-engine NULL
+    # divergence the sf1.0 sweep caught in DSIR, and again here)
     toks = df.select(
-        F.col(id_col).alias("__id"), side_pred.alias("__train"), tokens(F.col(text_col)).alias("t")
+        F.col(id_col).alias("__id"),
+        F.coalesce(side_pred.cast("boolean"), F.lit(False)).alias("__train"),
+        tokens(F.col(text_col)).alias("t"),
     )
     train = toks.where(F.col("__train"))
     tri_of = lambda d: d.where(F.size("t") >= 3).select(  # noqa: E731
@@ -1231,10 +1241,12 @@ def longest_shared_run(
         .agg(F.count(F.lit(1)).alias("df_count"))
         .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
     )
-    r = spans.join(rare.select("h"), "h")
+    # shuffle-hash hints: see containment_pairs — aggregation-derived sides
+    # carry tiny static estimates but corpus-scale actual sizes
+    r = spans.join(rare.select("h").hint("shuffle_hash"), "h")
     cand = (
         r.select(F.col("doc_id").alias("a"), "h")
-        .join(r.select(F.col("doc_id").alias("b"), "h"), "h")
+        .join(r.select(F.col("doc_id").alias("b"), "h").hint("shuffle_hash"), "h")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
