@@ -392,3 +392,31 @@ def test_kmeans_broadcasts_centroids(spark):
     # one BNLJ per assignment pass (tree + detail sections each mention it)
     assert len(re.findall(r"BroadcastNestedLoopJoin[^\n]*\(\d+\)", plan)) == 2
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_salted_join_keys_on_salt(spark):
+    """j9's physical join must key on (key, _salt) — the whole point is that
+    the hot key's rows spread across salt buckets, whatever join strategy
+    the optimizer picks for the replicated dim."""
+    plan = _plan(spark, "j9_salted_skew_join")
+    assert "_salt" in plan, "salted join lost its salt key"
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_pairs_hash_join_on_cells(spark):
+    """j10 must pair via an equi-join on the grid cell (hash or sort-merge),
+    never a nested-loop over the predicate."""
+    plan = _plan(spark, "j10_spatial_pairs")
+    assert "pcx" in plan and "pcy" in plan, "grid cell keys missing from the plan"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_containment_pair_joins_never_broadcast(spark):
+    """The rare-span and candidate joins carry shuffle-hash hints because
+    their static size estimates are tiny while actual sizes are corpus-scale
+    (driver broadcast OOM observed at sf1.0).  Guard the hint's effect: the
+    plans must contain shuffled hash joins, and the candidate/per-doc joins
+    must not plan as broadcasts."""
+    for name in ("dedup_containment", "dedup_longest_run"):
+        plan = _plan(spark, name)
+        assert "ShuffledHashJoin" in plan, f"{name}: shuffle-hash hints lost"
