@@ -338,3 +338,99 @@ def weighted_sample_oracle_sql(
              // weight AS priority
     FROM src ORDER BY priority, id LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# training-mix planning: per-slice sampling rates from target weights
+# ---------------------------------------------------------------------------
+
+
+def mixture_plan(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    target_ppm: dict[str, int],
+    budget_of_total_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Turn target mixture weights into per-slice sampling rates — the
+    planning step before a training run ("40% en / 20% zh / ... of a budget
+    equal to the corpus size" -> "sample en at 0.87x, upsample zh 2 epochs").
+
+    For each group g with token mass tok_g out of grand total T and target
+    weight w_g (ppm), the required token mass is B*w_g/1e6 where
+    B = T*budget_of_total_ppm/1e6; the sampling rate is required/tok_g —
+    above 1e6 ppm means upsampling, reported as ceil epochs (the LLaMA-1
+    data-mixture table shape).  Groups absent from target_ppm get rate 0
+    (dropped from the mix).  Products promote to decimal(38,0)/HUGEINT
+    before the integer div (token totals at 100 TB reach ~1e13; *1e6 would
+    overflow int64), so both engines floor identically at any corpus size.
+
+    Shape: ONE partial-aggregable groupBy(group) over per-doc token counts
+    (map-side combine reduces the shuffle to |groups| rows), a 1-row grand
+    total broadcast back, and a literal weights table broadcast-joined:
+    at 100 TB this costs one scan; everything after the first agg is
+    O(|groups|).
+    """
+    from ..functions.text import tokens
+
+    spark = df.sparkSession
+    grp = F.coalesce(F.col(group_col), F.lit("unk"))
+    per = (
+        df.select(grp.alias("grp"), F.size(tokens(F.col(text_col))).alias("n_tok"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok_total"))
+    )
+    grand = per.agg(F.sum("tok_total").alias("grand_tokens"))
+    weights = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(target_ppm.items())], "grp string, target_ppm long"
+    )
+    joined = (
+        per.crossJoin(F.broadcast(grand))
+        .join(F.broadcast(weights), "grp", "left")
+        .withColumn("target_ppm", F.coalesce(F.col("target_ppm"), F.lit(0)))
+    )
+    dec = "CAST(grand_tokens AS DECIMAL(38,0))"
+    budget = f"({dec} * {budget_of_total_ppm} div 1000000)"
+    required = f"(CAST({budget} AS DECIMAL(38,0)) * target_ppm div 1000000)"
+    rate = f"(CAST({required} AS DECIMAL(38,0)) * 1000000 div tok_total)"
+    return joined.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "tok_total",
+        F.expr(
+            "CAST(CAST(tok_total AS DECIMAL(38,0)) * 1000000 div grand_tokens AS BIGINT)"
+        ).alias("natural_ppm"),
+        "target_ppm",
+        F.expr(f"CAST({required} AS BIGINT)").alias("required_tokens"),
+        F.expr(f"CAST({rate} AS BIGINT)").alias("rate_ppm"),
+        F.expr(f"CAST(({rate} + 999999) div 1000000 AS BIGINT)").alias("epochs"),
+    )
+
+
+def mixture_plan_oracle_sql(
+    group_col: str,
+    target_ppm: dict[str, int],
+    budget_of_total_ppm: int = 1_000_000,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of mixture_plan (HUGEINT products, same floor order)."""
+    values = ", ".join(f"('{k}', {int(v)})" for k, v in sorted(target_ppm.items()))
+    budget = f"(grand_tokens::HUGEINT * {budget_of_total_ppm} // 1000000)"
+    required = f"({budget}::HUGEINT * coalesce(w.target_ppm, 0) // 1000000)"
+    rate = f"({required}::HUGEINT * 1000000 // tok_total)"
+    return f"""
+    WITH per AS (
+      SELECT coalesce({group_col}, 'unk') AS grp, count(*) AS n_docs,
+             sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok_total
+      FROM {src} GROUP BY 1
+    ),
+    grand AS (SELECT sum(tok_total) AS grand_tokens FROM per),
+    w(grp, target_ppm) AS (VALUES {values})
+    SELECT per.grp AS {group_col}, n_docs, CAST(tok_total AS BIGINT) AS tok_total,
+           CAST(tok_total::HUGEINT * 1000000 // grand_tokens AS BIGINT) AS natural_ppm,
+           CAST(coalesce(w.target_ppm, 0) AS BIGINT) AS target_ppm,
+           CAST({required} AS BIGINT) AS required_tokens,
+           CAST({rate} AS BIGINT) AS rate_ppm,
+           CAST(({rate} + 999999) // 1000000 AS BIGINT) AS epochs
+    FROM per CROSS JOIN grand LEFT JOIN w ON per.grp = w.grp
+    """

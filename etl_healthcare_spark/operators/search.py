@@ -263,3 +263,106 @@ def phrase_oracle_sql(phrase: list[str], src: str = "documents") -> str:
       {joins}
     GROUP BY t0.doc
     """
+
+
+# ---------------------------------------------------------------------------
+# more-like-this: top-k related documents via shared-rare-term postings
+# ---------------------------------------------------------------------------
+
+
+def related_docs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 4,
+    max_df: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Content-based "related documents": for every document, the top-k
+    other documents ranked by summed idf-weight of SHARED rare k-gram
+    shingles — the recommendation / citation-suggestion shape, and the
+    lexical complement to embedding k-NN (sim_knn_*).
+
+    The blocking feature is a k-token SHINGLE, not a single token: shingle
+    variety is combinatorial, so discriminative (low-df) features exist even
+    over a closed vocabulary where every single token is stopword-frequency
+    (any web-crawl corpus after normalization).  Candidate generation is
+    posting-list self-pairing restricted to 2 <= df <= max_df: a shingle
+    shared by df docs yields at most df^2 ordered pairs, so total pair
+    volume is bounded by max_df x |postings| — LINEAR in corpus size for
+    fixed max_df (the same rare-feature-blocking guarantee as
+    j7_fuzzy_match_join and dedup_containment; boilerplate-frequency
+    shingles never pair anything).  Scoring reuses the index family's
+    integer idf surrogate w = 1e6 DIV (1 + df) — exact, engine-
+    reproducible, rare-feature-dominant.  Top-k per source doc closes with
+    a (score desc, other asc) total order inside a rank window, which Spark
+    executes as WindowGroupLimit (per-partition heaps, no full sort).
+
+    Every join input here descends from an aggregation, so static size
+    estimates are tiny and Spark would pick broadcasts that explode at
+    corpus scale (the sf1.0 lesson, SCALE.md §11) — all pair joins carry
+    explicit shuffle_hash hints."""
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles_from_tokens, tokens
+
+    tok = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+    postings = tok.select(
+        "doc", F.explode(shingles_from_tokens(F.col("t"), shingle_k)).alias("g")
+    ).distinct()
+    dfc = (
+        postings.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .withColumn("w", F.expr("1000000 DIV (1 + df)"))
+    )
+    rare = postings.join(dfc.hint("shuffle_hash"), "g")
+    left = rare.select(F.col("doc").alias("a"), "g", "w")
+    right = rare.select(F.col("doc").alias("b"), "g")
+    scored = (
+        left.hint("shuffle_hash")
+        .join(right, "g")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("score"), F.count(F.lit(1)).alias("n_shared"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .where(F.col("rk") <= k)
+        .select(F.col("a").alias(id_col), F.col("b").alias("related_id"), "score", "n_shared", "rk")
+    )
+
+
+def related_docs_oracle_sql(
+    shingle_k: int = 4, max_df: int = 16, k: int = 5, src: str = "documents"
+) -> str:
+    """DuckDB twin of related_docs (same space-joined k-gram shingles)."""
+    grams = " || ' ' || ".join(f"t[j+{i}]" for i in range(shingle_k))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    postings AS (
+      SELECT DISTINCT doc, {grams} AS g
+      FROM (SELECT doc, t, unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 0))) AS j
+            FROM tok WHERE len(t) >= {shingle_k})
+    ),
+    dfc AS (
+      SELECT g, 1000000 // (1 + count(*)) AS w FROM postings
+      GROUP BY g HAVING count(*) BETWEEN 2 AND {max_df}
+    ),
+    rare AS (SELECT p.doc, p.g, dfc.w FROM postings p JOIN dfc USING (g)),
+    scored AS (
+      SELECT l.doc AS a, r.doc AS b, CAST(sum(l.w) AS BIGINT) AS score,
+             count(*) AS n_shared
+      FROM rare l JOIN rare r ON l.g = r.g AND l.doc <> r.doc
+      GROUP BY 1, 2
+    )
+    SELECT a AS doc_id, b AS related_id, score, n_shared, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY a ORDER BY score DESC, b ASC) AS rk
+          FROM scored)
+    WHERE rk <= {k}
+    """

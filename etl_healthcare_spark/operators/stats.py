@@ -243,3 +243,82 @@ def cross_covariance_oracle_sql(table: str, ts_col: str, group_col: str) -> str:
                 - CAST(sum(ca) AS HUGEINT) * CAST(sum(cb) AS HUGEINT) AS BIGINT) AS cov_num
     FROM j GROUP BY grp_a, grp_b
     """
+
+
+# ---------------------------------------------------------------------------
+# robust location: two-sided trimmed mean (rank-exact)
+# ---------------------------------------------------------------------------
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_ppm: int = 100_000,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest trim_ppm share of
+    values (by exact rank, floor(n*trim/1e6) rows per side) and average the
+    rest — the robust location estimate between mean (trim 0) and median
+    (trim 0.5); the standard guardrail for latency/value dashboards where a
+    handful of sentinel values would drag the mean.
+
+    Integer-exact: values quantize to int64 cents, the kept-set boundary is
+    a pure rank function of (value, id) — total order, so re-runs and
+    engines agree on exactly WHICH rows are kept — and the mean is emitted
+    as (sum_cents, n_kept, floor-millis ratio).  One hash shuffle on the
+    group key + one in-partition rank window over it (same single-shuffle
+    layout as anomaly_iqr/anomaly_mad: the window reuses the groupBy
+    partitioning).
+
+    Domain: group sums must be non-negative (Spark's `div` truncates toward
+    zero, DuckDB's `//` floors — they agree only at >= 0; events.value is
+    positive by construction).  For signed data use the (num - num % den)/den
+    floor spelling (chi2_keyness does)."""
+    from pyspark.sql import Window
+
+    v = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    src = df.select(
+        F.col(group_col).alias("grp"), v.alias("v"), F.col(id_col).alias("id")
+    )
+    w = Window.partitionBy("grp")
+    ranked = src.select(
+        "grp",
+        "v",
+        F.row_number().over(w.orderBy("v", "id")).alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    kept = ranked.where(
+        (F.col("r") > F.expr(f"n * {trim_ppm} div 1000000"))
+        & (F.col("r") <= F.expr(f"n - n * {trim_ppm} div 1000000"))
+    )
+    return kept.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("v").alias("sum_cents"),
+        F.expr("sum(v) * 1000 div count(1)").alias("mean_millicents"),
+    )
+
+
+def trimmed_mean_oracle_sql(
+    table: str, group_col: str, value_col: str, id_col: str, trim_ppm: int = 100_000
+) -> str:
+    """DuckDB twin of trimmed_mean."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM src
+    )
+    SELECT grp AS {group_col}, count(*) AS n_kept,
+           CAST(sum(v) AS BIGINT) AS sum_cents,
+           CAST(sum(v) * 1000 // count(*) AS BIGINT) AS mean_millicents
+    FROM ranked
+    WHERE r > n * {trim_ppm} // 1000000 AND r <= n - n * {trim_ppm} // 1000000
+    GROUP BY grp
+    """

@@ -1312,3 +1312,69 @@ def longest_run_oracle_sql(k: int = 5, max_span_df: int = 8, src: str = "documen
            CAST(sum(run_len) AS BIGINT) AS n_matches
     FROM runs GROUP BY a, b
     """
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the retrieval
+    chunking pass that feeds an embedding index (window tokens per chunk,
+    stride tokens between chunk starts, so consecutive chunks overlap by
+    window - stride).
+
+    Shape: tokenize once, then posexplode a sequence of chunk starts and
+    slice the token array per start — the fan-out happens INSIDE the scan
+    task (no shuffle anywhere; at 100 TB this is embarrassingly parallel
+    and bounded by scan bandwidth, like every P-family parse).  Chunk ids
+    are (doc_id, chunk_idx) — deterministic, so re-runs upsert cleanly into
+    a chunk store keyed on them.  chunk_hash = sha256 of the space-joined
+    window is the exact-dedup key for chunk-level dedup (boilerplate
+    headers/footers collapse across documents before any embedding is paid
+    for)."""
+    from ..functions.text import tokens
+
+    assert stride > 0 and window > 0
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(
+        F.size("t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+    exploded = tok.select(
+        F.col(id_col), F.col("t"), F.explode(starts).alias("start_tok")
+    )
+    chunk = F.slice(F.col("t"), F.col("start_tok") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.expr(f"start_tok div {stride}").alias("chunk_idx"),
+        F.col("start_tok"),
+        F.size(chunk).alias("n_tok"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_hash"),
+    )
+
+
+def chunk_windows_oracle_sql(
+    window: int = 64, stride: int = 48, src: str = "documents"
+) -> str:
+    """DuckDB twin of chunk_windows (range() is end-exclusive; list slicing
+    is 1-based inclusive, clamped at the list end — both match Spark's
+    sequence(0, n-1, stride) + slice(t, s+1, window))."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    )
+    SELECT doc_id,
+           CAST(s // {stride} AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(least({window}, len(t) - s) AS INTEGER) AS n_tok,
+           sha256(array_to_string(t[s + 1 : s + {window}], ' ')) AS chunk_hash
+    FROM (SELECT doc_id, t, unnest(range(0, len(t), {stride})) AS s
+          FROM tok WHERE len(t) > 0)
+    """

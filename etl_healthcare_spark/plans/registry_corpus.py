@@ -1,0 +1,139 @@
+"""Round-3 corpus-serving batch: RAG chunk windows, training-mix planning,
+related-document recommendation, and rank-exact trimmed means.
+
+These close the retrieval/training-prep loop around the curation operators:
+chunking feeds the embedding index the similarity family probes, the mixture
+plan turns curated per-slice token masses into sampling rates, related-docs
+is the lexical twin of embedding k-NN, and the trimmed mean is the robust
+dashboard statistic between g11_median and plain AVG.
+
+All queries follow the registry's cross-engine determinism conventions
+(integer/ppm/decimal(38,0) arithmetic, sha256-only hashing, total tiebreaks —
+see plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# ---------------------------------------------------------------------------
+# text: RAG chunking into overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_WIN, _CHUNK_STRIDE = 64, 48
+
+
+def _chunk_oracle() -> str:
+    from ..operators.textops import chunk_windows_oracle_sql
+
+    return chunk_windows_oracle_sql(window=_CHUNK_WIN, stride=_CHUNK_STRIDE)
+
+
+@register(
+    "text_chunk_windows",
+    sql=_chunk_oracle(),
+    doc="RAG chunking (operators/textops.chunk_windows): every document "
+    "split into 64-token windows with stride 48 (16-token overlap), each "
+    "chunk carrying a deterministic (doc_id, chunk_idx) identity and a "
+    "sha256 chunk hash for chunk-level exact dedup before any embedding "
+    "cost is paid.  The fan-out is a sequence+explode+slice INSIDE the scan "
+    "task — zero shuffle, scan-bandwidth-bound at 100 TB.",
+)
+def text_chunk_windows(spark, sf_dir):
+    from ..operators.textops import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", window=_CHUNK_WIN, stride=_CHUNK_STRIDE
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: training-mix plan from target weights
+# ---------------------------------------------------------------------------
+
+_MIX_TARGET = {"en": 400_000, "zh": 200_000, "de": 150_000, "fr": 150_000, "es": 100_000}
+
+
+def _mixture_oracle() -> str:
+    from ..operators.sampling import mixture_plan_oracle_sql
+
+    return mixture_plan_oracle_sql("lang", _MIX_TARGET)
+
+
+@register(
+    "sample_mixture_plan",
+    sql=_mixture_oracle(),
+    doc="Training-mix planning (operators/sampling.mixture_plan): per-lang "
+    "token mass -> sampling rate / ceil-epochs against literal target "
+    "weights (en 40% / zh 20% / de+fr 15% / es 10%; NULL and unlisted "
+    "langs rate 0) — the LLaMA-style data-mixture table.  ONE partial-"
+    "aggregable groupBy over per-doc token counts, a 1-row grand total and "
+    "the weights table broadcast back; decimal(38,0)/HUGEINT products so "
+    "the ppm math is exact at any corpus size.",
+)
+def sample_mixture_plan(spark, sf_dir):
+    from ..operators.sampling import mixture_plan
+
+    return mixture_plan(_t(spark, sf_dir, "documents"), "text", "lang", _MIX_TARGET)
+
+
+# ---------------------------------------------------------------------------
+# search: related documents (more-like-this)
+# ---------------------------------------------------------------------------
+
+
+def _related_oracle() -> str:
+    from ..operators.search import related_docs_oracle_sql
+
+    return related_docs_oracle_sql(shingle_k=4, max_df=16, k=5)
+
+
+@register(
+    "search_related_docs",
+    sql=_related_oracle(),
+    doc="Top-5 related documents per document by summed integer-idf weight "
+    "of shared rare 4-gram shingles (operators/search.related_docs) — the "
+    "lexical complement to embedding k-NN.  Shingles (not tokens) are the "
+    "blocking feature because their variety is combinatorial: rare features "
+    "exist even over a closed vocabulary.  Candidates come only from "
+    "shingles with 2<=df<=16, bounding pair volume to max_df x |postings| "
+    "(linear in the corpus, like j7/dedup_containment rare-feature "
+    "blocking); pair joins carry shuffle_hash hints because every input "
+    "descends from an aggregation (the sf1.0 broadcast-estimate lesson); "
+    "per-doc top-k runs as a WindowGroupLimit rank, not a global sort.",
+)
+def search_related_docs(spark, sf_dir):
+    from ..operators.search import related_docs
+
+    return related_docs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", shingle_k=4, max_df=16, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation: rank-exact two-sided trimmed mean
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_oracle() -> str:
+    from ..operators.stats import trimmed_mean_oracle_sql
+
+    return trimmed_mean_oracle_sql("events", "event_type", "value", "event_id")
+
+
+@register(
+    "g24_trimmed_mean",
+    sql=_trimmed_oracle(),
+    doc="10%-each-side trimmed mean of event value per type "
+    "(operators/stats.trimmed_mean): rank-exact drop of floor(n/10) rows "
+    "per tail under a (value, id) total order, mean emitted as exact "
+    "(sum_cents, n_kept, floor-millicents) — the robust location estimate "
+    "between AVG and g11_median.  One hash shuffle; the rank window reuses "
+    "the group partitioning.",
+)
+def g24_trimmed_mean(spark, sf_dir):
+    from ..operators.stats import trimmed_mean
+
+    return trimmed_mean(_t(spark, sf_dir, "events"), "event_type", "value", "event_id")

@@ -420,3 +420,38 @@ def test_containment_pair_joins_never_broadcast(spark):
     for name in ("dedup_containment", "dedup_longest_run"):
         plan = _plan(spark, name)
         assert "ShuffledHashJoin" in plan, f"{name}: shuffle-hash hints lost"
+
+
+def test_chunk_windows_is_map_only(spark):
+    """RAG chunking must be pure scan-side fan-out: sequence+explode+slice
+    inside the task, ZERO Exchange anywhere in the plan."""
+    plan = _plan(spark, "text_chunk_windows")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "Generate" in plan, "chunk starts must fan out via explode"
+
+
+def test_related_docs_pair_joins_are_hash_not_broadcast(spark):
+    """Every related-docs join input descends from an aggregation (tiny
+    static estimate) — the explicit shuffle_hash hints must hold so a
+    corpus-scale posting list is never broadcast (SCALE.md §11 lesson #2)."""
+    plan = _plan(spark, "search_related_docs")
+    assert "BroadcastHashJoin" not in plan, "posting-list joins must not broadcast"
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, "per-doc top-k must push below the shuffle"
+
+
+def test_trimmed_mean_single_shuffle(spark):
+    """Rank window + final agg must reuse ONE hash exchange on the group key
+    (the anomaly_iqr/anomaly_mad layout)."""
+    plan = _plan(spark, "g24_trimmed_mean")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, "trimmed mean must shuffle exactly once"
+
+
+def test_mixture_plan_broadcasts_grand_total_and_weights(spark):
+    """The per-group agg shuffles once; the 1-row grand total and the literal
+    weights table must come back as broadcasts, never a shuffled join."""
+    plan = _plan(spark, "sample_mixture_plan")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
