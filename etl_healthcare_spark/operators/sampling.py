@@ -434,3 +434,97 @@ def mixture_plan_oracle_sql(
            CAST(({rate} + 999999) // 1000000 AS BIGINT) AS epochs
     FROM per CROSS JOIN grand LEFT JOIN w ON per.grp = w.grp
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source score calibration: exact percent-rank in ppm
+# ---------------------------------------------------------------------------
+
+
+def score_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    keep_ppm: int = 700_000,
+) -> DataFrame:
+    """Calibrate a per-document quality score WITHIN each source before
+    applying one global threshold — the fix for "a 60th-percentile doc in a
+    clean source outscores a 95th-percentile doc in a noisy one", so a raw
+    global cutoff silently drops whole domains.  Calibrated value =
+    percent_rank of the doc's score inside its source, in exact integer ppm
+    (#strictly-smaller * 1e6 div (n-1); single-doc sources calibrate to 0).
+
+    Scale shape: NOT a row-level window (partitionBy(source) would sort a
+    whole source — billions of rows — on one task at 100 TB).  Instead the
+    two-pass exact form: (1) one partial-aggregable groupBy(source, score)
+    count — output is |sources| x |distinct scores|, tiny; (2) the
+    cumulative rank window runs over that AGGREGATED table (the g22_mode
+    rule: windows only over aggregated tables); (3) the per-(source, score)
+    pct map broadcast-joins back onto the doc stream — map-only assignment.
+    The score here is the whitespace-free token count; any integer doc
+    score (classifier millis, LM ppm) slots into the same plan."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("src"),
+        F.size(tokens(F.col(text_col))).alias("score"),
+    )
+    counts = docs.groupBy("src", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("src")
+    cum = (
+        counts.withColumn(
+            "n_smaller",
+            F.coalesce(
+                F.sum("cnt").over(
+                    w.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n_src", F.sum("cnt").over(w))
+        .select(
+            "src",
+            "score",
+            F.expr(
+                "CASE WHEN n_src > 1 THEN n_smaller * 1000000 div (n_src - 1) ELSE 0 END"
+            ).alias("pct_ppm"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(cum), ["src", "score"])
+        .select(
+            F.col(id_col),
+            F.col("src").alias(source_col),
+            "score",
+            "pct_ppm",
+            (F.col("pct_ppm") >= keep_ppm).alias("kept"),
+        )
+    )
+
+
+def score_calibration_oracle_sql(
+    source_col: str, keep_ppm: int = 700_000, src: str = "documents"
+) -> str:
+    """DuckDB twin of score_calibration, deliberately the OTHER exact form:
+    a row-level rank window ((rank()-1) == #strictly-smaller under ties
+    sharing the min rank), so the two engines cross-check two independent
+    derivations of the same percent_rank."""
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {source_col},
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS score,
+             rank() OVER (PARTITION BY {source_col} ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY {source_col}) AS n_src
+      FROM {src}
+    )
+    SELECT doc_id, {source_col}, CAST(score AS INTEGER) AS score,
+           CAST(CASE WHEN n_src > 1 THEN (rk - 1) * 1000000 // (n_src - 1)
+                     ELSE 0 END AS BIGINT) AS pct_ppm,
+           (CASE WHEN n_src > 1 THEN (rk - 1) * 1000000 // (n_src - 1)
+                 ELSE 0 END) >= {keep_ppm} AS kept
+    FROM docs
+    """

@@ -137,3 +137,37 @@ def g24_trimmed_mean(spark, sf_dir):
     from ..operators.stats import trimmed_mean
 
     return trimmed_mean(_t(spark, sf_dir, "events"), "event_type", "value", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# sampling: per-source quality-score calibration
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from ..operators.sampling import score_calibration_oracle_sql
+
+    return score_calibration_oracle_sql("source", keep_ppm=700_000)
+
+
+@register(
+    "sample_score_calibration",
+    sql=_calibration_oracle(),
+    doc="Per-source quality-score calibration "
+    "(operators/sampling.score_calibration): each doc's score becomes its "
+    "exact percent_rank WITHIN its source (integer ppm), so one global "
+    "keep threshold means the same thing in a clean source and a noisy one "
+    "— the guard against a raw cutoff silently dropping whole domains.  "
+    "Scale shape: the rank window runs over the aggregated "
+    "(source, score)-count table, never row-level (a partitionBy(source) "
+    "row window would sort billions of rows on one task); the tiny pct map "
+    "broadcast-joins back map-only.  The oracle derives the same "
+    "percent_rank the OTHER way (row-level rank window) — two independent "
+    "derivations cross-checked.",
+)
+def sample_score_calibration(spark, sf_dir):
+    from ..operators.sampling import score_calibration
+
+    return score_calibration(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source", keep_ppm=700_000
+    )

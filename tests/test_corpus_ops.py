@@ -97,3 +97,23 @@ def test_trimmed_mean_zero_trim_is_plain_mean(spark):
     )
     out = trimmed_mean(df, "grp", "value", "id", trim_ppm=0).collect()[0]
     assert out.n_kept == 2 and out.sum_cents == 300
+
+
+def test_score_calibration_percent_rank_with_ties(spark):
+    from etl_healthcare_spark.operators.sampling import score_calibration
+
+    # source s1: scores 1,2,2,4 tokens -> pct = 0, 333333, 333333, 1000000
+    docs = [
+        (1, "a", "s1"),
+        (2, "a b", "s1"),
+        (3, "c d", "s1"),
+        (4, "a b c d", "s1"),
+        (5, "x y z", "s2"),  # single-doc source -> pct 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in score_calibration(df, "text", "doc_id", "source", keep_ppm=900_000).collect()}
+    assert out[1].pct_ppm == 0
+    assert out[2].pct_ppm == out[3].pct_ppm == 333_333
+    assert out[4].pct_ppm == 1_000_000 and out[4].kept
+    assert out[5].pct_ppm == 0 and not out[5].kept
+    assert not out[2].kept

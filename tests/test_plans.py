@@ -455,3 +455,18 @@ def test_mixture_plan_broadcasts_grand_total_and_weights(spark):
     plan = _plan(spark, "sample_mixture_plan")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_score_calibration_windows_only_aggregated_table(spark):
+    """The percent-rank windows must run over the (source, score)-count
+    aggregate and the pct map must broadcast back — never a row-level
+    partitionBy(source) window (one task would sort a whole source at
+    100 TB)."""
+    plan = _plan(spark, "sample_score_calibration")
+    assert "BroadcastHashJoin" in plan, "pct map must broadcast back onto docs"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # a row-level window would be Window directly over Exchange+Scan; the
+    # aggregated shape interposes the (source, score) count aggregate
+    assert "HashAggregate" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2, "only the count agg + tiny window repartition may shuffle"
