@@ -73,6 +73,12 @@ HEADLINE = [
     "sim_range_search",      # map-only broadcast radius scan
     "j10_spatial_pairs",     # 3x3 grid-cell blocked distance join
     "anomaly_mad",           # two rank-exact medians + cross-multiply flags
+    # round-3 corpus batch (prior sets stay cross-round comparable)
+    "text_chunk_windows",    # zero-shuffle RAG chunking (explode+slice in-task)
+    "search_related_docs",   # rare-shingle postings self-pair + WindowGroupLimit
+    "sample_mixture_plan",   # one agg + broadcast ppm math
+    "sample_score_calibration",  # agg-table percent-rank + broadcast-back
+    "g24_trimmed_mean",      # single-shuffle rank window + agg
 ]
 
 

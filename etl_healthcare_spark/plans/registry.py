@@ -688,12 +688,12 @@ DRIVER_WINDOW: list[str] = [
     # similarity search
     "sim_topk_cosine",
     "sim_range_search",
-    # text analysis
+    # text analysis (chunk_windows is the zero-shuffle RAG pass)
     "text_stats",
-    "text_repetition",
+    "text_chunk_windows",
     "text_lm_trigram",
-    # sampling / splits / shard export
-    "sample_hash_split",
+    # sampling / splits / calibration
+    "sample_score_calibration",
     "sample_dsir",
     # end-to-end curation funnel
     "curation_e2e",
