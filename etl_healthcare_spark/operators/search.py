@@ -307,8 +307,17 @@ def related_docs(
     from ..functions.text import shingles_from_tokens, tokens
 
     tok = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+    # shingles join/aggregate as 48-bit sha256-prefix int64 keys, not raw
+    # strings: at corpus scale the posting shuffle is the dominant byte
+    # volume and an 8-byte key beats a ~40-byte text shingle ~5x (collisions
+    # across a corpus vocabulary are ~birthday(2^48) — the same contract as
+    # the minhash/bloom slice hashing elsewhere)
+    h = lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long")  # noqa: E731
     postings = tok.select(
-        "doc", F.explode(shingles_from_tokens(F.col("t"), shingle_k)).alias("g")
+        "doc",
+        F.explode(
+            F.transform(shingles_from_tokens(F.col("t"), shingle_k), h)
+        ).alias("g"),
     ).distinct()
     dfc = (
         postings.groupBy("g")
@@ -339,14 +348,16 @@ def related_docs(
 def related_docs_oracle_sql(
     shingle_k: int = 4, max_df: int = 16, k: int = 5, src: str = "documents"
 ) -> str:
-    """DuckDB twin of related_docs (same space-joined k-gram shingles)."""
+    """DuckDB twin of related_docs (same space-joined k-gram shingles, same
+    48-bit sha256-prefix integer keys)."""
     grams = " || ' ' || ".join(f"t[j+{i}]" for i in range(shingle_k))
     return f"""
     WITH tok AS (
       SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
     ),
     postings AS (
-      SELECT DISTINCT doc, {grams} AS g
+      SELECT DISTINCT doc,
+             ('0x' || substr(sha256({grams}), 1, 12))::BIGINT AS g
       FROM (SELECT doc, t, unnest(generate_series(1, greatest(len(t) - {shingle_k - 1}, 0))) AS j
             FROM tok WHERE len(t) >= {shingle_k})
     ),

@@ -742,3 +742,126 @@ def ann_recall_oracle_sql(
     LEFT JOIN hits ON q.query_id = hits.query_id
     LEFT JOIN na ON q.query_id = na.query_id
     """
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_pred,
+    lo_ppm: int = 300_000,
+    hi_ppm: int = 800_000,
+    k: int = 5,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor (query) vector, the
+    top-k corpus vectors whose cosine falls in the HARD-NEGATIVE band
+    [lo, hi) — similar enough to be informative, dissimilar enough to not be
+    a positive/near-duplicate (the standard negative-mining recipe for
+    embedding finetuning and reranker distillation; the hi bound is what
+    separates this from plain top-k, which would mine duplicates).
+
+    Exactness: band membership is two fully cross-multiplied integer
+    predicates over 1/scale-grid codes in decimal(38,0) —
+
+        cos >= lo  <=>  dot > 0 AND dot^2 * 1e12 >= lo_ppm^2 * |v|^2 * |q|^2
+        cos <  hi  <=>  NOT(dot > 0 AND dot^2 * 1e12 >= hi_ppm^2 * ...)
+
+    — and in-band candidates rank per anchor by the sqrt-free monotone
+    surrogate (dot^2 * 1e6) div |v|^2 (valid because dot > 0 in band and
+    |q|^2 is constant per anchor; the 1e6 multiplier keeps the quotient
+    <= 1e6 * |q|^2 ~ 6e13, inside int64 where 1e12 would overflow),
+    tiebroken (surrogate DESC, id ASC): the mined pair set is a pure
+    function of the data on any engine.
+
+    Scale shape = range_search: the anchor batch broadcasts, the scan is
+    map-only; the only shuffle is the per-anchor top-k rank window, which
+    runs as WindowGroupLimit over the band-filtered (small) pair stream.
+    For unbounded anchor batches, block both sides by IVF cell first
+    (knn_join_blocked) and apply the same band predicates."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import int_dot, quantize_vec
+
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
+    )
+    queries = vecs.where(query_pred).select(
+        F.col("id").alias("anchor_id"), F.col("qv").alias("qq")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("anchor_id"))
+    scored = pairs.select(
+        "anchor_id",
+        "id",
+        int_dot(F.col("qv"), F.col("qq")).alias("dot"),
+        int_dot(F.col("qv"), F.col("qv")).alias("n2v"),
+        int_dot(F.col("qq"), F.col("qq")).alias("n2q"),
+    )
+    lhs = dec(F.col("dot")) * dec(F.col("dot")) * F.lit(10**12).cast("decimal(38,0)")
+    at_least = lambda t: (F.col("dot") > 0) & (  # noqa: E731
+        lhs >= F.lit(t * t).cast("decimal(38,0)") * dec(F.col("n2v")) * dec(F.col("n2q"))
+    )
+    band = scored.where(at_least(lo_ppm) & ~at_least(hi_ppm))
+    surrogate = F.expr("CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000 div n2v AS BIGINT)")
+    ranked = band.select(
+        "anchor_id", "id", "dot", surrogate.alias("rank_key")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("anchor_id").orderBy(F.desc("rank_key"), F.asc("id"))
+        ),
+    )
+    return ranked.where(F.col("rk") <= k).select(
+        "anchor_id", F.col("id").alias("negative_id"), "dot", "rank_key", "rk"
+    )
+
+
+def hard_negatives_oracle_sql(
+    query_mod: int,
+    lo_ppm: int = 300_000,
+    hi_ppm: int = 800_000,
+    k: int = 5,
+    scale: int = 1_000,
+    src: str = "embeddings",
+    max_query_id: int | None = None,
+) -> str:
+    """DuckDB twin of hard_negatives."""
+    qbound = f" AND id < {max_query_id}" if max_query_id is not None else ""
+    h = "CAST({} AS HUGEINT)"
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {src}
+    ),
+    q AS (SELECT id AS anchor_id, qv AS qq FROM v WHERE id % {query_mod} = 0{qbound}),
+    pairs AS (
+      SELECT q.anchor_id, v.id,
+             CAST(list_inner_product(v.qv, q.qq) AS BIGINT) AS dot,
+             CAST(list_inner_product(v.qv, v.qv) AS BIGINT) AS n2v,
+             CAST(list_inner_product(q.qq, q.qq) AS BIGINT) AS n2q
+      FROM v CROSS JOIN q WHERE v.id <> q.anchor_id
+    ),
+    band AS (
+      SELECT anchor_id, id, dot, n2v,
+             (dot > 0 AND {h.format('dot')} * {h.format('dot')} * 1000000000000::HUGEINT
+                          >= {lo_ppm * lo_ppm}::HUGEINT * {h.format('n2v')} * {h.format('n2q')}) AS ge_lo,
+             (dot > 0 AND {h.format('dot')} * {h.format('dot')} * 1000000000000::HUGEINT
+                          >= {hi_ppm * hi_ppm}::HUGEINT * {h.format('n2v')} * {h.format('n2q')}) AS ge_hi
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT anchor_id, id, dot,
+             {h.format('dot')} * {h.format('dot')} * 1000000::HUGEINT // {h.format('n2v')} AS rank_key,
+             row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY {h.format('dot')} * {h.format('dot')} * 1000000::HUGEINT // {h.format('n2v')} DESC, id ASC
+             ) AS rk
+      FROM band WHERE ge_lo AND NOT ge_hi
+    )
+    SELECT anchor_id, id AS negative_id, dot,
+           CAST(rank_key AS BIGINT) AS rank_key, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {k}
+    """

@@ -171,3 +171,79 @@ def sample_score_calibration(spark, sf_dir):
     return score_calibration(
         _t(spark, sf_dir, "documents"), "text", "doc_id", "source", keep_ppm=700_000
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity: contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def _hardneg_oracle() -> str:
+    from ..operators.similarity import hard_negatives_oracle_sql
+
+    return hard_negatives_oracle_sql(
+        query_mod=97, lo_ppm=300_000, hi_ppm=800_000, k=5, scale=1_000, max_query_id=1000
+    )
+
+
+@register(
+    "sim_hard_negatives",
+    sql=_hardneg_oracle(),
+    doc="Contrastive hard-negative mining "
+    "(operators/similarity.hard_negatives): per anchor vector, the top-5 "
+    "corpus vectors with cosine in the [0.3, 0.8) band — similar enough to "
+    "teach, below the near-duplicate bound that would poison the negatives "
+    "(the embedding-finetuning / reranker-distillation recipe).  Band "
+    "membership and ranking are sqrt-free cross-multiplied integer "
+    "predicates in decimal(38,0)/HUGEINT; anchors are the fixed "
+    "vec_id%97==0<1000 batch (sf-invariant), broadcast over a MAP-ONLY "
+    "scan; the only shuffle is the per-anchor top-k WindowGroupLimit.",
+)
+def sim_hard_negatives(spark, sf_dir):
+    from ..operators.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
+        lo_ppm=300_000,
+        hi_ppm=800_000,
+        k=5,
+        scale=1_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# query surface: the SQL front door (spark.sql over registered views)
+# ---------------------------------------------------------------------------
+
+_SQL_TOPN_HOURS = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM {events} GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, {epoch_us}(h) AS h_us, n, {rk_cast} AS rk
+    FROM (SELECT *, rank() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, h) AS rk
+          FROM hourly)
+    WHERE rk <= 3
+"""
+
+
+@register(
+    "sql_topn_hours",
+    sql=_SQL_TOPN_HOURS.format(events="events", epoch_us="epoch_us", rk_cast="CAST(rk AS INTEGER)"),
+    doc="The SQL FRONT DOOR: the same engine driven through spark.sql() text "
+    "over a registered temp view — CTE + grouped aggregation + rank window "
+    "+ a total (n DESC, h) tiebreak, the top-3 busiest hours per event "
+    "type.  Everything else in the registry declares plans via the "
+    "DataFrame API; this entry proves SQL-text parity (identical Catalyst "
+    "plan: partial agg -> one exchange -> WindowGroupLimit rank) for users "
+    "who arrive with SQL, not Python.",
+)
+def sql_topn_hours(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sql_v")
+    return spark.sql(
+        _SQL_TOPN_HOURS.format(events="events_sql_v", epoch_us="unix_micros", rk_cast="rk")
+    )

@@ -117,3 +117,39 @@ def test_score_calibration_percent_rank_with_ties(spark):
     assert out[4].pct_ppm == 1_000_000 and out[4].kept
     assert out[5].pct_ppm == 0 and not out[5].kept
     assert not out[2].kept
+
+
+def test_hard_negatives_band_excludes_positives_and_far(spark):
+    from etl_healthcare_spark.operators.similarity import hard_negatives
+
+    # anchor = (1, 0); duplicate (cos 1.0) excluded by hi=0.8; orthogonal
+    # (cos 0) and opposite excluded by lo=0.3; the 45-degree vector
+    # (cos ~0.707) is the only in-band negative
+    rows = [
+        (0, [1.0, 0.0]),     # anchor
+        (1, [1.0, 0.001]),   # near-duplicate -> above hi
+        (2, [1.0, 1.0]),     # cos ~0.707 -> in band
+        (3, [0.0, 1.0]),     # orthogonal -> below lo
+        (4, [-1.0, 0.0]),    # opposite -> dot < 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negatives(
+        df, "embedding", "vec_id", query_pred=F.col("id") == 0,
+        lo_ppm=300_000, hi_ppm=800_000, k=5,
+    ).collect()
+    assert [(r.anchor_id, r.negative_id) for r in out] == [(0, 2)]
+
+
+def test_sql_frontdoor_matches_dataframe_plan(spark):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sql_topn_hours"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 15  # 5 event types x top-3 hours
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == [1, 2, 3]
+        assert rs[0].n >= rs[1].n >= rs[2].n

@@ -470,3 +470,22 @@ def test_score_calibration_windows_only_aggregated_table(spark):
     assert "HashAggregate" in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges <= 2, "only the count agg + tiny window repartition may shuffle"
+
+
+def test_hard_negatives_map_only_scan_plus_group_limit(spark):
+    """Anchor batch broadcasts (BNLJ, never CartesianProduct); band filter is
+    in-task; the only shuffle is the per-anchor top-k WindowGroupLimit."""
+    plan = _plan(spark, "sim_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, "only the rank window may shuffle"
+
+
+def test_sql_frontdoor_plans_like_dataframe_api(spark):
+    """The spark.sql() text query must compile to the same physical shape the
+    DataFrame API gets: partial aggregation and a rank pushed down to
+    WindowGroupLimit."""
+    plan = _plan(spark, "sql_topn_hours")
+    assert "partial" in plan.lower()
+    assert "WindowGroupLimit" in plan
