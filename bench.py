@@ -79,6 +79,8 @@ HEADLINE = [
     "sample_mixture_plan",   # one agg + broadcast ppm math
     "sample_score_calibration",  # agg-table percent-rank + broadcast-back
     "g24_trimmed_mean",      # single-shuffle rank window + agg
+    "sim_hard_negatives",    # integer cosine band mining (map-only scan)
+    "sql_topn_hours",        # SQL front door (text -> same physical plan)
 ]
 
 
