@@ -382,3 +382,55 @@ def test_crash_recovery_replays_uncommitted_batch_exactly_once(spark, tmp_path):
     state = store.read().collect()
     assert sorted(r.entityId for r in state) == [f"e{i}" for i in range(4)]
     assert {r.version for r in state} == {1}
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The late-data contract (SURVEY §2.12): a row arriving AFTER the
+    watermark has passed its window is dropped, not merged — and a closed
+    window is emitted exactly once in append mode.  Two micro-batches: the
+    first advances the watermark past window 00:00, the second delivers a
+    late row back into it; the emitted 00:00 counters must reflect only the
+    on-time rows."""
+    from etl_healthcare_spark.streaming.pipeline import windowed_counters_stream
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batch1 = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 30), "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 50), "click", 2.0),
+            # sentinel far ahead: watermark after batch1 = 00:30 - 10min = 00:20
+            (3, dt.datetime(2024, 1, 1, 0, 30, 0), "click", 1.0),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        # LATE: window 00:00 closed at watermark 00:20 -> must be dropped
+        [(4, dt.datetime(2024, 1, 1, 0, 0, 40), "click", 100.0)],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = windowed_counters_stream(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_wcs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch2.coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.minute, r.metric): (r.n, r.value_sum) for r in spark.table("late_wcs").collect()}
+    # window 00:00 emitted once, on-time rows only — the late 100.0 never lands
+    assert got.get((dt.datetime(2024, 1, 1, 0, 0), "click")) == (2, 3.0)
+    # the sentinel's window (00:30) is still open: append mode has not emitted it
+    assert (dt.datetime(2024, 1, 1, 0, 30), "click") not in got
