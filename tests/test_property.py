@@ -386,3 +386,50 @@ def test_bpe_train_matches_python_reference(spark, words):
     got = [(r["a"], r["b"], r["cnt"]) for r in bpe_train(df, "text", rounds=3).orderBy("round").collect()]
     want = _bpe_reference(freq, 3)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk windows vs a pure-Python tiling model
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_chunk_windows_tile_every_token_exactly_per_model(spark, n_tokens_list, window, stride):
+    """Chunk starts tile at the stride, sizes follow min(window, n - start),
+    chunk hashes equal the model's sha256 of the space-joined slice, and —
+    when stride <= window (overlap mode) — every token is covered by >= 1
+    chunk (stride > window is legal gap-sampling and leaves holes by
+    design)."""
+    import hashlib
+
+    from etl_healthcare_spark.operators.textops import chunk_windows
+
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(n_tokens_list)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_windows(df, "text", "doc_id", window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens_list):
+        rows = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if n == 0:
+            assert rows == []
+            continue
+        starts = list(range(0, n, stride))
+        assert [r.start_tok for r in rows] == starts
+        assert [r.n_tok for r in rows] == [min(window, n - s) for s in starts]
+        covered = set()
+        toks = [f"t{i}x{j}" for j in range(n)]
+        for r in rows:
+            covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+            expect = hashlib.sha256(
+                " ".join(toks[r.start_tok : r.start_tok + window]).encode()
+            ).hexdigest()
+            assert r.chunk_hash == expect
+        if stride <= window:
+            assert covered == set(range(n))
