@@ -213,8 +213,9 @@ def span_overlap(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataF
     the sub-document dedup signal (quotations, syndicated boilerplate,
     near-dup tails that whole-doc minhash misses).
 
-    Same two-aggregation shape as rare_token_ratio, but keyed on a 16-hex
-    span hash instead of the raw token: the span-frequency table is
+    Same two-aggregation shape as rare_token_ratio, but keyed on a 48-bit
+    sha256-prefix int64 span hash instead of the raw token (8-byte shuffle
+    keys, same contract as related_docs): the span-frequency table is
     partial-aggregated and vocabulary-sized, and only distinct (doc, span)
     pairs flow into it, so a pathological doc repeating one span a million
     times contributes one row.  Exact integer ppm."""
@@ -227,7 +228,12 @@ def span_overlap(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataF
     spans = (
         toks.select(
             F.col(id_col),
-            F.explode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias("h"),
+            F.explode(
+                F.transform(
+                    sh,
+                    lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
+                )
+            ).alias("h"),
         )
         .distinct()
     )
@@ -858,7 +864,8 @@ def containment_pairs(
     size.  The intersection count then runs candidate-bounded: the pair list
     joins back to the two docs' span sets (hash joins on doc id + span hash),
     never an open self-join.  Exact integer ppm; distinct (doc, span) pairs
-    only.
+    only.  Span keys shuffle as 48-bit sha256-prefix int64 (8 bytes vs a
+    16-byte hex string — same contract as related_docs/minhash slicing).
     """
     from ..functions.text import shingles_from_tokens, tokens
 
@@ -869,7 +876,12 @@ def containment_pairs(
     spans = (
         toks.select(
             "doc_id",
-            F.explode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias("h"),
+            F.explode(
+                F.transform(
+                    sh,
+                    lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
+                )
+            ).alias("h"),
         )
         .distinct()
         .localCheckpoint(eager=True)  # reused 4 ways below
@@ -927,7 +939,7 @@ def containment_oracle_sql(k: int = 5, max_span_df: int = 8, src: str = "documen
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
     ),
     spans AS (
-      SELECT DISTINCT doc_id, substr(sha256({grams}), 1, 16) AS h
+      SELECT DISTINCT doc_id, ('0x' || substr(sha256({grams}), 1, 12))::BIGINT AS h
       FROM (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
             FROM tok WHERE len(t) >= {k})
@@ -1231,9 +1243,11 @@ def longest_shared_run(
     )
     spans_pos = toks.select(
         "doc_id",
-        F.posexplode(F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))).alias(
-            "j", "h"
-        ),
+        F.posexplode(
+            F.transform(
+                sh, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long")
+            )
+        ).alias("j", "h"),
     ).localCheckpoint(eager=True)
     spans = spans_pos.select("doc_id", "h").distinct()
     rare = (
@@ -1279,7 +1293,7 @@ def longest_run_oracle_sql(k: int = 5, max_span_df: int = 8, src: str = "documen
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
     ),
     spans_pos AS (
-      SELECT doc_id, j - 1 AS j, substr(sha256({grams}), 1, 16) AS h
+      SELECT doc_id, j - 1 AS j, ('0x' || substr(sha256({grams}), 1, 12))::BIGINT AS h
       FROM (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
             FROM tok WHERE len(t) >= {k})

@@ -509,8 +509,8 @@ def text_repetition(spark, sf_dir):
     ),
     spans AS (
       SELECT DISTINCT doc_id,
-        substr(sha256(t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3]
-                      || ' ' || t[j+4]), 1, 16) AS h
+        ('0x' || substr(sha256(t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' || t[j+3]
+                      || ' ' || t[j+4]), 1, 12))::BIGINT AS h
       FROM (SELECT doc_id, t,
                    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS j
             FROM tok WHERE len(t) >= 5)
