@@ -72,9 +72,13 @@ def fuzzy_match_join(
         .select("did", "dname", "cid", "cname")
         .distinct()
     )
-    scored = cand.withColumn("distance", F.levenshtein(F.col("dname"), F.col("cname"))).where(
-        F.col("distance") <= max_dist
-    )
+    # bounded edit distance: the threshold form early-abandons once the
+    # running distance exceeds max_dist (O(k*n) per pair instead of O(n^2))
+    # and returns -1 above the bound — semantics identical to computing the
+    # full distance and filtering <= max_dist
+    scored = cand.withColumn(
+        "distance", F.levenshtein(F.col("dname"), F.col("cname"), max_dist)
+    ).where(F.col("distance") >= 0)
     best = scored.groupBy("did", "dname").agg(
         F.min(F.struct(F.col("distance"), F.col("cid"), F.col("cname"))).alias("b")
     )
