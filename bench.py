@@ -81,6 +81,9 @@ HEADLINE = [
     "g24_trimmed_mean",      # single-shuffle rank window + agg
     "sim_hard_negatives",    # integer cosine band mining (map-only scan)
     "sql_topn_hours",        # SQL front door (text -> same physical plan)
+    "sample_prototype_prune",  # map-only prototype assignment + cluster window
+    "sample_interleave_order",  # computed curriculum order (one source window)
+    "g25_weighted_median",   # single-shuffle cumulative-weight median
 ]
 
 

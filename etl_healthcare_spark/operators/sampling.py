@@ -528,3 +528,232 @@ def score_calibration_oracle_sql(
                  ELSE 0 END) >= {keep_ppm} AS kept
     FROM docs
     """
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    proto_pred,
+    prune_ppm: int = 250_000,
+    scale: int = 1_000,
+) -> DataFrame:
+    """PROTOTYPE-BASED DATA PRUNING (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning",
+    arXiv:2206.14486): assign every embedding to its nearest prototype by
+    cosine, rank each cluster by prototypicality (cosine to its prototype,
+    descending), and mark the most-prototypical ``prune_ppm``/1e6 share of
+    every cluster as pruned — for large corpora the paper keeps the HARD
+    examples, which is exactly the per-cluster tail this emits kept=true for.
+
+    Prototypes are a FIXED row subset (``proto_pred``) standing in for the
+    centroids an offline clustering job would produce (cluster_kmeans is the
+    in-repo trainer); they are collected to the driver (m rows, the same
+    O(nlist x dim) driver fetch as the IVF centroid load) and compiled into
+    literal arrays, so ASSIGNMENT IS MAP-ONLY — each row evaluates m integer
+    dot products inside the scan task and picks argmax via one array_max
+    over (surrogate, -proto_id) structs.  No assignment shuffle at any
+    corpus size; the ONLY shuffle is the per-cluster rank window (runs as a
+    rank over m partitions), whose count/rank windows share one exchange.
+
+    Exactness: vectors quantize to a 1/``scale`` integer grid
+    (quantize_vec — float32->double->floor is bit-identical across engines);
+    the argmax-cosine key is the sqrt-free SIGNED surrogate
+
+        s_i = sign(dot_i) * (dot_i^2 * 1e6 div |p_i|^2)
+
+    monotone in cos_i = dot_i / (|v| * |p_i|) because |v| is constant per
+    row and t -> sign(t)*t^2 is strictly increasing; the 1e6-scaled floor
+    division runs in decimal(38,0) (HUGEINT in the oracle), and floor-merged
+    ties break on the lower prototype id — a total order both engines
+    reproduce bit-for-bit.
+    """
+    from ..functions.vectors import quantize_vec
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), scale).alias("qv")
+    )
+    protos = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]]) for r in vecs.where(proto_pred).collect()
+    ]
+    protos.sort()
+    assert protos, "proto_pred selected no prototype rows"
+
+    d_cols = []
+    for i, (_pid, qp) in enumerate(protos):
+        arr = F.array(*[F.lit(v) for v in qp])
+        d_cols.append(
+            F.aggregate(
+                F.zip_with(F.col("qv"), arr, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"d{i}")
+        )
+    scored = vecs.select("vec_id", *d_cols)
+
+    struct_exprs = []
+    for i, (pid, qp) in enumerate(protos):
+        n2p = sum(v * v for v in qp)
+        mag = f"CAST(CAST(d{i} AS DECIMAL(38,0)) * d{i} * 1000000 div {n2p} AS BIGINT)"
+        struct_exprs.append(
+            f"struct(CASE WHEN d{i} >= 0 THEN {mag} ELSE -{mag} END AS s, "
+            f"{-pid}L AS negp, {pid}L AS proto_id)"
+        )
+    best = F.expr(f"array_max(array({', '.join(struct_exprs)}))")
+    assigned = scored.select(
+        "vec_id", best["proto_id"].alias("proto_id"), best["s"].alias("rank_key")
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("proto_id")
+    ranked = assigned.select(
+        "vec_id",
+        "proto_id",
+        "rank_key",
+        F.row_number()
+        .over(w.orderBy(F.desc("rank_key"), F.asc("vec_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_cluster"),
+    )
+    return ranked.select(
+        "vec_id",
+        "proto_id",
+        "rank_key",
+        "rk",
+        "n_cluster",
+        (F.col("rk") > F.expr(f"(n_cluster * {prune_ppm}) div 1000000")).alias("kept"),
+    )
+
+
+def prototype_prune_oracle_sql(
+    proto_where: str,
+    prune_ppm: int = 250_000,
+    scale: int = 1_000,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of prototype_prune — derives the same prototype set
+    relationally (``proto_where`` over the source table) instead of from
+    driver-collected literals, then reproduces the identical integer
+    surrogate, argmax tiebreak, and per-cluster rank arithmetic."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {src}
+    ),
+    p AS (SELECT vec_id AS proto_id, qv AS qp FROM v WHERE {proto_where}),
+    pairs AS (
+      SELECT v.vec_id, p.proto_id,
+             CAST(list_inner_product(v.qv, p.qp) AS BIGINT) AS dot,
+             CAST(list_inner_product(p.qp, p.qp) AS BIGINT) AS n2p
+      FROM v CROSS JOIN p
+    ),
+    keyed AS (
+      SELECT vec_id, proto_id,
+             CASE WHEN dot >= 0
+                  THEN CAST(CAST(dot AS HUGEINT) * dot * 1000000 // n2p AS BIGINT)
+                  ELSE -CAST(CAST(dot AS HUGEINT) * dot * 1000000 // n2p AS BIGINT)
+             END AS s
+      FROM pairs
+    ),
+    assigned AS (
+      SELECT vec_id, proto_id, s AS rank_key
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY s DESC, proto_id ASC) AS ark
+            FROM keyed)
+      WHERE ark = 1
+    ),
+    ranked AS (
+      SELECT vec_id, proto_id, rank_key,
+             row_number() OVER (PARTITION BY proto_id
+                                ORDER BY rank_key DESC, vec_id ASC) AS rk,
+             count(*) OVER (PARTITION BY proto_id) AS n_cluster
+      FROM assigned
+    )
+    SELECT vec_id, proto_id, rank_key, CAST(rk AS INTEGER) AS rk, n_cluster,
+           rk > (n_cluster * {prune_ppm}) // 1000000 AS kept
+    FROM ranked
+    """
+
+
+def interleave_order(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    difficulty_col,
+) -> DataFrame:
+    """Deterministic CURRICULUM INTERLEAVE: a total training order that (a)
+    round-robins across sources so no contiguous run over-samples one
+    source, and (b) visits each source's examples easiest-first
+    (``difficulty_col`` ascending — the curriculum).  The standard epoch
+    ordering for multi-source training mixes; a global ORDER BY rand() is
+    neither reproducible nor resumable, and a global sort on a random key is
+    a full-data exchange.
+
+    The order is COMPUTED, not sorted: global_order =
+    (per-source rank - 1) * n_sources + source index.  Cost: ONE rank
+    window partitioned by source (the only full-data shuffle), a
+    vocabulary-sized source-index frame (distinct sources ranked in a
+    single-partition window over an aggregated ~|sources| rows — the same
+    justified tiny-frame pattern as the IVF centroid fetch) broadcast back,
+    and map-only arithmetic.  A consumer materializes the order by
+    range-partitioning on global_order — no total sort on the driver, no
+    skew (ranks are dense per source by construction).
+
+    Collision-free: distinct sources get distinct residues mod n_sources,
+    so global_order is injective across the corpus.  Exact integers,
+    (difficulty, id) total order per source — the oracle reproduces every
+    position bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    diff = difficulty_col if not isinstance(difficulty_col, str) else F.col(difficulty_col)
+    base = df.select(F.col(id_col), F.col(source_col), diff.alias("difficulty"))
+    rk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(F.col("difficulty").asc(), F.col(id_col).asc())
+    )
+    ranked = base.withColumn("rk", rk)
+    srcs = (
+        df.select(F.col(source_col)).distinct()
+        .withColumn("src_idx", F.row_number().over(Window.orderBy(F.col(source_col))) - 1)
+    )
+    n_src = srcs.groupBy().agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        ranked.join(F.broadcast(srcs), source_col)
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            id_col,
+            source_col,
+            "difficulty",
+            "rk",
+            "src_idx",
+            "n_sources",
+            ((F.col("rk") - 1) * F.col("n_sources") + F.col("src_idx")).alias("global_order"),
+        )
+    )
+
+
+def interleave_order_oracle_sql(
+    id_col: str, source_col: str, difficulty_sql: str, src: str = "documents"
+) -> str:
+    """DuckDB twin of interleave_order."""
+    return f"""
+    WITH ranked AS (
+      SELECT {id_col}, {source_col}, {difficulty_sql} AS difficulty,
+             row_number() OVER (PARTITION BY {source_col}
+                                ORDER BY {difficulty_sql} ASC, {id_col} ASC) AS rk
+      FROM {src}
+    ),
+    srcs AS (
+      SELECT {source_col},
+             row_number() OVER (ORDER BY {source_col}) - 1 AS src_idx,
+             count(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT {source_col} FROM {src})
+    )
+    SELECT r.{id_col}, r.{source_col}, r.difficulty, CAST(r.rk AS INTEGER) AS rk,
+           CAST(s.src_idx AS INTEGER) AS src_idx, s.n_sources,
+           (r.rk - 1) * s.n_sources + s.src_idx AS global_order
+    FROM ranked r JOIN srcs s USING ({source_col})
+    """

@@ -322,3 +322,77 @@ def trimmed_mean_oracle_sql(
     WHERE r > n * {trim_ppm} // 1000000 AND r <= n - n * {trim_ppm} // 1000000
     GROUP BY grp
     """
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group exact WEIGHTED (lower) median: the smallest value v such
+    that the cumulative weight of rows with value <= v reaches half the
+    group's total weight (2*cumw >= total in integers — no halves).  The
+    token-weighted statistic training-corpus dashboards need ("median
+    document quality BY TOKEN MASS, not by document count"): a million empty
+    docs can drag a plain median but carry no token weight.
+
+    Integer-exact: values quantize to int64 cents, weights are int64; the
+    cumulative sum runs over the (value, id) total order, so WHICH row
+    crosses the half-mass boundary is a pure function of the data —
+    independent of intra-value tie order, since the crossing row of a
+    value-run determines the same v on any engine.  One hash shuffle on the
+    group key; the cumulative window and final min-aggregation both reuse
+    that partitioning (same single-exchange layout as trimmed_mean).
+    """
+    from pyspark.sql import Window
+
+    v = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    src = df.select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.col(weight_col).cast("long").alias("wt"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("grp")
+    cum = src.select(
+        "grp",
+        "v",
+        F.sum("wt").over(w.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumw"
+        ),
+        F.sum("wt").over(w).alias("total_weight"),
+    )
+    return (
+        cum.where(2 * F.col("cumw") >= F.col("total_weight"))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.min("v").alias("w_median_cents"),
+            F.max("total_weight").alias("total_weight"),
+        )
+    )
+
+
+def weighted_median_oracle_sql(
+    table: str, group_col: str, value_col: str, weight_col: str, id_col: str
+) -> str:
+    """DuckDB twin of weighted_median."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST({weight_col} AS BIGINT) AS wt
+      FROM {table}
+    ),
+    cum AS (
+      SELECT grp, v,
+             sum(wt) OVER (PARTITION BY grp ORDER BY v, id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(wt) OVER (PARTITION BY grp) AS total_weight
+      FROM src
+    )
+    SELECT grp AS {group_col}, CAST(min(v) AS BIGINT) AS w_median_cents,
+           CAST(max(total_weight) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cumw >= total_weight GROUP BY grp
+    """

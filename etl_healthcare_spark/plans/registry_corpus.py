@@ -247,3 +247,109 @@ def sql_topn_hours(spark, sf_dir):
     return spark.sql(
         _SQL_TOPN_HOURS.format(events="events_sql_v", epoch_us="unix_micros", rk_cast="rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# sampling: prototype-based data pruning (SSL prototypes)
+# ---------------------------------------------------------------------------
+
+_PROTO_WHERE_SQL = "vec_id % 61 = 0 AND vec_id < 400"
+_PROTO_PRUNE_PPM = 250_000
+
+
+def _proto_prune_oracle() -> str:
+    from ..operators.sampling import prototype_prune_oracle_sql
+
+    return prototype_prune_oracle_sql(_PROTO_WHERE_SQL, prune_ppm=_PROTO_PRUNE_PPM, scale=1_000)
+
+
+@register(
+    "sample_prototype_prune",
+    sql=_proto_prune_oracle(),
+    doc="Prototype-based data pruning (Sorscher et al. 2022, "
+    "arXiv:2206.14486; operators/sampling.prototype_prune): every embedding "
+    "assigns to its nearest prototype by an exact signed integer cosine "
+    "surrogate, clusters rank by prototypicality, and the most-prototypical "
+    "25% of each cluster is marked pruned — keeping the hard examples the "
+    "paper shows beat power-law scaling at large corpus size.  The 7 fixed "
+    "prototypes (vec_id%61==0<400, sf-invariant) are driver-collected into "
+    "literal arrays, so assignment is MAP-ONLY (m int64 dots + one "
+    "array_max inside the scan task); the single shuffle is the per-cluster "
+    "rank/count window.",
+)
+def sample_prototype_prune(spark, sf_dir):
+    from ..operators.sampling import prototype_prune
+
+    return prototype_prune(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        "vec_id",
+        (F.col("vec_id") % 61 == 0) & (F.col("vec_id") < 400),
+        prune_ppm=_PROTO_PRUNE_PPM,
+        scale=1_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: deterministic curriculum interleave (training epoch order)
+# ---------------------------------------------------------------------------
+
+
+def _interleave_oracle() -> str:
+    from ..operators.sampling import interleave_order_oracle_sql
+
+    return interleave_order_oracle_sql("doc_id", "source", "n_chars")
+
+
+@register(
+    "sample_interleave_order",
+    sql=_interleave_oracle(),
+    doc="Deterministic curriculum interleave "
+    "(operators/sampling.interleave_order): a total training order that "
+    "round-robins across the 20 sources and visits each source "
+    "easiest-first (n_chars ascending) — global_order = (per-source rank-1) "
+    "* n_sources + source index, COMPUTED rather than sorted.  One "
+    "per-source rank window is the only full-data shuffle; the source-index "
+    "frame is vocabulary-sized and broadcast.  Injective by residue "
+    "arithmetic, reproducible and resumable (no rand(), no global sort).",
+)
+def sample_interleave_order(spark, sf_dir):
+    from ..operators.sampling import interleave_order
+
+    return interleave_order(_t(spark, sf_dir, "documents"), "doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# analytics: exact weighted median
+# ---------------------------------------------------------------------------
+
+
+def _wmedian_oracle() -> str:
+    from ..operators.stats import weighted_median_oracle_sql
+
+    return weighted_median_oracle_sql(
+        "(SELECT *, l_orderkey * 10 + l_linenumber AS li_id FROM lineitem)",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        "li_id",
+    )
+
+
+@register(
+    "g25_weighted_median",
+    sql=_wmedian_oracle(),
+    doc="Exact weighted (lower) median price per return flag, weighted by "
+    "quantity (operators/stats.weighted_median): the smallest value whose "
+    "cumulative weight reaches half the group's total (2*cumw >= total, "
+    "all int64 — cents values, integer weights).  The token-mass-weighted "
+    "twin of g11_median; one group-key shuffle shared by the cumulative "
+    "window, the total window, and the closing min-aggregation.",
+)
+def g25_weighted_median(spark, sf_dir):
+    from ..operators.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "li_id", F.expr("l_orderkey * 10 + l_linenumber")
+    )
+    return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity", "li_id")

@@ -489,3 +489,40 @@ def test_sql_frontdoor_plans_like_dataframe_api(spark):
     plan = _plan(spark, "sql_topn_hours")
     assert "partial" in plan.lower()
     assert "WindowGroupLimit" in plan
+
+
+def test_prototype_prune_assignment_is_map_only(spark):
+    """Prototype assignment compiles to literal-array dot products inside the
+    scan task — the ONLY exchange in the plan is the per-cluster rank/count
+    window's hash partitioning on proto_id.  No join, no cartesian: the
+    prototype batch must be driver-collected literals, not a joined frame."""
+    plan = _plan(spark, "sample_prototype_prune")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1, (
+        "exactly one shuffle (the cluster window)"
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interleave_order_has_no_global_sort(spark):
+    """The curriculum order is computed ((rk-1)*n_sources + src_idx), never
+    materialized by a global sort: the only full-data exchange is the
+    per-source rank window; the source-index frame joins back as a
+    broadcast."""
+    plan = _plan(spark, "sample_interleave_order")
+    assert "BroadcastHashJoin" in plan, "source index must broadcast back"
+    assert "SortMergeJoin" not in plan
+    # full-data exchanges: the per-source window's hashpartitioning(source...)
+    # plus the tiny distinct-sources aggregation; never a rangepartitioning
+    # (that would be a global sort of the corpus)
+    assert "rangepartitioning" not in plan.lower().replace("_", ""), (
+        "global_order must be computed, not sorted"
+    )
+
+
+def test_weighted_median_single_group_exchange(spark):
+    """Cumulative window, total window, and the closing min-agg all reuse ONE
+    hash exchange on the group key."""
+    plan = _plan(spark, "g25_weighted_median")
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
+    assert "Window" in plan
