@@ -84,6 +84,7 @@ HEADLINE = [
     "sample_prototype_prune",  # map-only prototype assignment + cluster window
     "sample_interleave_order",  # computed curriculum order (one source window)
     "g25_weighted_median",   # single-shuffle cumulative-weight median
+    "sim_mrl_rerank",        # prefix-dim coarse heap + shortlist re-rank
 ]
 
 

@@ -865,3 +865,137 @@ def hard_negatives_oracle_sql(
            CAST(rank_key AS BIGINT) AS rank_key, CAST(rk AS INTEGER) AS rk
     FROM ranked WHERE rk <= {k}
     """
+
+
+def mrl_rerank(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    scale: int = 1_000,
+) -> DataFrame:
+    """MATRYOSHKA two-stage retrieval (Kusupati et al. 2022, "Matryoshka
+    Representation Learning", arXiv:2205.13147): rank the corpus COARSELY on
+    the first ``prefix_dim`` dimensions (MRL-trained embeddings pack the
+    most information into the prefix), keep a ``shortlist``, then re-rank
+    the shortlist EXACTLY on the full vector and emit the top ``k`` — the
+    standard adaptive-retrieval funnel that cuts per-candidate compute
+    dim/prefix_dim-fold at scan time.
+
+    Both stages are sqrt-free signed integer cosine surrogates
+    (s = sign(dot) * (dot^2 * 1e6 div |v|^2) over the 1/scale grid, in
+    decimal(38,0); |q| constant per stage so the surrogate is monotone in
+    cosine; zero-norm prefixes score 0) — every rank position is a pure
+    function of the data, bit-identical in the oracle.
+
+    Scale shape: the query is a broadcast literal, the coarse stage is a
+    MAP-ONLY scan closed by one TakeOrderedAndProject heap (no global
+    sort); the fine stage touches ``shortlist`` rows — driver-sized, like
+    the IVF probe's candidate set.  At 100 TB the prefix would be stored as
+    its own (written) column so the coarse scan reads prefix bytes only;
+    here the slice happens in-task, which keeps the compute claim but not
+    the IO claim.
+    """
+    from ..functions.vectors import quantize_vec
+
+    q_full = [int(__import__("math").floor(float(x) * scale)) for x in query_vec]
+    q_pre = q_full[:prefix_dim]
+    n2q_pre = sum(v * v for v in q_pre)
+    n2q_full = sum(v * v for v in q_full)
+    assert n2q_pre > 0 and n2q_full > 0, "query vector must have nonzero norm"
+
+    def surrogate(dot_col: str, n2_col: str) -> str:
+        mag = f"CAST(CAST({dot_col} AS DECIMAL(38,0)) * {dot_col} * 1000000 div {n2_col} AS BIGINT)"
+        return (
+            f"CASE WHEN {n2_col} = 0 THEN 0 "
+            f"WHEN {dot_col} >= 0 THEN {mag} ELSE -{mag} END"
+        )
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col), scale).alias("qv")
+    )
+    pre_arr = F.array(*[F.lit(v) for v in q_pre])
+    dot_int = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    coarse = vecs.select(
+        "vec_id",
+        "qv",
+        dot_int(F.slice(F.col("qv"), 1, prefix_dim), pre_arr).alias("dc"),
+        dot_int(F.slice(F.col("qv"), 1, prefix_dim), F.slice(F.col("qv"), 1, prefix_dim)).alias(
+            "n2p"
+        ),
+    ).withColumn("coarse_key", F.expr(surrogate("dc", "n2p")))
+    short = coarse.orderBy(F.desc("coarse_key"), F.asc("vec_id")).limit(shortlist)
+
+    full_arr = F.array(*[F.lit(v) for v in q_full])
+    fine = short.select(
+        "vec_id",
+        "coarse_key",
+        dot_int(F.col("qv"), full_arr).alias("df_"),
+        dot_int(F.col("qv"), F.col("qv")).alias("n2f"),
+    ).withColumn("fine_key", F.expr(surrogate("df_", "n2f")))
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("fine_key"), F.asc("vec_id")))
+    return (
+        fine.withColumn("rk", rk)
+        .where(F.col("rk") <= k)
+        .select("vec_id", "coarse_key", "fine_key", "rk")
+    )
+
+
+def mrl_rerank_oracle_sql(
+    query_id: int = 0,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    scale: int = 1_000,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB twin of mrl_rerank with the query vector taken from row
+    ``query_id`` of the same table (as the registry caller does)."""
+    surr = (
+        "CASE WHEN {n2} = 0 THEN 0 WHEN {d} >= 0 "
+        "THEN CAST(CAST({d} AS HUGEINT) * {d} * 1000000 // {n2} AS BIGINT) "
+        "ELSE -CAST(CAST({d} AS HUGEINT) * {d} * 1000000 // {n2} AS BIGINT) END"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+      FROM {src}
+    ),
+    q AS (SELECT qv AS qq FROM v WHERE vec_id = {query_id}),
+    coarse AS (
+      SELECT v.vec_id, v.qv,
+             CAST(list_inner_product(v.qv[1:{prefix_dim}], q.qq[1:{prefix_dim}]) AS BIGINT) AS dc,
+             CAST(list_inner_product(v.qv[1:{prefix_dim}], v.qv[1:{prefix_dim}]) AS BIGINT) AS n2p
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> {query_id}
+    ),
+    keyed AS (
+      SELECT vec_id, qv, {surr.format(d="dc", n2="n2p")} AS coarse_key FROM coarse
+    ),
+    short AS (
+      SELECT * FROM keyed ORDER BY coarse_key DESC, vec_id ASC LIMIT {shortlist}
+    ),
+    fine AS (
+      SELECT s.vec_id, s.coarse_key,
+             CAST(list_inner_product(s.qv, q.qq) AS BIGINT) AS df_,
+             CAST(list_inner_product(s.qv, s.qv) AS BIGINT) AS n2f
+      FROM short s CROSS JOIN q
+    ),
+    fkeyed AS (
+      SELECT vec_id, coarse_key, {surr.format(d="df_", n2="n2f")} AS fine_key FROM fine
+    )
+    SELECT vec_id, coarse_key, fine_key, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY fine_key DESC, vec_id ASC) AS rk
+          FROM fkeyed)
+    WHERE rk <= {k}
+    """

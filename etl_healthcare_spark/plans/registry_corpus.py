@@ -353,3 +353,43 @@ def g25_weighted_median(spark, sf_dir):
         "li_id", F.expr("l_orderkey * 10 + l_linenumber")
     )
     return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity", "li_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity: Matryoshka two-stage retrieval (prefix-dim rank, full re-rank)
+# ---------------------------------------------------------------------------
+
+
+def _mrl_oracle() -> str:
+    from ..operators.similarity import mrl_rerank_oracle_sql
+
+    return mrl_rerank_oracle_sql(query_id=0, prefix_dim=16, shortlist=50, k=10, scale=1_000)
+
+
+@register(
+    "sim_mrl_rerank",
+    sql=_mrl_oracle(),
+    doc="Matryoshka two-stage retrieval (Kusupati et al. 2022, "
+    "arXiv:2205.13147; operators/similarity.mrl_rerank): coarse rank on the "
+    "first 16 of 64 dims (4x less per-candidate compute), exact full-dim "
+    "re-rank of the 50-row shortlist, top-10 out.  Both stages are signed "
+    "integer cosine surrogates in decimal(38,0) — every rank position "
+    "engine-reproducible, not an ID-set compare.  Plan: broadcast literal "
+    "query, map-only scan, ONE TakeOrderedAndProject heap; the fine stage "
+    "is shortlist-sized.",
+)
+def sim_mrl_rerank(spark, sf_dir):
+    from ..operators.similarity import mrl_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return mrl_rerank(
+        emb.where(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        list(qvec),
+        prefix_dim=16,
+        shortlist=50,
+        k=10,
+        scale=1_000,
+    )

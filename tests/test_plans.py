@@ -526,3 +526,12 @@ def test_weighted_median_single_group_exchange(spark):
     plan = _plan(spark, "g25_weighted_median")
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
     assert "Window" in plan
+
+
+def test_mrl_rerank_coarse_stage_is_heap_not_sort(spark):
+    """The coarse Matryoshka stage must close with a TakeOrderedAndProject
+    heap over the map-only scan — no join against the corpus, no global
+    sort; the fine re-rank only ever sees the shortlist."""
+    plan = _plan(spark, "sim_mrl_rerank")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
