@@ -85,6 +85,7 @@ HEADLINE = [
     "sample_interleave_order",  # computed curriculum order (one source window)
     "g25_weighted_median",   # single-shuffle cumulative-weight median
     "sim_mrl_rerank",        # prefix-dim coarse heap + shortlist re-rank
+    "profile_drift_tvd",     # one-scan histogram TVD drift decomposition
 ]
 
 

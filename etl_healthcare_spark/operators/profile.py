@@ -103,3 +103,96 @@ def key_skew_oracle_sql(table: str, key_col: str, top_n: int = 10, where: str = 
     FROM counts CROSS JOIN t
     ORDER BY cnt DESC, key ASC LIMIT {top_n}
     """
+
+
+def distribution_drift_tvd(
+    df: DataFrame,
+    value_col: str,
+    side_pred,
+    bin_cents: int = 500,
+) -> DataFrame:
+    """DISTRIBUTION DRIFT between two slices of a table as an exact TOTAL
+    VARIATION DISTANCE over fixed value bins — the corpus-monitoring gate
+    that answers "did this week's crawl shift the value distribution?"
+    before a training mix is rebuilt.  TVD = (1/2) * sum_bins |p_i - q_i|
+    is the L1 drift score; unlike PSI/KL it needs NO logarithms, so the
+    statistic is exact integer arithmetic end-to-end, reproducible on any
+    engine (chi2_keyness is the per-token companion; this is the
+    distribution-level scalar with per-bin attribution).
+
+    Integer form: with per-bin counts a_i (slice A, total NA) and b_i
+    (slice B, total NB),
+
+        tvd_ppm = 1e6 * sum_i |a_i * NB - b_i * NA|  div  (2 * NA * NB)
+
+    — products run in decimal(38,0) (HUGEINT in the oracle; peak ~1e19 at
+    100 TB scale, far past int64).  Output: one row per bin with both
+    counts and the bin's drift contribution (ppm, same denominator), plus
+    the bin ordering key — the scalar is the contribution sum; emitting
+    per-bin rows keeps the result a diagnosable histogram, not a blind
+    scalar.
+
+    Shape: ONE partial-aggregable groupBy on the bin id with the side
+    folded in as conditional sums (histogram-sized result), a 1-row total
+    broadcast joined back, map-only arithmetic.  Same skeleton as
+    sketch_histogram_quantiles.
+    """
+    # `div`, not `/`: Spark's `/` on longs is DOUBLE true-division (and a
+    # double->long cast truncates where DuckDB's rounds); integer `div`
+    # matches DuckDB `//` on the non-negative value domain (see
+    # trimmed_mean's domain note for the signed caveat)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    binned = df.select(
+        cents.alias("cents"),
+        F.when(side_pred, F.lit(1)).otherwise(F.lit(0)).alias("in_a"),
+    ).select(F.expr(f"cents div {bin_cents}").alias("bin"), "in_a")
+    counts = binned.groupBy("bin").agg(
+        F.sum("in_a").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("b"),
+    )
+    # totals via an unpartitioned window OVER THE HISTOGRAM (bin-count rows,
+    # not corpus rows — the justified tiny-frame single partition), so the
+    # corpus is scanned exactly once; an agg+rejoin would plan a second scan
+    # of the input for the totals branch
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    withtot = counts.select(
+        "bin", "a", "b", F.sum("a").over(w).alias("na"), F.sum("b").over(w).alias("nb")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = f"abs({dec.format('a')} * nb - {dec.format('b')} * na) * 1000000"
+    den = f"2 * {dec.format('na')} * nb"
+    return withtot.select(
+        "bin",
+        "a",
+        "b",
+        "na",
+        "nb",
+        F.expr(f"CAST({num} div ({den}) AS BIGINT)").alias("drift_ppm"),
+    )
+
+
+def drift_tvd_oracle_sql(
+    table: str, value_col: str, side_sql: str, bin_cents: int = 500
+) -> str:
+    """DuckDB twin of distribution_drift_tvd.  ``side_sql`` is the slice-A
+    predicate as SQL text."""
+    return f"""
+    WITH binned AS (
+      SELECT CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  // {bin_cents} AS bin,
+             CASE WHEN {side_sql} THEN 1 ELSE 0 END AS in_a
+      FROM {table}
+    ),
+    counts AS (
+      SELECT bin, CAST(sum(in_a) AS BIGINT) AS a,
+             CAST(sum(1 - in_a) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    totals AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM counts)
+    SELECT bin, a, b, na, nb,
+           CAST(abs(CAST(a AS HUGEINT) * nb - CAST(b AS HUGEINT) * na) * 1000000
+                // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS drift_ppm
+    FROM counts CROSS JOIN totals
+    """

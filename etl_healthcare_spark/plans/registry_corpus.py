@@ -393,3 +393,33 @@ def sim_mrl_rerank(spark, sf_dir):
         k=10,
         scale=1_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# profiling: distribution drift as exact total-variation distance
+# ---------------------------------------------------------------------------
+
+
+def _drift_oracle() -> str:
+    from ..operators.profile import drift_tvd_oracle_sql
+
+    return drift_tvd_oracle_sql("events", "value", "user_id % 2 = 0", bin_cents=500)
+
+
+@register(
+    "profile_drift_tvd",
+    sql=_drift_oracle(),
+    doc="Distribution drift between two corpus slices (even vs odd user "
+    "cohorts) as an exact per-bin total-variation decomposition "
+    "(operators/profile.distribution_drift_tvd): tvd contribution per "
+    "5-unit value bin = 1e6*|a*NB - b*NA| div (2*NA*NB) in "
+    "decimal(38,0)/HUGEINT — the log-free drift score PSI/KL can't deliver "
+    "exactly.  One partial-aggregable histogram groupBy + a 1-row totals "
+    "broadcast; map-only arithmetic after.",
+)
+def profile_drift_tvd(spark, sf_dir):
+    from ..operators.profile import distribution_drift_tvd
+
+    return distribution_drift_tvd(
+        _t(spark, sf_dir, "events"), "value", F.col("user_id") % 2 == 0, bin_cents=500
+    )

@@ -535,3 +535,15 @@ def test_mrl_rerank_coarse_stage_is_heap_not_sort(spark):
     plan = _plan(spark, "sim_mrl_rerank")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_drift_tvd_is_one_histogram_aggregation(spark):
+    """The drift scan folds the slice into conditional sums: one
+    partial-aggregable exchange on the bin id plus the 1-row totals
+    aggregation — never a per-slice scan pair or a join of two histograms."""
+    plan = _plan(spark, "profile_drift_tvd")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2, "bin groupBy + histogram-sized totals window only"
+    assert "Join" not in plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 1, "one scan, side folded as a conditional"
