@@ -86,6 +86,7 @@ HEADLINE = [
     "g25_weighted_median",   # single-shuffle cumulative-weight median
     "sim_mrl_rerank",        # prefix-dim coarse heap + shortlist re-rank
     "profile_drift_tvd",     # one-scan histogram TVD drift decomposition
+    "training_prep_e2e",     # gate -> dedup -> cap -> split token funnel
 ]
 
 

@@ -423,3 +423,107 @@ def profile_drift_tvd(spark, sf_dir):
     return distribution_drift_tvd(
         _t(spark, sf_dir, "events"), "value", F.col("user_id") % 2 == 0, bin_cents=500
     )
+
+
+# ---------------------------------------------------------------------------
+# flagship composition: the training-prep pipeline end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _training_prep_oracle() -> str:
+    from ..operators.sampling import hash_fraction_hex
+
+    qfilter = (
+        "NOT (n_tok < 20 OR n_chars > 100000 "
+        "OR (n_alpha + n_digit) < 2 * n_tok "
+        "OR (n_alpha + n_digit) > 12 * n_tok "
+        "OR 10 * n_alpha < 6 * n_chars)"
+    )
+    stage = (
+        "SELECT {o} AS stage_ord, '{s}' AS stage, count(*) AS n_docs, "
+        "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM {t}"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, source,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        x -> length(x) > 0)) AS n_tok,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ),
+    q AS (SELECT doc_id, text, source, n_tok FROM base WHERE {qfilter}),
+    exk AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text)),
+    ex AS (SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM exk)),
+    cnt AS (SELECT source, count(*) AS src_n FROM ex GROUP BY source),
+    cap AS (
+      SELECT ex.* FROM ex JOIN cnt USING (source)
+      WHERE src_n <= 15
+         OR substr(sha256('tp1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', (15 * 4294967296) // src_n)
+    ),
+    tr AS (
+      SELECT * FROM cap
+      WHERE substr(sha256('tpsplit:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{hash_fraction_hex(0.9)}'
+    )
+    {stage.format(o=1, s="raw", t="base")}
+    UNION ALL {stage.format(o=2, s="quality", t="q")}
+    UNION ALL {stage.format(o=3, s="exact_dedup", t="ex")}
+    UNION ALL {stage.format(o=4, s="source_cap", t="cap")}
+    UNION ALL {stage.format(o=5, s="train_split", t="tr")}
+    """
+
+
+@register(
+    "training_prep_e2e",
+    sql=_training_prep_oracle(),
+    doc="The composed TRAINING-PREP pipeline, end-to-end (the curation_e2e "
+    "companion that ends in training artifacts rather than a clean corpus): "
+    "quality gate -> exact dedup (min-id keeper per sha256) -> source cap "
+    "15 (domain rebalancing, hash-deterministic) -> 90/5/5 hash split, "
+    "train shard out.  Returns the attrition funnel with BOTH doc counts "
+    "and whitespace-token mass per stage — the token-budget view a "
+    "training-mix owner actually reads.  Survivors persist once per "
+    "compound stage; every stage reuses the registry operator it "
+    "corresponds to (text_quality_gate / dedup_exact / sample_source_cap / "
+    "sample_hash_split).",
+)
+def training_prep_e2e(spark, sf_dir):
+    from ..functions.text import token_count_ws
+    from ..operators.sampling import hash_split, source_cap
+    from ..operators.textops import quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "source", token_count_ws(F.col("text")).alias("n_tok")
+    )
+    g = quality_gate(docs, "text", "doc_id").where(F.col("kept")).select("doc_id")
+    q = base.join(g, "doc_id", "left_semi")
+    exk = (
+        q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ex = q.join(exk, "doc_id", "left_semi").persist()
+    capk = (
+        source_cap(ex, "doc_id", "source", cap=15, salt="tp1")
+        .where(F.col("kept"))
+        .select("doc_id")
+    )
+    cap = ex.join(capk, "doc_id", "left_semi").persist()
+    tr = hash_split(cap, "doc_id", "tpsplit", train=0.9, val=0.05).where(
+        F.col("split") == "train"
+    )
+    stages = [("raw", base), ("quality", q), ("exact_dedup", ex), ("source_cap", cap), ("train_split", tr)]
+    out = None
+    for i, (name, sdf) in enumerate(stages, 1):
+        row = sdf.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
+        ).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_docs", "n_tokens"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
