@@ -125,6 +125,12 @@ def main():
                 timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
             else:
                 cold_total += elapsed
+            # queries that persist() intermediates (the e2e funnels, CC)
+            # cache inside their own timed run; drop those entries afterward
+            # so ~180 query executions cannot accumulate heap pressure —
+            # the cache is never shared across queries, so timings are
+            # unaffected
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -330,21 +330,35 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     id_col: str,
+    bin_cents: int = 500,
 ) -> DataFrame:
     """Per-group exact WEIGHTED (lower) median: the smallest value v such
-    that the cumulative weight of rows with value <= v reaches half the
-    group's total weight (2*cumw >= total in integers — no halves).  The
+    that the cumulative weight of values <= v reaches half the group's
+    total weight (2*cumw >= total in integers — no halves).  The
     token-weighted statistic training-corpus dashboards need ("median
     document quality BY TOKEN MASS, not by document count"): a million empty
     docs can drag a plain median but carry no token weight.
 
-    Integer-exact: values quantize to int64 cents, weights are int64; the
-    cumulative sum runs over the (value, id) total order, so WHICH row
-    crosses the half-mass boundary is a pure function of the data —
-    independent of intra-value tie order, since the crossing row of a
-    value-run determines the same v on any engine.  One hash shuffle on the
-    group key; the cumulative window and final min-aggregation both reuse
-    that partitioning (same single-exchange layout as trimmed_mean).
+    HISTOGRAM-REFINE shape (the scale story): a raw-row cumulative window
+    partitioned by a LOW-cardinality group buffers millions of rows in a
+    single window task (a 20M-row partition at 60M-row scale — observed heap
+    exhaustion).  Instead: (1) ONE partial-aggregable histogram groupBy on
+    (grp, v div bin_cents) — tiny; (2) per-group bin-level cumulative window
+    over the HISTOGRAM locates the crossing bin (the first bin whose
+    cumulative weight reaches half) — bins-per-group rows, never raw rows;
+    (3) a value-level aggregation over ONLY the crossing bin's rows
+    (broadcast-joined crossing frame prunes the second scan's shuffle to
+    <= bin_cents distinct values per group) finds the exact crossing value.
+    Every shuffle is partial-aggregable; every window partition is
+    histogram- or bin-sized.
+
+    Integer-exact: values quantize to int64 cents, weights are int64, and
+    the result depends only on value-level cumulative weights (run-end
+    sums), so the deliberately-different DuckDB oracle — a straightforward
+    row-level cumulative window over the (value, id) total order — derives
+    the IDENTICAL median independently: two derivations, one hash.
+    Domain: non-negative values (`div` vs `//` floor agreement; see
+    trimmed_mean's note).
     """
     from pyspark.sql import Window
 
@@ -353,19 +367,54 @@ def weighted_median(
         F.col(group_col).alias("grp"),
         v.alias("v"),
         F.col(weight_col).cast("long").alias("wt"),
-        F.col(id_col).alias("id"),
+    ).select("grp", "v", "wt", F.expr(f"v div {bin_cents}").alias("bin"))
+
+    hist = src.groupBy("grp", "bin").agg(F.sum("wt").alias("binw"))
+    wg = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "bin",
+        "binw",
+        F.sum("binw").over(wg.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_end"
+        ),
+        F.sum("binw").over(wg).alias("total_weight"),
     )
-    w = Window.partitionBy("grp")
-    cum = src.select(
+    crossing = (
+        cum.where(2 * F.col("cum_end") >= F.col("total_weight"))
+        .groupBy("grp")
+        .agg(
+            F.min_by(F.struct("bin", "cum_end", "binw"), "bin").alias("c"),
+            F.max("total_weight").alias("total_weight"),
+        )
+        .select(
+            F.col("grp").alias("xgrp"),
+            F.col("c.bin").alias("xbin"),
+            (F.col("c.cum_end") - F.col("c.binw")).alias("cum_before"),
+            "total_weight",
+        )
+    )
+    inbin = (
+        src.join(
+            F.broadcast(crossing),
+            (F.col("grp") == F.col("xgrp")) & (F.col("bin") == F.col("xbin")),
+        )
+        .select("grp", "v", "wt", "cum_before", "total_weight")
+        .groupBy("grp", "v", "cum_before", "total_weight")
+        .agg(F.sum("wt").alias("vw"))
+    )
+    wv = Window.partitionBy("grp")
+    vcum = inbin.select(
         "grp",
         "v",
-        F.sum("wt").over(w.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cumw"
-        ),
-        F.sum("wt").over(w).alias("total_weight"),
+        "total_weight",
+        (
+            F.col("cum_before")
+            + F.sum("vw").over(wv.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cumv"),
     )
     return (
-        cum.where(2 * F.col("cumw") >= F.col("total_weight"))
+        vcum.where(2 * F.col("cumv") >= F.col("total_weight"))
         .groupBy(F.col("grp").alias(group_col))
         .agg(
             F.min("v").alias("w_median_cents"),

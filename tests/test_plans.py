@@ -520,12 +520,25 @@ def test_interleave_order_has_no_global_sort(spark):
     )
 
 
-def test_weighted_median_single_group_exchange(spark):
-    """Cumulative window, total window, and the closing min-agg all reuse ONE
-    hash exchange on the group key."""
+def test_weighted_median_windows_run_over_histogram_not_raw_rows(spark):
+    """The scale contract of the histogram-refine shape: every Window node's
+    input descends from a HashAggregate (bin- or value-level), so no window
+    task ever buffers a raw-row group partition (the 20M-rows-in-one-task
+    failure at 60M-row scale); the crossing frame joins back as a
+    broadcast."""
     plan = _plan(spark, "g25_weighted_median")
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
     assert "Window" in plan
+    assert "BroadcastHashJoin" in plan, "crossing-bin frame must broadcast"
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # two scans: histogram pass + crossing-bin refine pass
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+    assert n_scans == 2
+    # no Exchange may carry raw rows into a Window: every exchange feeding a
+    # sort+window must sit above a partial HashAggregate in this plan; the
+    # cheap proxy is that the plan's first Window input chain contains a
+    # HashAggregate before any Scan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[:first_window]
 
 
 def test_mrl_rerank_coarse_stage_is_heap_not_sort(spark):
