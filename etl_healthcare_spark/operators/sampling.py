@@ -447,6 +447,7 @@ def score_calibration(
     id_col: str,
     source_col: str,
     keep_ppm: int = 700_000,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """Calibrate a per-document quality score WITHIN each source before
     applying one global threshold — the fix for "a 60th-percentile doc in a
@@ -463,7 +464,14 @@ def score_calibration(
     rule: windows only over aggregated tables); (3) the per-(source, score)
     pct map broadcast-joins back onto the doc stream — map-only assignment.
     The score here is the whitespace-free token count; any integer doc
-    score (classifier millis, LM ppm) slots into the same plan."""
+    score (classifier millis, LM ppm) slots into the same plan.
+
+    The broadcast is safe while |sources| x |distinct scores| stays small
+    (token counts here: ~1e5 pairs).  A wide score domain (e.g. raw
+    classifier millis across many sources, ~|sources| x 1e6 pairs) would
+    blow the broadcast threshold — pass ``broadcast_map=False`` to let the
+    planner fall back to a shuffled hash join on (source, score); the rest
+    of the plan is unchanged."""
     from pyspark.sql import Window
 
     from ..functions.text import tokens
@@ -494,8 +502,9 @@ def score_calibration(
             ).alias("pct_ppm"),
         )
     )
+    cum = F.broadcast(cum) if broadcast_map else cum
     return (
-        docs.join(F.broadcast(cum), ["src", "score"])
+        docs.join(cum, ["src", "score"])
         .select(
             F.col(id_col),
             F.col("src").alias(source_col),
@@ -578,6 +587,12 @@ def prototype_prune(
     ]
     protos.sort()
     assert protos, "proto_pred selected no prototype rows"
+    for _pid, qp in protos:
+        # a zero-norm prototype makes the `d^2 * 1e6 div |p|^2` surrogate
+        # divide by zero — NULL rank keys in BOTH engines, i.e. an undefined
+        # argmax that silently diverges; fail fast like mrl_rerank does for
+        # zero-norm queries
+        assert sum(v * v for v in qp) > 0, f"prototype {_pid} has zero norm"
 
     d_cols = []
     for i, (_pid, qp) in enumerate(protos):
@@ -705,18 +720,24 @@ def interleave_order(
     Collision-free: distinct sources get distinct residues mod n_sources,
     so global_order is injective across the corpus.  Exact integers,
     (difficulty, id) total order per source — the oracle reproduces every
-    position bit-for-bit.
+    position bit-for-bit.  NULL sources coalesce to the 'unk' sentinel (as
+    mixture_plan does) so the order is genuinely TOTAL: an equi-join on a
+    NULL source would silently drop those rows in both engines.
     """
     from pyspark.sql import Window
 
     diff = difficulty_col if not isinstance(difficulty_col, str) else F.col(difficulty_col)
-    base = df.select(F.col(id_col), F.col(source_col), diff.alias("difficulty"))
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(F.col(source_col), F.lit("unk")).alias(source_col),
+        diff.alias("difficulty"),
+    )
     rk = F.row_number().over(
         Window.partitionBy(source_col).orderBy(F.col("difficulty").asc(), F.col(id_col).asc())
     )
     ranked = base.withColumn("rk", rk)
     srcs = (
-        df.select(F.col(source_col)).distinct()
+        base.select(F.col(source_col)).distinct()
         .withColumn("src_idx", F.row_number().over(Window.orderBy(F.col(source_col))) - 1)
     )
     n_src = srcs.groupBy().agg(F.count(F.lit(1)).alias("n_sources"))
@@ -738,19 +759,24 @@ def interleave_order(
 def interleave_order_oracle_sql(
     id_col: str, source_col: str, difficulty_sql: str, src: str = "documents"
 ) -> str:
-    """DuckDB twin of interleave_order."""
+    """DuckDB twin of interleave_order (same NULL->'unk' coalesce)."""
     return f"""
-    WITH ranked AS (
-      SELECT {id_col}, {source_col}, {difficulty_sql} AS difficulty,
-             row_number() OVER (PARTITION BY {source_col}
-                                ORDER BY {difficulty_sql} ASC, {id_col} ASC) AS rk
+    WITH base AS (
+      SELECT {id_col}, coalesce({source_col}, 'unk') AS {source_col},
+             {difficulty_sql} AS difficulty
       FROM {src}
+    ),
+    ranked AS (
+      SELECT {id_col}, {source_col}, difficulty,
+             row_number() OVER (PARTITION BY {source_col}
+                                ORDER BY difficulty ASC, {id_col} ASC) AS rk
+      FROM base
     ),
     srcs AS (
       SELECT {source_col},
              row_number() OVER (ORDER BY {source_col}) - 1 AS src_idx,
              count(*) OVER () AS n_sources
-      FROM (SELECT DISTINCT {source_col} FROM {src})
+      FROM (SELECT DISTINCT {source_col} FROM base)
     )
     SELECT r.{id_col}, r.{source_col}, r.difficulty, CAST(r.rk AS INTEGER) AS rk,
            CAST(s.src_idx AS INTEGER) AS src_idx, s.n_sources,

@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, hyperplane_bucket
 
 
+def _query_rows(vecs: DataFrame, id_col: str, query_pred) -> DataFrame:
+    """Rows of ``vecs`` (internal columns ``id``, ...) matching ``query_pred``,
+    with the predicate evaluated against the CALLER's ``id_col`` name: the
+    natural call site writes ``F.col("vec_id") % 97 == 0`` (the name it
+    actually passed as id_col), not the operator's private ``id`` alias."""
+    if id_col == "id":
+        return vecs.where(query_pred)
+    return (
+        vecs.withColumnRenamed("id", id_col)
+        .where(query_pred)
+        .withColumnRenamed(id_col, "id")
+    )
+
+
 def topk_cosine(
     df: DataFrame, vec_col: str, id_col: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
@@ -225,10 +239,10 @@ def knn_blocked(
     cell-keyed tasks; at 100 TB the corpus side is the partitioned IVF index
     (ivf_build_index) and each cell task reads one partition.
 
-    ``query_pred`` is a Column predicate over the ``id`` column selecting the
-    query batch OUT OF the corpus — both sides must share one int8
-    quantization grid (separate grids would put queries in a different metric
-    space than the corpus they probe).
+    ``query_pred`` is a Column predicate over the caller's ``id_col`` column
+    selecting the query batch OUT OF the corpus — both sides must share one
+    int8 quantization grid (separate grids would put queries in a different
+    metric space than the corpus they probe).
 
     Metric: exact int8-space squared L2 (same as ivf_probe) — every distance,
     assignment, and tiebreak is exact integer arithmetic, so the blocked join
@@ -246,7 +260,7 @@ def knn_blocked(
         F.col("id").alias("neighbor_id"), F.col("qv").alias("nqv"), F.col("cluster").alias("cell")
     )
     # each query probes its nprobe nearest cells (by exact int distance)
-    qvecs = vecs.where(query_pred)
+    qvecs = _query_rows(vecs, id_col, query_pred)
     qcells = (
         qvecs.crossJoin(F.broadcast(c1))
         .select(
@@ -557,7 +571,7 @@ def range_search(
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
     )
-    queries = vecs.where(query_pred).select(
+    queries = _query_rows(vecs, id_col, query_pred).select(
         F.col("id").alias("query_id"), F.col("qv").alias("qq")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
@@ -642,7 +656,7 @@ def ann_recall_report(
         quantize_vec(F.col(vec_col), scale).alias("qv"),
         hyperplane_bucket_exact(F.col(vec_col), planes, scale).alias("bucket"),
     )
-    queries = b.where(query_pred).select(
+    queries = _query_rows(b, id_col, query_pred).select(
         F.col("id").alias("query_id"), F.col("qv").alias("qq"), F.col("bucket").alias("qbucket")
     )
     pairs = b.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("query_id"))
@@ -786,7 +800,7 @@ def hard_negatives(
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
     )
-    queries = vecs.where(query_pred).select(
+    queries = _query_rows(vecs, id_col, query_pred).select(
         F.col("id").alias("anchor_id"), F.col("qv").alias("qq")
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731

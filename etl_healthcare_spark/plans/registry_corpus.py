@@ -206,7 +206,7 @@ def sim_hard_negatives(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
+        query_pred=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000),
         lo_ppm=300_000,
         hi_ppm=800_000,
         k=5,

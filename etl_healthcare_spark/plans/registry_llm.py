@@ -386,7 +386,7 @@ def sim_knn_blocked(spark, sf_dir):
     from ..operators.similarity import knn_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_blocked(emb, "embedding", "vec_id", F.col("id") < 16, k=3, ncells=8, nprobe=4)
+    return knn_blocked(emb, "embedding", "vec_id", F.col("vec_id") < 16, k=3, ncells=8, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

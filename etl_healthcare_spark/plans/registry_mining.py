@@ -288,7 +288,7 @@ def sim_range_search(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         "embedding",
         "vec_id",
-        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
+        query_pred=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000),
         tau_ppm=200_000,
         scale=1_000,
     )
@@ -630,7 +630,7 @@ def sim_recall_report(spark, sf_dir):
         emb,
         "embedding",
         "vec_id",
-        query_pred=(F.col("id") % 97 == 0) & (F.col("id") < 1000),
+        query_pred=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000),
         planes=planes,
         k=10,
     )

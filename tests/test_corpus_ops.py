@@ -134,7 +134,7 @@ def test_hard_negatives_band_excludes_positives_and_far(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = hard_negatives(
-        df, "embedding", "vec_id", query_pred=F.col("id") == 0,
+        df, "embedding", "vec_id", query_pred=F.col("vec_id") == 0,
         lo_ppm=300_000, hi_ppm=800_000, k=5,
     ).collect()
     assert [(r.anchor_id, r.negative_id) for r in out] == [(0, 2)]

@@ -356,7 +356,7 @@ def _knn_blocked_recall(spark, emb, ncells, nprobe, n_queries=16, k=3):
     from etl_healthcare_spark.operators.similarity import knn_blocked
 
     got = knn_blocked(
-        emb, "embedding", "vec_id", F.col("id") < n_queries, k=k, ncells=ncells, nprobe=nprobe
+        emb, "embedding", "vec_id", F.col("vec_id") < n_queries, k=k, ncells=ncells, nprobe=nprobe
     ).collect()
     qv = dict(quantized_vectors(emb, "embedding", "vec_id").collect())
     hits = total = 0

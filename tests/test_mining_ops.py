@@ -186,7 +186,7 @@ def test_range_search_threshold_boundary(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
     out = range_search(
-        df, "embedding", "vec_id", query_pred=F.col("id") == 0, tau_ppm=500_000
+        df, "embedding", "vec_id", query_pred=F.col("vec_id") == 0, tau_ppm=500_000
     ).collect()
     got = sorted((r["query_id"], r["id"]) for r in out)
     assert got == [(0, 1), (0, 3)]
@@ -429,7 +429,7 @@ def test_ann_recall_planted_clusters(spark):
     out = {
         r["query_id"]: r
         for r in ann_recall_report(
-            df, "embedding", "vec_id", query_pred=F2.col("id").isin(0, 100), planes=planes, k=3
+            df, "embedding", "vec_id", query_pred=F2.col("vec_id").isin(0, 100), planes=planes, k=3
         ).collect()
     }
     assert out[0]["recall_ppm"] == 1_000_000 and out[100]["recall_ppm"] == 1_000_000
@@ -455,7 +455,7 @@ def test_ann_recall_detects_bucket_loss(spark):
     out = {
         r["query_id"]: r
         for r in ann_recall_report(
-            df, "embedding", "vec_id", query_pred=F2.col("id") == 0,
+            df, "embedding", "vec_id", query_pred=F2.col("vec_id") == 0,
             planes=[[1.0, 0.0, 0.0, 0.0]], k=2
         ).collect()
     }

@@ -105,3 +105,40 @@ def test_weighted_median_crosses_half_total_weight(spark):
     out = {r.grp: r for r in weighted_median(df, "grp", "value", "wt", "id").collect()}
     assert out["x"].w_median_cents == 300 and out["x"].total_weight == 12
     assert out["y"].w_median_cents == 500 and out["y"].total_weight == 2
+
+
+def test_interleave_order_keeps_null_source_rows_as_unk(spark):
+    # ADVICE r3: a NULL source must not fall out of the "total training
+    # order" — it coalesces to the 'unk' sentinel (mixture_plan's rule)
+    rows = [(1, "a", 10), (2, None, 5), (3, "a", 7), (4, None, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r for r in interleave_order(df, "doc_id", "source", "n_chars").collect()}
+    assert len(out) == 4, "NULL-source rows must stay in the order"
+    assert out[2].source == "unk" and out[4].source == "unk"
+    orders = sorted(r.global_order for r in out.values())
+    assert len(set(orders)) == 4
+    # 'unk' sorts after 'a': src_idx a=0, unk=1; easiest-first within unk
+    assert out[2].global_order < out[4].global_order
+
+
+def test_prototype_prune_rejects_zero_norm_prototype(spark):
+    import pytest
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(AssertionError, match="zero norm"):
+        prototype_prune(df, "embedding", "vec_id", F.col("vec_id") == 0)
+
+
+def test_hard_negatives_pred_uses_caller_id_name(spark):
+    # ADVICE r3: query_pred written against the column name the caller
+    # actually passed (vec_id), not the operator's private alias
+    from etl_healthcare_spark.operators.similarity import hard_negatives
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negatives(
+        df, "embedding", "vec_id", query_pred=F.col("vec_id") == 0,
+        lo_ppm=300_000, hi_ppm=800_000, k=5,
+    ).collect()
+    assert [(r.anchor_id, r.negative_id) for r in out] == [(0, 1)]
