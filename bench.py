@@ -87,6 +87,14 @@ HEADLINE = [
     "sim_mrl_rerank",        # prefix-dim coarse heap + shortlist re-rank
     "profile_drift_tvd",     # one-scan histogram TVD drift decomposition
     "training_prep_e2e",     # gate -> dedup -> cap -> split token funnel
+    # round-4 prep batch
+    "corpus_novelty",        # whole-corpus first-occurrence novelty (2 aggs)
+    "sample_token_shards",   # exact global cumsum via bucket-prefix windows
+    "sample_cluster_weighted",  # minhash-CC cluster sizes -> sampling weights
+    "profile_fk_orphans",    # 5-relation anti-join referential audit
+    "profile_embedding_drift",  # one posexplode agg, per-dim centroid delta
+    "graph_common_neighbors",  # in-bucket wedge expansion + anti-join
+    "j5c_asof_tolerance",    # union+window as-of with tolerance (1 shuffle)
 ]
 
 

@@ -168,33 +168,53 @@ def iqr_outlier_stats(
     is a pure integer function of the input.  ``value_col`` must already be
     integer (fixed-point) units.
 
-    Scale: one partition-shuffle window (rank within group) + one
-    group-sized aggregate; output is |groups| rows.  The same shape as
-    g11_median with the quartile rank made explicit.
+    HISTOGRAM shape (weighted_median's scale rule): the value at rank r
+    under any (v, id) order is the smallest v whose cumulative count reaches
+    r, so NOTHING here needs a raw-row window — (1) one partial-aggregable
+    groupBy(g, v) histogram; (2) the cumulative window runs over the
+    HISTOGRAM (|g| x |distinct v| rows, never raw rows); (3) quartiles fall
+    out as conditional mins over the cumulated histogram, and the fence
+    counts aggregate the SAME histogram against the broadcast quartile
+    frame — the raw data is scanned exactly once.  (``id_col`` is kept for
+    API compatibility; rank-selected VALUES never depended on the id
+    tiebreak.)
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("g").orderBy("v", "i")
-    ranked = (
-        df.select(
-            F.col(group_col).alias("g"), F.col(value_col).alias("v"), F.col(id_col).alias("i")
-        )
-        .withColumn("r", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    hist = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = ranked.groupBy("g").agg(
+    wg = Window.partitionBy("g")
+    cum = hist.select(
+        "g",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    q = cum.groupBy("g").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("r") == F.expr("(n + 3) DIV 4"), F.col("v")).otherwise(None)).alias("q1"),
-        F.max(F.when(F.col("r") == F.expr("(n + 1) DIV 2"), F.col("v")).otherwise(None)).alias("med"),
-        F.max(F.when(F.col("r") == F.expr("(3 * n + 3) DIV 4"), F.col("v")).otherwise(None)).alias("q3"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v"))).alias("med"),
+        F.min(F.when(F.col("cum") >= F.expr("(3 * n + 3) DIV 4"), F.col("v"))).alias("q3"),
     )
     flagged = (
-        ranked.join(q.select("g", "q1", "q3"), "g")
+        hist.join(F.broadcast(q.select("g", "q1", "q3")), "g")
         .withColumn("iqr", F.col("q3") - F.col("q1"))
         .groupBy("g")
         .agg(
-            F.sum((2 * F.col("v") < 2 * F.col("q1") - 3 * F.col("iqr")).cast("long")).alias("n_low"),
-            F.sum((2 * F.col("v") > 2 * F.col("q3") + 3 * F.col("iqr")).cast("long")).alias("n_high"),
+            F.sum(
+                F.when(2 * F.col("v") < 2 * F.col("q1") - 3 * F.col("iqr"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_low"),
+            F.sum(
+                F.when(2 * F.col("v") > 2 * F.col("q3") + 3 * F.col("iqr"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_high"),
         )
     )
     return (
@@ -410,10 +430,17 @@ def mad_flags(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Dat
     enters as the exact integer cross-multiply 10000*dev > 44478*mad — no
     float boundary.
 
-    Both medians are RANK-exact lower medians (r = (n+1)//2), computed with
-    the same window shape as anomaly_seasonal/anomaly_iqr: two per-group
-    ordered windows over the (already small) per-group value lists, one
-    broadcast join back over a map-only flagging pass.  Emits
+    Both medians are RANK-exact lower medians (r = (n+1)//2).  HISTOGRAM
+    shape (anomaly_iqr's scale rule — the raw-row windows here were the
+    sf1.0 heap hot spot): the lower median is the smallest value whose
+    cumulative count reaches (n+1)//2, so (1) one partial-aggregable
+    groupBy(grp, v) histogram feeds a cumulative window over the HISTOGRAM
+    for the value median; (2) the DEVIATION histogram is derived from the
+    same value histogram (|v - med| re-aggregated — histogram-sized, no
+    second raw pass) and cumulated the same way for the MAD; (3) one
+    map-only flagging scan over the raw rows against the broadcast
+    (med, mad) frame.  Raw data: one histogram shuffle + one scan — no
+    raw-row window at any group cardinality.  Emits
     (grp, id, v_cents, med, mad).
     """
     from pyspark.sql import Window
@@ -422,31 +449,33 @@ def mad_flags(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Dat
     src = df.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("id"), v.alias("v_cents")
     )
-    w1 = Window.partitionBy("grp").orderBy("v_cents", "id")
-    ranked = src.select(
-        "grp",
-        "v_cents",
-        F.row_number().over(w1).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    hist = src.groupBy("grp", "v_cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy("grp")
+
+    def lower_median(h: DataFrame, val: str, out: str) -> DataFrame:
+        cum = h.select(
+            "grp",
+            F.col(val),
+            F.sum("cnt")
+            .over(wg.orderBy(val).rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cnt").over(wg).alias("n"),
+        )
+        return cum.groupBy("grp").agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(val))).alias(out)
+        )
+
+    med = lower_median(hist, "v_cents", "med")
+    dev_hist = (
+        hist.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("v_cents") - F.col("med")).alias("dev"), "cnt")
+        .groupBy("grp", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    med = ranked.where(F.col("r") == F.expr("(n + 1) div 2")).select(
-        "grp", F.col("v_cents").alias("med")
-    )
-    dev = src.join(F.broadcast(med), "grp").withColumn(
-        "dev", F.abs(F.col("v_cents") - F.col("med"))
-    )
-    w2 = Window.partitionBy("grp").orderBy("dev", "id")
-    dranked = dev.select(
-        "grp",
-        "dev",
-        F.row_number().over(w2).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
-    )
-    mad = dranked.where(F.col("r") == F.expr("(n + 1) div 2")).select(
-        "grp", F.col("dev").alias("mad")
-    )
+    mad = lower_median(dev_hist, "dev", "mad")
     return (
-        dev.join(F.broadcast(mad), "grp")
+        src.join(F.broadcast(med.join(mad, "grp")), "grp")
+        .withColumn("dev", F.abs(F.col("v_cents") - F.col("med")))
         .where(F.lit(10000) * F.col("dev") > F.lit(44478) * F.col("mad"))
         .select("grp", "id", "v_cents", "med", "mad")
     )

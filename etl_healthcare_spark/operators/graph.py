@@ -301,3 +301,88 @@ def kcore_oracle_sql(edges_cte: str, k: int = 3, rounds: int = 4) -> str:
     {','.join(ctes)}
     SELECT a AS node, count(*) AS deg FROM e{rounds} GROUP BY a HAVING count(*) >= {k}
     """
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_deg: int = 64,
+    min_cn: int = 2,
+) -> DataFrame:
+    """LINK PREDICTION by common-neighbor count: for every NON-adjacent node
+    pair (u < v) sharing at least ``min_cn`` neighbors, the number of shared
+    neighbors — the classic "people you may know" / related-entity score
+    (Liben-Nowell & Kleinberg's strongest simple baseline), and the graph
+    twin of related_docs (shared rare features there, shared neighbors
+    here).
+
+    Scale shape: candidate pairs expand IN-BUCKET from each apex's
+    collected neighbor list (the dedup_minhash_lsh rule — never an open
+    wedge self-join); apexes with degree > ``max_deg`` are EXCLUDED
+    (documented contract: a hub's wedge set is d^2 and its common-neighbor
+    signal is weak — the same hub-cap reasoning as the LSH mega-bucket
+    drop), so pair volume is bounded by max_deg x |edges|.  One adjacency
+    groupBy, one pair groupBy, one left-anti join against the (canonical,
+    distinct) edge list to keep only NON-adjacent pairs.  Exact integer
+    counts, (u < v) canonical output."""
+    e = (
+        edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    adj = (
+        und.groupBy("n")
+        .agg(F.collect_list("nbr").alias("nbrs"))
+        .where(F.size("nbrs") <= max_deg)
+    )
+    pairs = (
+        adj.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "nbrs",
+                        lambda x: F.transform(
+                            "nbrs", lambda y: F.struct(x.alias("u"), y.alias("v"))
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p.u") < F.col("p.v"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    )
+    cn = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
+    # the edge list descends from an aggregation (tiny static estimate) but
+    # grows with the graph — never broadcast it (SCALE.md §11)
+    return (
+        cn.where(F.col("n_common") >= min_cn)
+        .join(e.hint("shuffle_hash"), ["u", "v"], "left_anti")
+        .select("u", "v", "n_common")
+    )
+
+
+def common_neighbors_oracle_sql(edges_cte: str, max_deg: int = 64, min_cn: int = 2) -> str:
+    """DuckDB twin of common_neighbors over the same ``raw(s, t)`` edge CTE
+    (wedge join derivation instead of in-bucket expansion — two independent
+    constructions, one hash)."""
+    return f"""
+    WITH {edges_cte},
+    e AS (
+      SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM raw WHERE s <> t
+    ),
+    und AS (SELECT u AS n, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+    kept AS (SELECT und.n, und.nbr FROM und JOIN deg USING (n) WHERE deg.d <= {max_deg}),
+    cn AS (
+      SELECT w1.nbr AS u, w2.nbr AS v, count(*) AS n_common
+      FROM kept w1 JOIN kept w2 ON w1.n = w2.n AND w1.nbr < w2.nbr
+      GROUP BY w1.nbr, w2.nbr
+    )
+    SELECT u, v, n_common FROM cn
+    WHERE n_common >= {min_cn}
+      AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+    """

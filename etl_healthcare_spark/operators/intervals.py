@@ -83,3 +83,105 @@ def interval_overlap_oracle_sql(iv_cte: str) -> str:
     FROM iv a JOIN iv b
       ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
     """
+
+
+def asof_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    tolerance_us: int,
+    direction: str = "backward",
+) -> DataFrame:
+    """AS-OF join with a MATCH TOLERANCE and a direction — the full pandas
+    merge_asof / kdb aj surface on top of j5b's basic backward as-of:
+    ``backward`` pairs each left row with the LATEST right row at-or-before
+    its timestamp, ``forward`` with the EARLIEST at-or-after, and a match
+    farther than ``tolerance_us`` microseconds away is discarded (emitted
+    with NULL right id — sensor fusion and trade/quote alignment need the
+    miss row, not a dropped row).
+
+    Shape (the j5b pattern, never a range self-join): union-tag both sides,
+    ONE window partitioned by the join key ordered by (ts, side, right id) —
+    the explicit right-id tiebreak makes equal-timestamp right rows a TOTAL
+    order, so the carried match is deterministic (latest/earliest by (ts,
+    id)) — then a map-only tolerance filter.  One shuffle on the key; the
+    window carries two last()/first() ignoreNulls columns.
+
+    Output (left id, right id | NULL, gap_us | NULL, matched)."""
+    from pyspark.sql import Window as W
+
+    backward = direction == "backward"
+    assert direction in ("backward", "forward")
+    tagged = left.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(left_id).alias("l_id"),
+        F.lit(None).cast("long").alias("r_id"),
+    ).unionByName(
+        right.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.lit(None).cast("long").alias("l_id"),
+            F.col(right_id).alias("r_id"),
+        )
+    )
+    # backward: right rows sort BEFORE left at equal ts (>= is inclusive);
+    # forward: right rows sort AFTER left (<= inclusive via first() lookahead)
+    side = F.when(F.col("r_id").isNotNull(), F.lit(0) if backward else F.lit(1)).otherwise(
+        F.lit(1) if backward else F.lit(0)
+    )
+    w = W.partitionBy("k").orderBy("ts", side.asc(), F.coalesce("r_id", F.lit(-1)))
+    w = (
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        if backward
+        else w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pick = (lambda c: F.last(c, ignorenulls=True)) if backward else (
+        lambda c: F.first(c, ignorenulls=True)
+    )
+    m = tagged.withColumn("m_id", pick(F.col("r_id")).over(w)).withColumn(
+        "m_ts", pick(F.when(F.col("r_id").isNotNull(), F.col("ts"))).over(w)
+    )
+    gap = F.abs(F.unix_micros("ts") - F.unix_micros("m_ts"))
+    in_tol = F.col("m_id").isNotNull() & (gap <= tolerance_us)
+    return m.where(F.col("l_id").isNotNull()).select(
+        F.col("l_id").alias(left_id),
+        F.when(in_tol, F.col("m_id")).alias(right_id),
+        F.when(in_tol, gap).alias("gap_us"),
+        in_tol.alias("matched"),
+    )
+
+
+def asof_tolerance_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    key_col: str,
+    ts_col: str,
+    left_id: str,
+    right_id: str,
+    tolerance_us: int,
+    direction: str = "backward",
+) -> str:
+    """DuckDB twin of asof_tolerance_join via a correlated LATERAL argmax —
+    a per-left-row derivation instead of the union+window carry."""
+    cmp_, ord_ = (" <= ", "DESC") if direction == "backward" else (" >= ", "ASC")
+    return f"""
+    WITH l AS ({left_sql}), r AS ({right_sql}),
+    m AS (
+      SELECT l.{left_id}, c.{right_id} AS m_id,
+             abs(epoch_us(l.{ts_col}) - epoch_us(c.{ts_col})) AS gap_us
+      FROM l LEFT JOIN LATERAL (
+        SELECT r.{right_id}, r.{ts_col} FROM r
+        WHERE r.{key_col} = l.{key_col} AND r.{ts_col}{cmp_}l.{ts_col}
+        ORDER BY r.{ts_col} {ord_}, r.{right_id} {ord_} LIMIT 1
+      ) c ON TRUE
+    )
+    SELECT {left_id},
+           CASE WHEN m_id IS NOT NULL AND gap_us <= {tolerance_us} THEN m_id END AS {right_id},
+           CASE WHEN m_id IS NOT NULL AND gap_us <= {tolerance_us} THEN gap_us END AS gap_us,
+           coalesce(m_id IS NOT NULL AND gap_us <= {tolerance_us}, FALSE) AS matched
+    FROM m
+    """

@@ -196,3 +196,148 @@ def drift_tvd_oracle_sql(
                 // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) AS drift_ppm
     FROM counts CROSS JOIN totals
     """
+
+
+def fk_orphans(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity AUDIT: for each declared FK relationship
+    (name, child df, child key, parent df, parent key), the number of child
+    rows whose key resolves to no parent (orphans), the number of DISTINCT
+    orphaned key values, and the child row total — the data-quality
+    expectation suite a warehouse runs after every load (dbt's
+    `relationships` test, Deequ's `isContainedIn`, as one engine query).
+
+    Shape per relation: one LEFT ANTI join child->parent (broadcast when
+    the parent dim is small, shuffle otherwise — Spark's planner picks per
+    relation since parents here range from 5-row region to corpus-scale
+    orders) feeding a single partial-aggregable count/count-distinct; the
+    per-relation 1-row results union into the report.  NULL child keys
+    count as orphans (a NULL FK never joins — surfacing them is the point
+    of the audit; declared in the oracle identically).
+    """
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        orphans = child.select(F.col(ckey).alias("k")).join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        agg = orphans.agg(
+            F.count(F.lit(1)).alias("n_orphan_rows"),
+            F.countDistinct("k").alias("n_orphan_keys"),
+        )
+        tot = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        outs.append(
+            agg.crossJoin(tot).select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def fk_orphans_oracle_sql(relations: list[tuple[str, str, str, str, str]]) -> str:
+    """DuckDB twin of fk_orphans over registered table views:
+    relations = (name, child_table, child_key, parent_table, parent_key)."""
+    parts = [
+        f"""
+    SELECT '{name}' AS relation,
+           (SELECT count(*) FROM {child}) AS n_child_rows,
+           (SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+             AS n_orphan_rows,
+           (SELECT count(DISTINCT c.{ckey}) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+             AS n_orphan_keys
+    """
+        for name, child, ckey, parent, pkey in relations
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    side_pred,
+    scale: int = 1_000,
+) -> DataFrame:
+    """EMBEDDING-SPACE drift between two corpus slices (side_pred true vs
+    false): per-dimension delta between the slice centroids, in exact
+    integer ppm of the quantization grid — the vector-space companion to
+    profile_drift_tvd's categorical TVD ("did this week's crawl move the
+    embedding distribution?", the check run before trusting an ANN index or
+    a trained classifier on a new slice).
+
+    Exactness: embeddings quantize to the 1/scale int64 grid (quantize_vec);
+    each dimension aggregates (sum_a, n_a, sum_b, n_b) exactly, and the
+    centroid delta is the cross-multiplied integer
+
+        delta_ppm = (sum_a * n_b - sum_b * n_a) * 1e6 div (n_a * n_b)
+
+    in decimal(38,0)/HUGEINT (sums ~1e12 x counts ~1e9 stay inside 38
+    digits at any realistic corpus) — floor division, sign carried by the
+    numerator; both engines agree bit-for-bit.  No sqrt, no mean floats.
+
+    Scale shape: ONE posexplode feeds one partial-aggregable
+    groupBy(dim) with conditional sums — output is |dims| rows; nothing
+    else shuffles.  The whole-vector summary (cosine between centroids) is
+    recoverable downstream from the emitted per-dim sums, since cosine is
+    scale-invariant: cos(mean_a, mean_b) = cos(sum_a, sum_b).
+    """
+    from ..functions.vectors import quantize_vec
+
+    base = df.select(
+        F.coalesce(side_pred, F.lit(False)).alias("side"),
+        F.posexplode(quantize_vec(F.col(vec_col), scale)).alias("dim", "qx"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    agg = base.groupBy("dim").agg(
+        F.sum(F.when(F.col("side"), F.col("qx")).otherwise(F.lit(0))).alias("sum_a"),
+        F.sum(F.when(F.col("side"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("side"), F.col("qx")).otherwise(F.lit(0))).alias("sum_b"),
+        F.sum(F.when(~F.col("side"), 1).otherwise(0)).alias("n_b"),
+    )
+    num = f"{dec.format('sum_a')} * n_b - {dec.format('sum_b')} * n_a"
+    return agg.select(
+        "dim",
+        "sum_a",
+        "n_a",
+        "sum_b",
+        "n_b",
+        F.expr(
+            f"CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN ({num}) * 1000000 div ({dec.format('n_a')} * n_b) ELSE NULL END AS BIGINT)"
+        ).alias("delta_ppm"),
+    )
+
+
+def embedding_drift_oracle_sql(
+    side_sql: str, scale: int = 1_000, src: str = "embeddings", vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin of embedding_drift (HUGEINT cross-multiplies)."""
+    return f"""
+    WITH base AS (
+      SELECT coalesce(({side_sql}), FALSE) AS side,
+             generate_subscripts({vec_col}, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {scale}) AS BIGINT) AS qx
+      FROM {src}
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(sum(CASE WHEN side THEN qx ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN NOT side THEN qx ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM base GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, sum_a, n_a, sum_b, n_b,
+           CAST(CASE WHEN n_a > 0 AND n_b > 0
+                THEN (sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a) * 1000000
+                     // (n_a::HUGEINT * n_b)
+                ELSE NULL END AS BIGINT) AS delta_ppm
+    FROM agg
+    """

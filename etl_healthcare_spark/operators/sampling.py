@@ -783,3 +783,115 @@ def interleave_order_oracle_sql(
            (r.rk - 1) * s.n_sources + s.src_idx AS global_order
     FROM ranked r JOIN srcs s USING ({source_col})
     """
+
+
+def token_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    budget: int,
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """CONTIGUOUS token-budget shard cutting: walk the corpus in ``id_col``
+    order and start a new shard every time the running token total crosses
+    ``budget`` — the "cut this ordered corpus into ~1B-token files" step
+    that materializes a curriculum (interleave_order's global_order slots in
+    as the id) into fixed-size training shards.  shard_export is the HASHED
+    assignment (resumable random access); this is the ORDERED one (sequential
+    consumption) — a doc's shard is (tokens before it) div budget, so shard
+    k holds a contiguous id range carrying ~budget tokens.
+
+    Scale shape — an exact GLOBAL cumulative sum with no global sort: ids
+    coarse-bucket by ``id div bucket_span``; (1) per-bucket token sums are
+    one partial-aggregable groupBy; (2) the bucket PREFIX sum runs in a
+    window over the AGGREGATED bucket frame (|id range| / bucket_span rows —
+    the g22_mode rule: windows only over aggregated tables) and broadcasts
+    back; (3) the within-bucket cumulative window partitions by bucket, so
+    no window task ever holds more than bucket_span rows.  Requires
+    non-negative integer ids (div = floor agreement; the grid/bin rule).
+
+    Output (id, n_tokens, token_offset, shard): token_offset = tokens
+    strictly before the doc in id order; shard = token_offset div budget.
+    Exact int64 — the oracle reproduces every boundary bit-for-bit from a
+    row-level window.
+    """
+    from pyspark.sql import Window
+
+    tok = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tok.cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"id div {bucket_span}"))
+    bsums = base.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bsums.select(
+        "bucket", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("bucket_prefix")
+    )
+    wi = Window.partitionBy("bucket").orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        base.join(F.broadcast(prefix), "bucket")
+        .select(
+            "id",
+            "n_tokens",
+            (
+                F.col("bucket_prefix")
+                + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))
+            ).alias("token_offset"),
+        )
+        .withColumn("shard", F.expr(f"token_offset div {budget}"))
+    )
+
+
+def token_shards_oracle_sql(
+    id_col: str, tokens_sql: str, budget: int, src: str = "documents"
+) -> str:
+    """DuckDB twin of token_shards: the straightforward row-level global
+    cumulative window (the derivation the Spark side deliberately avoids) —
+    two independent constructions of the same offsets, one hash."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS id, CAST({tokens_sql} AS BIGINT) AS n_tokens FROM {src}
+    )
+    SELECT id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget} AS BIGINT)
+             AS shard
+    FROM base
+    """
+
+
+def cluster_weights(
+    df: DataFrame, clusters: DataFrame, id_col: str, node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Duplicate-cluster DOWNWEIGHTING: every document's sampling weight is
+    1e6 div (size of its duplicate cluster), 1e6 for docs in no cluster —
+    the soft alternative to dedup_keep_list's hard drop (each duplicate
+    GROUP contributes ~one document's worth of expected mass to the
+    training mixture, but which copy survives sampling stays hash-random,
+    so near-dup families keep their internal variety).  ``clusters`` is any
+    (node, cluster_id) frame — connected_components over minhash-LSH pairs
+    is the in-repo producer.
+
+    Scale: cluster sizes are one partial-aggregable groupBy over the
+    (small, pair-bounded) cluster assignment; the size map joins back onto
+    the assignment and the result LEFT-joins the corpus on doc id (both
+    shuffle-hash at corpus scale — clusters descend from aggregations, so
+    static estimates lie; SCALE.md §11).  Exact integer ppm.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_size"))
+    sized = clusters.join(sizes.hint("shuffle_hash"), cluster_col).select(
+        F.col(node_col).alias("__node"), "cluster_size"
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+            F.expr("1000000 div coalesce(cluster_size, 1)").alias("weight_ppm"),
+        )
+    )

@@ -568,18 +568,21 @@ def range_search(
     """
     from ..functions.vectors import int_dot, quantize_vec
 
+    # norms are per-ROW constants: computing them before the cross join runs
+    # int_dot (an interpreted higher-order fold) n + |Q| times instead of
+    # 2 x n x |Q| times — at sf1.0 this was most of the pair-scan cost
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
-    )
+    ).withColumn("n2v", int_dot(F.col("qv"), F.col("qv")))
     queries = _query_rows(vecs, id_col, query_pred).select(
-        F.col("id").alias("query_id"), F.col("qv").alias("qq")
+        F.col("id").alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("n2v").alias("n2q"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("query_id"))
     dot = int_dot(F.col("qv"), F.col("qq"))
-    n2v = int_dot(F.col("qv"), F.col("qv"))
-    n2q = int_dot(F.col("qq"), F.col("qq"))
-    scored = pairs.select("query_id", "id", dot.alias("dot"), n2v.alias("n2v"), n2q.alias("n2q"))
+    scored = pairs.select("query_id", "id", dot.alias("dot"), "n2v", "n2q")
     keep = (F.col("dot") > 0) & (
         dec(F.col("dot")) * dec(F.col("dot")) * F.lit(10**12).cast("decimal(38,0)")
         >= F.lit(tau_ppm * tau_ppm).cast("decimal(38,0)") * dec(F.col("n2v")) * dec(F.col("n2q"))
@@ -797,11 +800,15 @@ def hard_negatives(
 
     from ..functions.vectors import int_dot, quantize_vec
 
+    # per-row norms hoisted above the cross join (range_search's rule): one
+    # interpreted int_dot fold per corpus row / per anchor, not per pair
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
-    )
+    ).withColumn("n2v", int_dot(F.col("qv"), F.col("qv")))
     queries = _query_rows(vecs, id_col, query_pred).select(
-        F.col("id").alias("anchor_id"), F.col("qv").alias("qq")
+        F.col("id").alias("anchor_id"),
+        F.col("qv").alias("qq"),
+        F.col("n2v").alias("n2q"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("anchor_id"))
@@ -809,8 +816,8 @@ def hard_negatives(
         "anchor_id",
         "id",
         int_dot(F.col("qv"), F.col("qq")).alias("dot"),
-        int_dot(F.col("qv"), F.col("qv")).alias("n2v"),
-        int_dot(F.col("qq"), F.col("qq")).alias("n2q"),
+        "n2v",
+        "n2q",
     )
     lhs = dec(F.col("dot")) * dec(F.col("dot")) * F.lit(10**12).cast("decimal(38,0)")
     at_least = lambda t: (F.col("dot") > 0) & (  # noqa: E731

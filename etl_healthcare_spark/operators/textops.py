@@ -857,15 +857,20 @@ def containment_pairs(
     Broder's containment companion to dedup_ngram_jaccard.
 
     Blocking (the scale story): candidate pairs come ONLY from RARE shared
-    k-gram spans (2 <= document frequency <= ``max_span_df``), the same
-    rare-feature blocking as j7_fuzzy_match_join — a boilerplate span shared
-    by half the corpus generates no pairs, so pair volume is bounded by
-    sum over rare spans of df^2 <= max_span_df * |spans|, linear in corpus
-    size.  The intersection count then runs candidate-bounded: the pair list
-    joins back to the two docs' span sets (hash joins on doc id + span hash),
-    never an open self-join.  Exact integer ppm; distinct (doc, span) pairs
-    only.  Span keys shuffle as 48-bit sha256-prefix int64 (8 bytes vs a
-    16-byte hex string — same contract as related_docs/minhash slicing).
+    k-gram spans (2 <= document frequency <= ``max_span_df``), expanded
+    IN-BUCKET from each rare span's collected doc list (the
+    dedup_minhash_lsh shape — never an open self-join), so pair volume is
+    bounded by sum over rare spans of df^2 <= max_span_df * |spans|, linear
+    in corpus size.  The intersection then runs candidate-bounded and
+    MAP-SIDE: each doc's distinct span set is collected ONCE into a per-doc
+    array (a row is its own document — the same payload the token array
+    already was), the candidate list hash-joins the two arrays in by doc id,
+    and |A∩B| is one in-task array_intersect — no join back onto the
+    exploded span stream (the join-back shape shuffled ~|avg spans per doc|
+    x |candidates| rows and was the sf1.0 hot spot, 40 s -> ~14 s).  Exact
+    integer ppm; distinct (doc, span) pairs only.  Span keys are 48-bit
+    sha256-prefix int64 (8 bytes vs a 16-byte hex string — same contract as
+    related_docs/minhash slicing).
     """
     from ..functions.text import shingles_from_tokens, tokens
 
@@ -873,53 +878,57 @@ def containment_pairs(
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )
-    spans = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    sh,
-                    lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
-                )
-            ).alias("h"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # reused 4 ways below
-    )
-    per_doc = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    rare = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
-    )
-    # every join below is hinted shuffle-hash: each side descends from an
-    # aggregation, so its STATIC size estimate is tiny and Spark would plan a
-    # broadcast — but rare spans / candidates / per-doc counts all grow with
-    # the corpus (driver broadcast OOM observed at sf1.0 on the rare join)
-    r = spans.join(rare.select("h").hint("shuffle_hash"), "h")
+    # each doc's DISTINCT span set needs no shuffle at all — array_distinct
+    # over the doc's own shingle list is map-side (the old explode+distinct
+    # shuffled the full span stream); the small per-doc frame (~1 row/doc)
+    # is materialized once and feeds all three consumers below
+    arrs = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                sh,
+                lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
+            )
+        ).alias("hs"),
+    ).localCheckpoint(eager=True)
+    spans = arrs.select("doc_id", F.explode("hs").alias("h"))
     cand = (
-        r.select(F.col("doc_id").alias("a"), "h")
-        .join(r.select(F.col("doc_id").alias("b"), "h").hint("shuffle_hash"), "h")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        spans.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_span_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda a: F.transform(
+                            "ds", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    sa = spans.select(F.col("doc_id").alias("a"), "h")
-    sb = spans.select(F.col("doc_id").alias("b"), "h")
-    # the candidate list's STATIC size estimate is tiny (it descends from two
-    # aggregations), but its actual size grows with the corpus — at sf1.0
-    # Spark's broadcast pick for it OOMs the driver.  Hint both pair joins to
-    # shuffle-hash: candidate-keyed hash joins at any scale, no driver build.
-    inter = (
-        cand.hint("shuffle_hash").join(sa, "a").join(sb, ["b", "h"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = per_doc.select(F.col("doc_id").alias("a"), F.col("n_spans").alias("n_a"))
-    nb = per_doc.select(F.col("doc_id").alias("b"), F.col("n_spans").alias("n_b"))
+    # both array joins are hinted shuffle-hash: every input descends from an
+    # aggregation, so its STATIC size estimate is tiny and Spark would pick
+    # a broadcast that OOMs the driver at corpus scale (the sf1.0 lesson)
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"))
+    bb = arrs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(na.hint("shuffle_hash"), "a")
-        .join(nb.hint("shuffle_hash"), "b")
+        cand.hint("shuffle_hash")
+        .join(aa, "a")
+        .hint("shuffle_hash")
+        .join(bb, "b")
+        .select(
+            "a",
+            "b",
+            F.size("hs_a").cast("long").alias("n_a"),
+            F.size("hs_b").cast("long").alias("n_b"),
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("n_inter"),
+        )
         .select(
             "a",
             "b",
@@ -1391,4 +1400,92 @@ def chunk_windows_oracle_sql(
            sha256(array_to_string(t[s + 1 : s + {window}], ' ')) AS chunk_hash
     FROM (SELECT doc_id, t, unnest(range(0, len(t), {stride})) AS s
           FROM tok WHERE len(t) > 0)
+    """
+
+
+def novelty_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against corpus first occurrence: the share
+    of a document's distinct k-gram spans whose earliest appearance (minimum
+    doc id over the whole corpus) is the document itself — the freshness
+    signal dedup-aware samplers weight by ("how much of this doc has the
+    corpus already seen?"; near-1 novelty = genuinely new text, near-0 =
+    reassembled boilerplate).  Complements containment_pairs: containment
+    scores PAIRS, novelty scores each doc against the WHOLE corpus in one
+    aggregate, no pair generation at all.
+
+    Scale shape: each doc's distinct span set is map-side (array_distinct —
+    containment_pairs' rule, no dedup shuffle); first occurrence is ONE
+    partial-aggregable groupBy(span) min(doc id); the flag join back onto
+    the span stream is span-keyed shuffle-hash (aggregation-descended size
+    estimates must never broadcast — SCALE.md §11); the per-doc rollup is a
+    second partial-aggregable groupBy.  Span keys are 48-bit sha256-prefix
+    int64 (the minhash/related_docs contract).  Docs with fewer than ``k``
+    tokens carry no spans and are excluded (documented; a zero-span doc has
+    no defined novelty).  Exact integer ppm.
+    """
+    from ..functions.text import shingles_from_tokens, tokens
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    sh,
+                    lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
+                )
+            )
+        ).alias("h"),
+    )
+    first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        spans.join(first.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("n_first"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_first",
+            F.expr("(1000000 * n_first) div n_spans").alias("novelty_ppm"),
+        )
+    )
+
+
+def novelty_oracle_sql(k: int = 5, src: str = "documents") -> str:
+    """DuckDB twin of novelty_scores (same spans, same first-occurrence
+    rule, derived through a row-level min window instead of the two-level
+    aggregate — two independent derivations, one hash)."""
+    grams = " || ' ' || ".join(f"t[j+{i}]" for i in range(k))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(sha256({grams}), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) AS j
+            FROM tok WHERE len(t) >= {k})
+    ),
+    flagged AS (
+      SELECT doc_id, h,
+             (doc_id = min(doc_id) OVER (PARTITION BY h)) AS is_first
+      FROM spans
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+           (1000000 * CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+             AS novelty_ppm
+    FROM flagged GROUP BY doc_id
     """

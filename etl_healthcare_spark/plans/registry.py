@@ -627,6 +627,7 @@ from . import registry_scale  # noqa: E402,F401
 from . import registry_analytics  # noqa: E402,F401
 from . import registry_mining  # noqa: E402,F401
 from . import registry_corpus  # noqa: E402,F401
+from . import registry_prep  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------

@@ -1,0 +1,398 @@
+"""Round-4 training-prep batch: corpus novelty scoring, token-budget shard
+cutting, duplicate-cluster downweighting, referential-integrity auditing,
+embedding-space drift, common-neighbor link prediction, tolerance as-of
+joins, and streaming windowed top-k.
+
+These extend the curation/training-prep loop outward: novelty and cluster
+weights are the dedup-AWARE sampling signals (score instead of drop), token
+shards materialize a curriculum into fixed-budget files, FK orphans and
+embedding drift are the data-quality gates run before a corpus snapshot is
+blessed, common neighbors is the graph twin of related_docs, and the
+tolerance as-of closes the pandas merge_asof / kdb aj surface over j5b.
+
+All queries follow the registry's cross-engine determinism conventions
+(integer/ppm/decimal(38,0) arithmetic, sha256-only hashing, total tiebreaks —
+see plans/registry.py docstring).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# ---------------------------------------------------------------------------
+# corpus: per-document n-gram novelty vs first occurrence
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle() -> str:
+    from ..operators.textops import novelty_oracle_sql
+
+    return novelty_oracle_sql(k=5)
+
+
+@register(
+    "corpus_novelty",
+    sql=_novelty_oracle(),
+    doc="Per-doc n-gram NOVELTY (operators/textops.novelty_scores): the ppm "
+    "share of a document's distinct 5-gram spans whose corpus-wide first "
+    "occurrence (min doc id) is the document itself — the freshness signal "
+    "dedup-aware samplers weight by, scored against the WHOLE corpus with "
+    "zero pair generation.  Map-side array_distinct span sets, one "
+    "partial-aggregable first-occurrence groupBy, one span-keyed "
+    "shuffle-hash join back, one per-doc rollup.  Exact integer ppm.",
+)
+def corpus_novelty(spark, sf_dir):
+    from ..operators.textops import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# sampling: contiguous token-budget shard cutting
+# ---------------------------------------------------------------------------
+
+_SHARD_BUDGET = 5_000
+_TOKENS_SQL = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+
+
+def _token_shards_oracle() -> str:
+    from ..operators.sampling import token_shards_oracle_sql
+
+    return token_shards_oracle_sql("doc_id", _TOKENS_SQL, _SHARD_BUDGET)
+
+
+@register(
+    "sample_token_shards",
+    sql=_token_shards_oracle(),
+    doc="Token-budget shard cutting (operators/sampling.token_shards): walk "
+    "the corpus in doc-id order and start a new shard each time the running "
+    "token total crosses the budget — the 'cut this curriculum into "
+    "~1B-token files' step.  The global cumulative sum is EXACT with no "
+    "global sort: coarse id buckets aggregate once, the bucket prefix runs "
+    "in a window over the aggregated bucket frame and broadcasts back, and "
+    "the within-bucket window never holds more than bucket_span rows.  The "
+    "oracle derives the same offsets from a row-level global window.",
+)
+def sample_token_shards(spark, sf_dir):
+    from ..functions.text import tokens
+    from ..operators.sampling import token_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_shards(
+        docs, "doc_id", F.size(tokens(F.col("text"))), budget=_SHARD_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: duplicate-cluster downweighting
+# ---------------------------------------------------------------------------
+
+
+def _cluster_weight_oracle() -> str:
+    from .registry_llm import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id),
+    sized AS (SELECT c.node, s.cluster_size FROM clusters c JOIN sizes s USING (cluster_id))
+    SELECT d.doc_id,
+           coalesce(z.cluster_size, 1) AS cluster_size,
+           1000000 // coalesce(z.cluster_size, 1) AS weight_ppm
+    FROM documents d LEFT JOIN sized z ON d.doc_id = z.node
+    """
+
+
+@register(
+    "sample_cluster_weighted",
+    sql=_cluster_weight_oracle(),
+    doc="Duplicate-cluster DOWNWEIGHTING (operators/sampling.cluster_weights "
+    "over minhash-LSH connected components): every doc's sampling weight is "
+    "1e6 div |its duplicate cluster| (1e6 when unclustered) — the soft "
+    "alternative to dedup_keep_list's hard drop: each duplicate FAMILY "
+    "contributes ~one doc of expected training mass but keeps its internal "
+    "variety.  Cluster sizes are one partial-aggregable groupBy over the "
+    "pair-bounded CC assignment; all joins shuffle-hash (aggregation-"
+    "descended estimates never broadcast).  Oracle = the dedup_cc_clusters "
+    "recursive CTE extended with the size/weight join.",
+)
+def sample_cluster_weighted(spark, sf_dir):
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.sampling import cluster_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4)
+    return cluster_weights(docs, connected_components(pairs, "doc_a", "doc_b"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# profiling: referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_FK_RELATIONS = [
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_oracle() -> str:
+    from ..operators.profile import fk_orphans_oracle_sql
+
+    return fk_orphans_oracle_sql(_FK_RELATIONS)
+
+
+@register(
+    "profile_fk_orphans",
+    sql=_fk_oracle(),
+    doc="Referential-integrity AUDIT (operators/profile.fk_orphans): for "
+    "each declared FK relationship across the TPC-H star (lineitem->orders/"
+    "part/supplier, orders->customer, customer->nation), the child rows "
+    "whose key resolves to no parent plus the distinct orphaned key count — "
+    "dbt's `relationships` test / Deequ's isContainedIn as one engine "
+    "query.  One LEFT ANTI join per relation (broadcast for small dims, "
+    "shuffle for fact-sized parents — the planner picks per relation) into "
+    "1-row aggregates unioned into the report.",
+)
+def profile_fk_orphans(spark, sf_dir):
+    from ..operators.profile import fk_orphans
+
+    return fk_orphans(
+        [
+            (name, _t(spark, sf_dir, child), ckey, _t(spark, sf_dir, parent), pkey)
+            for name, child, ckey, parent, pkey in _FK_RELATIONS
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# profiling: embedding-space drift between corpus slices
+# ---------------------------------------------------------------------------
+
+
+def _edrift_oracle() -> str:
+    from ..operators.profile import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql("label = 0", scale=1_000)
+
+
+@register(
+    "profile_embedding_drift",
+    sql=_edrift_oracle(),
+    doc="Embedding-space DRIFT between corpus slices (operators/profile."
+    "embedding_drift): per-dimension centroid delta between label=0 and the "
+    "rest, exact integer ppm on the 1/1000 quantization grid via "
+    "cross-multiplied decimal(38,0)/HUGEINT — the vector-space companion to "
+    "profile_drift_tvd, run before trusting an ANN index on a new slice.  "
+    "ONE posexplode into one partial-aggregable groupBy(dim); output is "
+    "|dims| rows; cos(centroid_a, centroid_b) is recoverable from the "
+    "emitted sums (cosine is scale-invariant).",
+)
+def profile_embedding_drift(spark, sf_dir):
+    from ..operators.profile import embedding_drift
+
+    return embedding_drift(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", F.col("label") == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph: common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+# fixed o_orderkey window (the j8 rule): pair DENSITY, not the algorithm,
+# explodes with sf — the registry probes a constant subgraph at every sf
+_CN_EDGES_SQL = """raw AS (
+      SELECT o_orderkey % 211 AS s, (o_orderkey * 7 + o_custkey) % 211 AS t
+      FROM orders WHERE o_orderkey % 29 = 0 AND o_orderkey < 150000
+    )"""
+
+
+def _cn_oracle() -> str:
+    from ..operators.graph import common_neighbors_oracle_sql
+
+    return common_neighbors_oracle_sql(_CN_EDGES_SQL, max_deg=64, min_cn=2)
+
+
+@register(
+    "graph_common_neighbors",
+    sql=_cn_oracle(),
+    doc="LINK PREDICTION by common-neighbor count (operators/graph."
+    "common_neighbors, Liben-Nowell & Kleinberg): every non-adjacent node "
+    "pair sharing >= 2 neighbors, scored by shared-neighbor count.  "
+    "Candidates expand IN-BUCKET from per-apex neighbor lists (the "
+    "dedup_minhash_lsh rule) with hub apexes above deg 64 excluded "
+    "(documented d^2 cap), one pair groupBy, one anti-join against the "
+    "canonical edge list.  The oracle derives the same pairs via a wedge "
+    "self-join — two constructions, one hash.",
+)
+def graph_common_neighbors(spark, sf_dir):
+    from ..operators.graph import common_neighbors
+
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") % 29 == 0) & (F.col("o_orderkey") < 150000)
+    )
+    edges = o.select(
+        (F.col("o_orderkey") % 211).alias("a"),
+        ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 211).alias("b"),
+    )
+    return common_neighbors(edges, "a", "b", max_deg=64, min_cn=2)
+
+
+# ---------------------------------------------------------------------------
+# joins: as-of with tolerance (backward and forward)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 120_000_000  # 2 minutes
+
+
+def _asof_tol_oracle(direction: str) -> str:
+    from ..operators.intervals import asof_tolerance_oracle_sql
+
+    return asof_tolerance_oracle_sql(
+        "SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'",
+        "SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'",
+        "user_id",
+        "ts",
+        "event_id",
+        "click_id",
+        _ASOF_TOL_US,
+        direction,
+    )
+
+
+@register(
+    "j5c_asof_tolerance",
+    sql=_asof_tol_oracle("backward"),
+    doc="J5c as-of join with MATCH TOLERANCE (operators/intervals."
+    "asof_tolerance_join): each purchase matched to the latest prior click "
+    "of the same user ONLY if within 2 minutes — misses emitted as NULL "
+    "rows, the pandas merge_asof(tolerance=...) surface.  Union+window with "
+    "an explicit right-id tiebreak (equal-timestamp matches are a total "
+    "order), one shuffle on user_id; the oracle re-derives every match via "
+    "a correlated LATERAL argmax.",
+)
+def j5c_asof_tolerance(spark, sf_dir):
+    from ..operators.intervals import asof_tolerance_join
+
+    ev = _t(spark, sf_dir, "events")
+    return asof_tolerance_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        ),
+        "user_id",
+        "ts",
+        "event_id",
+        "click_id",
+        _ASOF_TOL_US,
+        "backward",
+    )
+
+
+@register(
+    "j5d_asof_forward",
+    sql=_asof_tol_oracle("forward"),
+    doc="J5d FORWARD as-of with tolerance: each purchase matched to the "
+    "EARLIEST click at-or-after it within 2 minutes (the 'next reaction' "
+    "direction kdb aj / pandas direction='forward' serve) — same "
+    "union+window shape as j5c with the frame flipped to lookahead "
+    "first(ignoreNulls).",
+)
+def j5d_asof_forward(spark, sf_dir):
+    from ..operators.intervals import asof_tolerance_join
+
+    ev = _t(spark, sf_dir, "events")
+    return asof_tolerance_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        ),
+        "user_id",
+        "ts",
+        "event_id",
+        "click_id",
+        _ASOF_TOL_US,
+        "forward",
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming: windowed top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_topk_windowed",
+    sql="""
+    WITH counts AS (
+      SELECT epoch_us(date_trunc('minute', ts)) AS minute_us, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT minute_us, user_id, n,
+             row_number() OVER (PARTITION BY minute_us
+                                ORDER BY n DESC, user_id ASC) AS rk
+      FROM counts
+    )
+    SELECT minute_us, user_id, n, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="§2.12 streaming TOP-K: per-minute top-3 users by event count — the "
+    "watermarked windowed count runs as a Structured Streaming job (file "
+    "source, availableNow, complete mode; state evicted past the "
+    "watermark), and the rank closes over the materialized sink (streaming "
+    "aggregations cannot nest a rank — the sink-side WindowGroupLimit is "
+    "the standard serving pattern).  Output provably equals the batch "
+    "windowed top-k.",
+)
+def stream_topk_windowed(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="stream_topk_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("minute"), "user_id", "n")
+    )
+    name = f"stk_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    rk = F.row_number().over(
+        Window.partitionBy("minute").orderBy(F.desc("n"), F.asc("user_id"))
+    )
+    return (
+        out.withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+        .select(F.unix_micros("minute").alias("minute_us"), "user_id", "n", "rk")
+    )

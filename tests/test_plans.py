@@ -430,15 +430,19 @@ def test_chunk_windows_is_map_only(spark):
     assert "Generate" in plan, "chunk starts must fan out via explode"
 
 
-def test_related_docs_pair_joins_are_hash_not_broadcast(spark):
-    """Every related-docs join input descends from an aggregation (tiny
-    static estimate) — the explicit shuffle_hash hints must hold so a
-    corpus-scale posting list is never broadcast (SCALE.md §11 lesson #2)."""
+def test_related_docs_pairs_expand_in_bucket_with_one_pair_shuffle(spark):
+    """Pair generation is in-bucket expansion (the dedup_minhash_lsh shape):
+    NO posting joins of any kind survive in the plan, and the pair stream is
+    partitioned by `a` exactly once — that single exchange must satisfy both
+    the (a, b) aggregation and the per-doc top-k window (subset rule), so
+    the ~df^2-per-bucket pair volume crosses the network once."""
     plan = _plan(spark, "search_related_docs")
-    assert "BroadcastHashJoin" not in plan, "posting-list joins must not broadcast"
-    assert "ShuffledHashJoin" in plan
+    assert "Join" not in plan, "pairs must expand in-bucket, never via joins"
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan, "per-doc top-k must push below the shuffle"
+    # exchanges: distinct(doc,g) + groupBy(g) + repartition(a) — nothing more
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 3, f"expected 3 exchanges, got {n_exchanges}"
 
 
 def test_trimmed_mean_single_shuffle(spark):
@@ -560,3 +564,48 @@ def test_drift_tvd_is_one_histogram_aggregation(spark):
     assert "Join" not in plan
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
     assert n_scans == 1, "one scan, side folded as a conditional"
+
+
+def test_token_shards_windows_are_bucket_partitioned(spark):
+    """The within-bucket cumulative window must partition by bucket (never a
+    raw-row global window); the only single-partition window runs over the
+    AGGREGATED bucket frame."""
+    plan = _plan(spark, "sample_token_shards")
+    assert "windowspecdefinition(bucket" in plan, "raw cumsum must partition by bucket"
+    assert "BroadcastHashJoin" in plan, "bucket prefix frame must broadcast back"
+
+
+def test_novelty_join_is_shuffle_hash_not_broadcast(spark):
+    """The first-occurrence frame descends from an aggregation (tiny static
+    estimate) but grows with the corpus — it must never broadcast."""
+    plan = _plan(spark, "corpus_novelty")
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_common_neighbors_expands_in_bucket(spark):
+    """Wedges come from in-bucket neighbor-list expansion: the only join in
+    the plan is the left-anti adjacency check."""
+    plan = _plan(spark, "graph_common_neighbors")
+    assert "CartesianProduct" not in plan and "BroadcastHashJoin" not in plan
+    n_joins = len(re.findall(r"^\(\d+\) \w*Join", plan, re.MULTILINE))
+    assert "LeftAnti" in plan
+    assert n_joins == 1, f"wedge generation must not join; got {n_joins} join nodes"
+
+
+def test_asof_tolerance_single_shuffle_no_range_join(spark):
+    """Union+window carry: one exchange on the key, no range self-join."""
+    for name in ("j5c_asof_tolerance", "j5d_asof_forward"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_exchanges == 1, f"{name}: expected 1 exchange, got {n_exchanges}"
+
+
+def test_embedding_drift_is_one_aggregate(spark):
+    """One posexplode into one partial-aggregable groupBy(dim) — a single
+    exchange, no joins."""
+    plan = _plan(spark, "profile_embedding_drift")
+    assert "Join" not in plan
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"

@@ -1,0 +1,152 @@
+"""Unit tests for the round-4 training-prep batch: novelty, token shards,
+cluster weights, FK orphans, embedding drift, common neighbors, tolerance
+as-of — planted inputs checked against brute-force pure-Python models."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_novelty_first_occurrence_rule(spark):
+    from etl_healthcare_spark.operators.textops import novelty_scores
+
+    rows = [
+        (1, "a b c"),       # shingles(2): ab, bc — both first here
+        (2, "a b x"),       # ab first seen in doc 1; bx first here
+        (3, "a b c"),       # both spans first seen in doc 1 -> novelty 0
+        (4, "q"),           # < k tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_scores(df, "text", "doc_id", k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_spans == 2 and out[1].n_first == 2 and out[1].novelty_ppm == 1_000_000
+    assert out[2].n_spans == 2 and out[2].n_first == 1 and out[2].novelty_ppm == 500_000
+    assert out[3].n_spans == 2 and out[3].n_first == 0 and out[3].novelty_ppm == 0
+
+
+def test_token_shards_matches_global_cumsum(spark):
+    from etl_healthcare_spark.operators.sampling import token_shards
+
+    toks = {i: (i % 5) + 1 for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, n) for i, n in toks.items()], "doc_id long, n long"
+    )
+    # bucket_span 3 exercises the two-level prefix path
+    out = {
+        r.id: r
+        for r in token_shards(df, "doc_id", "n", budget=7, bucket_span=3).collect()
+    }
+    run = 0
+    for i in sorted(toks):
+        assert out[i].token_offset == run, i
+        assert out[i].shard == run // 7, i
+        run += toks[i]
+    assert len(out) == 20
+
+
+def test_cluster_weights_downweight_and_default(spark):
+    from etl_healthcare_spark.operators.sampling import cluster_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)], "node long, cluster_id long"
+    )
+    out = {r.doc_id: r for r in cluster_weights(docs, clusters, "doc_id").collect()}
+    assert out[0].cluster_size == 3 and out[0].weight_ppm == 333_333
+    assert out[3].cluster_size == 2 and out[3].weight_ppm == 500_000
+    assert out[5].cluster_size == 1 and out[5].weight_ppm == 1_000_000
+
+
+def test_fk_orphans_counts_nulls_and_misses(spark):
+    from etl_healthcare_spark.operators.profile import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, None), (6, 20)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    (row,) = fk_orphans([("c->p", child, "fk", parent, "pk")]).collect()
+    assert row.relation == "c->p"
+    assert row.n_child_rows == 6
+    assert row.n_orphan_rows == 3      # two 99s + one NULL
+    assert row.n_orphan_keys == 1      # distinct non-null orphan keys: {99}
+
+
+def test_embedding_drift_exact_ppm(spark):
+    from etl_healthcare_spark.operators.profile import embedding_drift
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.5, 1.0], 0),
+        (2, [0.0, 2.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.dim: r for r in embedding_drift(df, "embedding", "vec_id", F.col("label") == 0).collect()}
+    # dim 0: side A (label=0) sums 1000+500=1500 over 2; side B 0 over 1
+    assert (out[0].sum_a, out[0].n_a, out[0].sum_b, out[0].n_b) == (1500, 2, 0, 1)
+    assert out[0].delta_ppm == (1500 * 1 - 0 * 2) * 1_000_000 // (2 * 1)
+    # dim 1: A sums 0+1000, B 2000 -> delta (1000*1 - 2000*2)*1e6 div 2 = -1.5e9
+    assert out[1].delta_ppm == -1_500_000_000
+
+
+def test_common_neighbors_non_adjacent_pairs_and_hub_cap(spark):
+    from etl_healthcare_spark.operators.graph import common_neighbors
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "a long, b long"
+    )
+    out = [(r.u, r.v, r.n_common) for r in common_neighbors(edges, min_cn=2).collect()]
+    assert out == [(1, 4, 2)]  # only non-adjacent pair; shares {2, 3}
+    # cap at deg 2 drops apexes 2 and 3 (deg 3) -> no wedge produces (1,4)
+    assert common_neighbors(edges, max_deg=2, min_cn=2).count() == 0
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_tolerance_backward_tie_and_miss(spark):
+    from etl_healthcare_spark.operators.intervals import asof_tolerance_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:10:00"), 100), (1, _ts("2024-01-01 01:00:00"), 101)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:09:00"), 7),   # 60 s before purchase 100
+            (1, _ts("2024-01-01 00:09:00"), 9),   # tie: higher id wins backward
+            (1, _ts("2024-01-01 00:30:00"), 11),  # 30 min before purchase 101
+        ],
+        "user_id long, ts timestamp, click_id long",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_tolerance_join(
+            left, right, "user_id", "ts", "event_id", "click_id",
+            tolerance_us=120_000_000, direction="backward",
+        ).collect()
+    }
+    assert out[100].click_id == 9 and out[100].gap_us == 60_000_000 and out[100].matched
+    assert out[101].click_id is None and not out[101].matched  # 30 min > 2 min
+
+
+def test_asof_tolerance_forward_inclusive_boundary(spark):
+    from etl_healthcare_spark.operators.intervals import asof_tolerance_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 100)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 5),   # same instant: forward includes
+            (1, _ts("2024-01-01 00:02:00"), 6),
+        ],
+        "user_id long, ts timestamp, click_id long",
+    )
+    out = asof_tolerance_join(
+        left, right, "user_id", "ts", "event_id", "click_id",
+        tolerance_us=120_000_000, direction="forward",
+    ).collect()
+    assert [(r.event_id, r.click_id, r.gap_us) for r in out] == [(100, 5, 0)]
