@@ -95,6 +95,9 @@ HEADLINE = [
     "profile_embedding_drift",  # one posexplode agg, per-dim centroid delta
     "graph_common_neighbors",  # in-bucket wedge expansion + anti-join
     "j5c_asof_tolerance",    # union+window as-of with tolerance (1 shuffle)
+    "g26_median_interp",     # exact interpolated median off one histogram
+    "layout_zonemap_prune",  # min/max file-stats pruning, 2-layout compare
+    "mm_png_chunks",         # PNG chunk walk on real bytes (map-only)
 ]
 
 

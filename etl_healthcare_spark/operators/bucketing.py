@@ -222,3 +222,88 @@ def compaction_oracle_sql(
                 // {target_bytes} AS BIGINT) AS bin
     FROM files
     """
+
+
+def zonemap_prune(
+    df: DataFrame,
+    value_col,
+    id_col,
+    lo: int,
+    hi: int,
+    file_span: int,
+    n_files: int,
+) -> DataFrame:
+    """ZONE-MAP pruning simulator: the min/max file statistics every
+    columnar lake (parquet row groups, Delta/Iceberg file stats) keeps,
+    evaluated for the SAME data under two layouts — CLUSTERED (file =
+    value div file_span, the sorted/Z-ordered write) and SCATTERED (file =
+    sha256(id) mod n_files, the naive hash write) — against one literal
+    predicate ``value BETWEEN lo AND hi``.  The output quantifies what the
+    layout buys: files whose [min, max] envelope misses the predicate are
+    skipped without being opened, so the clustered layout prunes almost
+    everything and the scattered one almost nothing — THE reason
+    layout_zorder / layout_range_bounds exist.
+
+    One partial-aggregable groupBy per layout (|files| rows out), a
+    map-only prune flag, a 2-row summary.  Exact integers end-to-end."""
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    scattered = (
+        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 6), 16, 10)
+        .cast("long") % n_files
+    )
+    base = df.select(
+        val.cast("long").alias("v"), scattered.alias("scattered_file")
+    ).withColumn("clustered_file", F.expr(f"v div {file_span}"))
+    out = []
+    for layout in ("clustered", "scattered"):
+        per_file = base.groupBy(F.col(f"{layout}_file").alias("f")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        pruned = per_file.withColumn(
+            "pruned", (F.col("vmax") < F.lit(lo)) | (F.col("vmin") > F.lit(hi))
+        )
+        out.append(
+            pruned.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.col("pruned").cast("long")).alias("n_pruned_files"),
+                F.sum("n_rows").alias("n_rows_total"),
+                F.sum(F.when(F.col("pruned"), F.col("n_rows")).otherwise(F.lit(0))).alias(
+                    "n_rows_skipped"
+                ),
+            ).select(F.lit(layout).alias("layout"), "n_files", "n_pruned_files",
+                     "n_rows_total", "n_rows_skipped")
+        )
+    return out[0].unionByName(out[1])
+
+
+def zonemap_prune_oracle_sql(
+    table: str, value_sql: str, id_sql: str, lo: int, hi: int, file_span: int, n_files: int
+) -> str:
+    """DuckDB twin of zonemap_prune."""
+    return f"""
+    WITH base AS (
+      SELECT CAST({value_sql} AS BIGINT) AS v,
+             ('0x' || substr(sha256(CAST({id_sql} AS VARCHAR)), 1, 6))::BIGINT % {n_files}
+               AS scattered_file,
+             CAST({value_sql} AS BIGINT) // {file_span} AS clustered_file
+      FROM {table}
+    ),
+    stats AS (
+      SELECT 'clustered' AS layout, clustered_file AS f, count(*) AS n_rows,
+             min(v) AS vmin, max(v) AS vmax
+      FROM base GROUP BY 2
+      UNION ALL
+      SELECT 'scattered', scattered_file, count(*), min(v), max(v)
+      FROM base GROUP BY 2
+    )
+    SELECT layout,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN vmax < {lo} OR vmin > {hi} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN vmax < {lo} OR vmin > {hi} THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_skipped
+    FROM stats GROUP BY layout
+    """

@@ -930,3 +930,106 @@ def audio_autocorr(
             )
 
     return src.mapInPandas(run, schema=AUDIO_AUTOCORR_SCHEMA)
+
+
+def synth_png_with_chunks(doc_id, width, height, n_text) -> Column:
+    """A structurally COMPLETE PNG: signature, IHDR, ``n_text`` tEXt
+    metadata chunks (keyword ``k<i>``, value ``x`` repeated 1 + (doc_id +
+    i) % 5 times), one IDAT stub of 1 + doc_id % 7 bytes, and IEND — every
+    chunk carrying a correct BE32 length so a length-walk traverses it
+    (CRCs are placeholder zeros; a container walk never validates CRC).
+    Real bytes in, so a chunk-walk bug cannot hash-match the oracle."""
+    def chunk(ctype_hex: str, data_hex) -> Column:
+        return F.concat(
+            _be32(F.length(data_hex) / 2),  # data length in BYTES
+            F.lit(ctype_hex),
+            data_hex,
+            F.lit("00000000"),  # CRC placeholder
+        )
+
+    ihdr = chunk(
+        "49484452",
+        F.concat(_be32(width), _be32(height), F.lit("0802000000")),
+    )
+    text_i = lambda i: chunk(  # noqa: E731
+        "74455874",  # tEXt
+        F.concat(
+            F.hex(F.concat(F.lit("k"), i.cast("string"))),  # keyword
+            F.lit("00"),  # NUL separator
+            F.hex(F.repeat(F.lit("x"), (F.lit(1) + (doc_id + i) % 5).cast("int"))),
+        ),
+    )
+    texts = F.array_join(F.transform(F.sequence(F.lit(1), n_text), text_i), "")
+    idat = chunk("49444154", F.repeat(F.lit("AA"), (F.lit(1) + doc_id % 7).cast("int")))
+    iend = chunk("49454E44", F.lit(""))
+    return F.unhex(
+        F.concat(F.lit("89504E470D0A1A0A"), ihdr, texts, idat, iend)
+    )
+
+
+def png_chunk_info(b: bytes):
+    """(n_chunks, n_text, idat_bytes, text_kv) from a REAL walk of the PNG
+    chunk structure: 8-byte signature, then length-prefixed chunks
+    (BE32 len + 4-byte type + data + 4-byte CRC) until IEND.  tEXt data
+    splits at the NUL separator into keyword=value pairs, joined in walk
+    order with ';'.  Returns None for non-PNG/corrupt payloads."""
+    try:
+        if b is None or b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, n_chunks, n_text, idat_bytes, kvs = 8, 0, 0, 0, []
+        while pos + 8 <= len(b):
+            ln = struct.unpack(">I", b[pos : pos + 4])[0]
+            ctype = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                return None  # truncated
+            n_chunks += 1
+            if ctype == b"tEXt":
+                n_text += 1
+                sep = data.find(b"\x00")
+                if sep >= 0:
+                    kvs.append(
+                        data[:sep].decode("latin-1") + "=" + data[sep + 1 :].decode("latin-1")
+                    )
+            elif ctype == b"IDAT":
+                idat_bytes += ln
+            pos += 12 + ln
+            if ctype == b"IEND":
+                return (n_chunks, n_text, idat_bytes, ";".join(kvs))
+        return None  # no IEND: corrupt
+    except (struct.error, IndexError):
+        return None
+
+
+PNG_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_chunks", T.IntegerType(), True),
+        T.StructField("n_text", T.IntegerType(), True),
+        T.StructField("idat_bytes", T.LongType(), True),
+        T.StructField("text_kv", T.StringType(), True),
+    ]
+)
+
+
+def png_chunks(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_chunks, n_text, idat_bytes, text_kv) via the Arrow kernel —
+    the image-metadata sidecar extraction (EXIF-class provenance capture)
+    multimodal ingest runs before any pixel decode.  Map-only; undecodable
+    payloads yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parsed = [png_chunk_info(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "n_chunks": pd.Series([p[0] if p else None for p in parsed], dtype="Int32"),
+                    "n_text": pd.Series([p[1] if p else None for p in parsed], dtype="Int32"),
+                    "idat_bytes": pd.Series([p[2] if p else None for p in parsed], dtype="Int64"),
+                    "text_kv": [p[3] if p else None for p in parsed],
+                }
+            )
+
+    return src.mapInPandas(run, schema=PNG_CHUNKS_SCHEMA)

@@ -445,3 +445,68 @@ def weighted_median_oracle_sql(
            CAST(max(total_weight) AS BIGINT) AS total_weight
     FROM cum WHERE 2 * cumw >= total_weight GROUP BY grp
     """
+
+
+def median_interp2(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group INTERPOLATED median (SQL percentile_cont(0.5) / type-7),
+    emitted exactly: because the interpolated median is the mean of the two
+    middle order statistics, TWICE the median — ``med2_cents = v_at(ceil
+    (n/2)) + v_at(n div 2 + 1)`` in integer cents — is an exact int64, so
+    the float-blend last-ulp problem that keeps percentile_cont out of the
+    cross-engine registry disappears (a consumer divides by 2 for display;
+    g11_median stays the rank-selected lower median, this closes the
+    interpolated variant).
+
+    HISTOGRAM shape (anomaly_iqr's rule): the value at any rank is the
+    smallest value whose cumulative count reaches it, so both middle order
+    statistics fall out of ONE partial-aggregable groupBy(g, v) histogram
+    and a cumulative window over the AGGREGATED frame — no raw-row window
+    at any group cardinality.
+    """
+    from pyspark.sql import Window
+
+    v = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("g"), v.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wg = Window.partitionBy("g")
+    cum = hist.select(
+        "g",
+        "v",
+        F.sum("cnt").over(wg.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+    return cum.groupBy("g").agg(
+        F.max("n").alias("n"),
+        (
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v")))
+            + F.min(F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v")))
+        ).alias("med2_cents"),
+    ).select(F.col("g").alias(group_col), "n", "med2_cents")
+
+
+def median_interp2_oracle_sql(
+    table: str, group_col: str, value_col: str, where: str = "TRUE"
+) -> str:
+    """DuckDB twin of median_interp2 via row-level rank selection (the
+    derivation the Spark side deliberately avoids)."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS g,
+             CAST(CAST({value_col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM {table} WHERE {where}
+    ),
+    ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM src
+    )
+    SELECT g AS {group_col}, max(n) AS n,
+           CAST(max(CASE WHEN r = (n + 1) // 2 THEN v END)
+                + max(CASE WHEN r = n // 2 + 1 THEN v END) AS BIGINT) AS med2_cents
+    FROM ranked GROUP BY g
+    """

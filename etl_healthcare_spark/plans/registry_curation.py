@@ -723,7 +723,12 @@ def curation_e2e(spark, sf_dir):
     eval_df = docs.where(F.col("source") == "src0")
     corpus = docs.where(F.col("source") != "src0")
     gate = quality_gate(corpus, "text", "doc_id")
-    q = corpus.join(gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi")
+    # persisted: q feeds BOTH the exact-dedup key derivation and the
+    # survivor semi-join — without the barrier the regex-heavy gate chain
+    # runs twice inside ex_surv's plan
+    q = corpus.join(
+        gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

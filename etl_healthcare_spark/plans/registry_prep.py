@@ -396,3 +396,127 @@ def stream_topk_windowed(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select(F.unix_micros("minute").alias("minute_us"), "user_id", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: PNG chunk walk (metadata sidecar extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_png_chunks",
+    sql="""
+    WITH img AS (
+      SELECT doc_id, 1 + doc_id % 4 AS n_text FROM documents WHERE doc_id < 800
+    ),
+    kv AS (
+      SELECT doc_id,
+             string_agg('k' || i || '=' || repeat('x', CAST(1 + (doc_id + i) % 5 AS INTEGER)),
+                        ';' ORDER BY i) AS text_kv
+      FROM (SELECT doc_id, unnest(generate_series(1, n_text)) AS i FROM img)
+      GROUP BY doc_id
+    )
+    SELECT img.doc_id AS id,
+           CAST(3 + n_text AS INTEGER) AS n_chunks,
+           CAST(n_text AS INTEGER) AS n_text,
+           CAST(1 + img.doc_id % 7 AS BIGINT) AS idat_bytes,
+           kv.text_kv
+    FROM img JOIN kv ON img.doc_id = kv.doc_id
+    """,
+    doc="PNG chunk walk on REAL bytes (operators/multimodal.png_chunks): "
+    "synth_png_with_chunks emits complete PNG streams (signature, IHDR, "
+    "tEXt metadata chunks, IDAT stub, IEND — correct BE32 lengths "
+    "throughout) and the Arrow kernel walks the length-prefixed chunk "
+    "structure, splitting tEXt at the NUL into keyword=value pairs — the "
+    "EXIF-class metadata-sidecar extraction multimodal ingest runs before "
+    "any pixel decode.  The oracle predicts every field (chunk counts, "
+    "IDAT byte totals, the joined kv string) arithmetically, so a walk bug "
+    "cannot hash-match.  Map-only at any scale.",
+)
+def mm_png_chunks(spark, sf_dir):
+    from ..operators.multimodal import png_chunks, synth_png_with_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_png_with_chunks(d, F.lit(16) + d % 64, F.lit(12) + d % 48, F.lit(1) + d % 4).alias(
+            "payload"
+        ),
+    )
+    return png_chunks(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# aggregation: exact interpolated median (2x in cents)
+# ---------------------------------------------------------------------------
+
+
+def _median_interp_oracle() -> str:
+    from ..operators.stats import median_interp2_oracle_sql
+
+    return median_interp2_oracle_sql("lineitem", "l_returnflag", "l_extendedprice")
+
+
+@register(
+    "g26_median_interp",
+    sql=_median_interp_oracle(),
+    doc="Exact INTERPOLATED median (operators/stats.median_interp2): "
+    "percentile_cont(0.5) per returnflag emitted as TWICE the median in "
+    "integer cents — the mean of the two middle order statistics doubled "
+    "is an exact int64, which removes the float-blend last ulp that keeps "
+    "interpolated quantiles out of cross-engine registries (g11_median is "
+    "the rank-selected lower median; this closes the interpolated "
+    "variant).  Histogram shape: both middle order statistics read off ONE "
+    "partial-aggregable value histogram with a cumulative window over the "
+    "aggregated frame — no raw-row window.",
+)
+def g26_median_interp(spark, sf_dir):
+    from ..operators.stats import median_interp2
+
+    return median_interp2(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# layout: zone-map pruning simulator (clustered vs scattered)
+# ---------------------------------------------------------------------------
+
+_ZM_LO, _ZM_HI, _ZM_SPAN, _ZM_FILES = 2_000_000, 2_500_000, 50_000, 200
+
+
+def _zonemap_oracle() -> str:
+    from ..operators.bucketing import zonemap_prune_oracle_sql
+
+    return zonemap_prune_oracle_sql(
+        "lineitem",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "l_orderkey * 10 + l_linenumber",
+        _ZM_LO, _ZM_HI, _ZM_SPAN, _ZM_FILES,
+    )
+
+
+@register(
+    "layout_zonemap_prune",
+    sql=_zonemap_oracle(),
+    doc="Zone-map pruning simulator (operators/bucketing.zonemap_prune): "
+    "the min/max file statistics every columnar lake keeps, evaluated for "
+    "the SAME lineitem data under a CLUSTERED layout (file = price-cents "
+    "div 50000 — the sorted write) and a SCATTERED one (sha256(row key) "
+    "mod 200 — the naive write) against one price-band predicate.  The "
+    "2-row report quantifies exactly what layout_zorder / "
+    "layout_range_bounds buy: the clustered layout skips ~90% of files "
+    "unopened, the scattered one none.  One partial-aggregable groupBy per "
+    "layout; exact integers.",
+)
+def layout_zonemap_prune(spark, sf_dir):
+    from ..operators.bucketing import zonemap_prune
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rk", F.expr("l_orderkey * 10 + l_linenumber")
+    )
+    return zonemap_prune(
+        li,
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        "rk",
+        _ZM_LO, _ZM_HI, _ZM_SPAN, _ZM_FILES,
+    )

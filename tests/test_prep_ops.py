@@ -150,3 +150,45 @@ def test_asof_tolerance_forward_inclusive_boundary(spark):
         tolerance_us=120_000_000, direction="forward",
     ).collect()
     assert [(r.event_id, r.click_id, r.gap_us) for r in out] == [(100, 5, 0)]
+
+
+def test_png_chunk_walk_real_bytes_and_corrupt(spark):
+    from etl_healthcare_spark.operators.multimodal import png_chunk_info, synth_png_with_chunks
+
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    d = F.col("doc_id")
+    (payload,) = df.select(
+        synth_png_with_chunks(d, F.lit(20), F.lit(10), F.lit(2)).alias("p")
+    ).collect()[0]
+    b = bytes(payload)
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    info = png_chunk_info(b)
+    # IHDR + 2 tEXt + IDAT + IEND; values: i=1 -> 'x'*(1+(3+1)%5)=xxxxx, i=2 -> 'x'*1
+    assert info == (5, 2, 1 + 3 % 7, "k1=xxxxx;k2=x")
+    assert png_chunk_info(b[:-6]) is None          # truncated: no IEND
+    assert png_chunk_info(b"\x89PNG\r\n\x1a\xFF") is None  # bad signature
+    assert png_chunk_info(None) is None
+
+
+def test_median_interp2_even_and_odd_groups(spark):
+    from etl_healthcare_spark.operators.stats import median_interp2
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 11.0),   # even: 2+10
+            ("b", 5.0), ("b", 7.0), ("b", 100.0)]               # odd: 7+7
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in median_interp2(df, "g", "v").collect()}
+    assert out["a"].med2_cents == 200 + 1000 and out["a"].n == 4
+    assert out["b"].med2_cents == 1400 and out["b"].n == 3
+
+
+def test_zonemap_prune_clustered_beats_scattered(spark):
+    from etl_healthcare_spark.operators.bucketing import zonemap_prune
+
+    # values 0..999; predicate [100, 199]; clustered files span 100 values
+    df = spark.createDataFrame([(i, i) for i in range(1000)], "id long, v long")
+    out = {r.layout: r for r in zonemap_prune(df, "v", "id", 100, 199, 100, 8).collect()}
+    c = out["clustered"]
+    assert c.n_files == 10 and c.n_pruned_files == 9 and c.n_rows_skipped == 900
+    s = out["scattered"]
+    # sha-scattered files each span nearly the full range: nothing prunes
+    assert s.n_files == 8 and s.n_pruned_files == 0 and s.n_rows_skipped == 0
