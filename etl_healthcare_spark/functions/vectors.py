@@ -100,3 +100,18 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
         lit_plane = F.array(*[F.lit(float(x)) for x in p])
         bits.append(F.when(dot(vec, lit_plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def int_dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """int_dot UNROLLED for a known dimension: sum of ``a[i] * b[i]`` over
+    explicit getItem terms.  Arithmetically identical to int_dot (integer
+    addition is associative; a short row yields NULL on both paths), but the
+    expression is plain codegen-able arithmetic instead of an INTERPRETED
+    higher-order fold — on 64-dim pair scans the fold was ~the entire task
+    time (zip_with/aggregate run expression-interpreted per element).  Use
+    whenever the dimension is known at plan time; int_dot remains the
+    dimension-agnostic fallback."""
+    from functools import reduce
+
+    terms = [a.getItem(i) * b.getItem(i) for i in range(dim)]
+    return reduce(lambda x, y: x + y, terms, F.lit(0).cast("long"))

@@ -411,6 +411,7 @@ def knn_join(
     vec_col: str,
     id_col: str,
     k: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact k-NN JOIN: for EVERY query vector, its top-k cosine neighbors in
     the corpus (the batch form of topk_cosine — one query vector there, a
@@ -431,21 +432,37 @@ def knn_join(
     engines; only ids and ranks are emitted."""
     from pyspark.sql import Window
 
+    from ..functions.vectors import dot_fixed
+
     xd = lambda x: x.cast("double")  # noqa: E731
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    sumsq = F.aggregate(
-        F.transform(F.col(vec_col), lambda x: xd(x) * xd(x)), F.lit(0.0), lambda a, b: a + b
-    )
+    # dim known -> unrolled arithmetic (functions/vectors.dot_fixed).
+    # CAVEAT measured at sf1.0: the unrolled form only wins inside
+    # whole-stage codegen (hash-join pair streams, e.g. dedup blocking);
+    # under THIS operator's BroadcastNestedLoopJoin the projection is
+    # evaluated interpreted and 64 boxed getItems run ~4x SLOWER than the
+    # single fold — so the registry query deliberately does NOT pass dim
+    # here, while range_search/hard_negatives (cross join + codegen
+    # filter) do
+    if dim:
+        sumsq = dot_fixed(F.col(vec_col), F.col(vec_col), dim)
+    else:
+        sumsq = F.aggregate(
+            F.transform(F.col(vec_col), lambda x: xd(x) * xd(x)), F.lit(0.0), lambda a, b: a + b
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.sqrt(sumsq).alias("nrm"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: xd(x) * xd(y)),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
+    if dim:
+        dot = dot_fixed(F.col("qv"), F.col("cv"), dim)
+    else:
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: xd(x) * xd(y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", (dot / F.col("nrm")).alias("score"))
@@ -545,6 +562,7 @@ def range_search(
     query_pred,
     tau_ppm: int = 200_000,
     scale: int = 1_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """RADIUS (range) search: every corpus vector whose cosine with a query
     vector is >= tau — the "all neighbors within a threshold" companion to
@@ -568,9 +586,12 @@ def range_search(
     """
     from ..functions.vectors import int_dot, quantize_vec
 
+    from ..functions.vectors import int_dot_fixed
+
     # norms are per-ROW constants: computing them before the cross join runs
-    # int_dot (an interpreted higher-order fold) n + |Q| times instead of
-    # 2 x n x |Q| times — at sf1.0 this was most of the pair-scan cost
+    # the fold n + |Q| times instead of 2 x n x |Q| times — at sf1.0 this
+    # was most of the pair-scan cost; with dim known the per-pair dot also
+    # unrolls into codegen arithmetic (int_dot_fixed)
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
     ).withColumn("n2v", int_dot(F.col("qv"), F.col("qv")))
@@ -581,7 +602,11 @@ def range_search(
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("query_id"))
-    dot = int_dot(F.col("qv"), F.col("qq"))
+    dot = (
+        int_dot_fixed(F.col("qv"), F.col("qq"), dim)
+        if dim
+        else int_dot(F.col("qv"), F.col("qq"))
+    )
     scored = pairs.select("query_id", "id", dot.alias("dot"), "n2v", "n2q")
     keep = (F.col("dot") > 0) & (
         dec(F.col("dot")) * dec(F.col("dot")) * F.lit(10**12).cast("decimal(38,0)")
@@ -770,6 +795,7 @@ def hard_negatives(
     hi_ppm: int = 800_000,
     k: int = 5,
     scale: int = 1_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Contrastive-training pair mining: for each anchor (query) vector, the
     top-k corpus vectors whose cosine falls in the HARD-NEGATIVE band
@@ -810,12 +836,19 @@ def hard_negatives(
         F.col("qv").alias("qq"),
         F.col("n2v").alias("n2q"),
     )
+    from ..functions.vectors import int_dot_fixed
+
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pairs = vecs.crossJoin(F.broadcast(queries)).where(F.col("id") != F.col("anchor_id"))
+    pair_dot = (
+        int_dot_fixed(F.col("qv"), F.col("qq"), dim)
+        if dim
+        else int_dot(F.col("qv"), F.col("qq"))
+    )
     scored = pairs.select(
         "anchor_id",
         "id",
-        int_dot(F.col("qv"), F.col("qq")).alias("dot"),
+        pair_dot.alias("dot"),
         "n2v",
         "n2q",
     )
