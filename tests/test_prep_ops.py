@@ -192,3 +192,17 @@ def test_zonemap_prune_clustered_beats_scattered(spark):
     s = out["scattered"]
     # sha-scattered files each span nearly the full range: nothing prunes
     assert s.n_files == 8 and s.n_pruned_files == 0 and s.n_rows_skipped == 0
+
+
+def test_score_calibration_shuffle_fallback_matches_broadcast(spark):
+    # ADVICE r3: wide score domains must be able to opt out of the
+    # broadcast — same rows either way
+    from etl_healthcare_spark.operators.sampling import score_calibration
+
+    rows = [(i, "s" + str(i % 2), "tok " * (i % 7 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(map(tuple, score_calibration(df, "text", "doc_id", "source").collect()))
+    b = sorted(
+        map(tuple, score_calibration(df, "text", "doc_id", "source", broadcast_map=False).collect())
+    )
+    assert a == b and len(a) == 40
