@@ -1033,3 +1033,121 @@ def png_chunks(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=PNG_CHUNKS_SCHEMA)
+
+
+def _be16(c) -> Column:
+    return F.lpad(F.hex(c.cast("long")), 4, "0")
+
+
+def synth_tiff(doc_id, width, height) -> Column:
+    """A structurally complete minimal TIFF/EXIF container: byte-order mark
+    ("II" little-endian for even ids, "MM" big-endian for odd — so the
+    walker's endian handling is genuinely exercised), magic 42, IFD0 offset
+    8, then IFD0 with 3 + id % 2 SHORT entries — ImageWidth(256),
+    ImageLength(257), Orientation(274) = 1 + id % 8, and for odd-count ids
+    SamplesPerPixel(277) = 3 — each value left-justified in its 4-byte
+    field per the spec, next-IFD pointer 0."""
+    even = doc_id % 2 == 0
+    u16 = lambda v: F.when(even, _le16(v)).otherwise(_be16(v))  # noqa: E731
+    u32 = lambda v: F.when(even, _le32(v)).otherwise(_be32(v))  # noqa: E731
+
+    def entry(tag: int, value) -> Column:
+        return F.concat(
+            u16(F.lit(tag)), u16(F.lit(3)), u32(F.lit(1)), u16(value), F.lit("0000")
+        )
+
+    n_entries = F.lit(3) + doc_id % 2
+    entries = F.concat(
+        entry(256, width),
+        entry(257, height),
+        entry(274, F.lit(1) + doc_id % 8),
+        F.when(doc_id % 2 == 1, entry(277, F.lit(3))).otherwise(F.lit("")),
+    )
+    return F.unhex(
+        F.concat(
+            F.when(even, F.lit("49492A00")).otherwise(F.lit("4D4D002A")),
+            u32(F.lit(8)),  # IFD0 offset
+            u16(n_entries),
+            entries,
+            u32(F.lit(0)),  # next-IFD pointer
+        )
+    )
+
+
+def tiff_ifd_info(b: bytes):
+    """(byte_order, n_entries, width, height, orientation) from a REAL walk
+    of the TIFF header and IFD0: byte-order mark selects the int decoder,
+    magic 42 is verified, the IFD0 offset is followed, and each 12-byte
+    entry's SHORT value is read left-justified from the 4-byte value field
+    — the EXIF-class metadata walk (orientation is THE tag image pipelines
+    must read before any resize).  Returns None for non-TIFF/corrupt."""
+    try:
+        if b is None or len(b) < 8:
+            return None
+        if b[:2] == b"II":
+            order = "<"
+        elif b[:2] == b"MM":
+            order = ">"
+        else:
+            return None
+        u16 = lambda off: struct.unpack(order + "H", b[off : off + 2])[0]  # noqa: E731
+        u32 = lambda off: struct.unpack(order + "I", b[off : off + 4])[0]  # noqa: E731
+        if u16(2) != 42:
+            return None
+        ifd = u32(4)
+        n = u16(ifd)
+        if ifd + 2 + 12 * n + 4 > len(b):
+            return None
+        tags = {}
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            tag, typ = u16(e), u16(e + 2)
+            if typ == 3:  # SHORT: left-justified in the value field
+                tags[tag] = u16(e + 8)
+            elif typ == 4:
+                tags[tag] = u32(e + 8)
+        return (
+            "II" if order == "<" else "MM",
+            n,
+            tags.get(256),
+            tags.get(257),
+            tags.get(274),
+        )
+    except (struct.error, IndexError):
+        return None
+
+
+TIFF_IFD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("byte_order", T.StringType(), True),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+    ]
+)
+
+
+def tiff_ifd(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, byte_order, n_entries, width, height, orientation) via the Arrow
+    kernel — map-only; undecodable payloads yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            parsed = [tiff_ifd_info(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": b["id"],
+                    "byte_order": [p[0] if p else None for p in parsed],
+                    "n_entries": pd.Series([p[1] if p else None for p in parsed], dtype="Int32"),
+                    "width": pd.Series([p[2] if p else None for p in parsed], dtype="Int32"),
+                    "height": pd.Series([p[3] if p else None for p in parsed], dtype="Int32"),
+                    "orientation": pd.Series(
+                        [p[4] if p else None for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return src.mapInPandas(run, schema=TIFF_IFD_SCHEMA)

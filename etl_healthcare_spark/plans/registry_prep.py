@@ -520,3 +520,135 @@ def layout_zonemap_prune(spark, sf_dir):
         "rk",
         _ZM_LO, _ZM_HI, _ZM_SPAN, _ZM_FILES,
     )
+
+
+# ---------------------------------------------------------------------------
+# joins: bucketed co-located fact-to-fact join (zero-exchange)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j11_bucketed_join",
+    sql="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="J11 bucketed CO-LOCATED fact-to-fact join: both orders and lineitem "
+    "are written bucketBy(orderkey) once (operators/bucketing.write_bucketed "
+    "to a temp-path external table), then the orderkey join plans with ZERO "
+    "exchange on either side — the write paid the shuffle once, every later "
+    "join is free (THE 100 TB fact-to-fact strategy; SortMergeJoin hint "
+    "pins the shape so a small-SF broadcast cannot hide the co-location — "
+    "plan-tested).  The oracle is the plain join+agg: bucketing must change "
+    "the PLAN, never the rows.",
+)
+def j11_bucketed_join(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from ..operators.bucketing import write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    d = tempfile.mkdtemp(prefix="bucketed_join_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    ta, tb = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{d}/orders").saveAsTable(ta)
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{d}/lineitem").saveAsTable(tb)
+    )
+    j = (
+        spark.table(ta)
+        .hint("merge")
+        .join(spark.table(tb), F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: TIFF/EXIF IFD walk (both byte orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_tiff_exif",
+    sql="""
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(3 + doc_id % 2 AS INTEGER) AS n_entries,
+           CAST(16 + doc_id % 64 AS INTEGER) AS width,
+           CAST(12 + doc_id % 48 AS INTEGER) AS height,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation
+    FROM documents WHERE doc_id < 800
+    """,
+    doc="TIFF/EXIF IFD walk on REAL bytes (operators/multimodal.tiff_ifd): "
+    "synth_tiff emits complete minimal TIFF containers — little-endian "
+    "'II' for even ids, big-endian 'MM' for odd, so the walker's endian "
+    "handling is genuinely exercised — and the Arrow kernel verifies magic "
+    "42, follows the IFD0 offset, and reads each 12-byte entry's SHORT "
+    "value left-justified per byte order, extracting ImageWidth/Length and "
+    "Orientation (THE tag image pipelines must honor before any resize; "
+    "mm_resize_plan consumes it).  Oracle predicts every field "
+    "arithmetically.  Map-only at any scale.",
+)
+def mm_tiff_exif(spark, sf_dir):
+    from ..operators.multimodal import synth_tiff, tiff_ifd
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id", synth_tiff(d, F.lit(16) + d % 64, F.lit(12) + d % 48).alias("payload")
+    )
+    return tiff_ifd(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# query surface: SQL-text PIVOT front door
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_pivot_daily",
+    sql="""
+    SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    doc="SQL-text PIVOT front door: Spark SQL's native PIVOT clause over a "
+    "registered view (daily event counts fanned into one column per event "
+    "type) — the second SQL-surface proof next to sql_topn_hours, covering "
+    "the relational-pivot syntax users bring from warehouses.  The oracle "
+    "is the deliberately-different conditional-aggregation derivation, so "
+    "the PIVOT rewrite itself is what gets cross-checked.  Plans to the "
+    "same partial-aggregated two-phase shape as g10_pivot.",
+)
+def sql_pivot_daily(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_pivot_v")
+    return spark.sql(
+        """
+        SELECT unix_micros(day) AS day_us,
+               coalesce(click, 0L) AS click, coalesce(view, 0L) AS view,
+               coalesce(purchase, 0L) AS purchase
+        FROM (SELECT date_trunc('day', ts) AS day, event_type FROM events_pivot_v)
+        PIVOT (count(*) FOR event_type IN ('click' AS click, 'view' AS view,
+                                           'purchase' AS purchase))
+        """
+    )

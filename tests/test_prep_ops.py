@@ -206,3 +206,44 @@ def test_score_calibration_shuffle_fallback_matches_broadcast(spark):
         map(tuple, score_calibration(df, "text", "doc_id", "source", broadcast_map=False).collect())
     )
     assert a == b and len(a) == 40
+
+
+def test_tiff_ifd_walk_both_endians_and_corrupt(spark):
+    from etl_healthcare_spark.operators.multimodal import synth_tiff, tiff_ifd_info
+
+    df = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    d = F.col("doc_id")
+    rows = df.select(
+        "doc_id", synth_tiff(d, F.lit(100) + d, F.lit(50) + d).alias("p")
+    ).collect()
+    by_id = {r.doc_id: bytes(r.p) for r in rows}
+    assert by_id[2][:2] == b"II" and by_id[3][:2] == b"MM"
+    assert tiff_ifd_info(by_id[2]) == ("II", 3, 102, 52, 3)   # orient 1+2%8
+    assert tiff_ifd_info(by_id[3]) == ("MM", 4, 103, 53, 4)   # +SamplesPerPixel
+    assert tiff_ifd_info(b"II\x2b\x00") is None               # wrong magic
+    assert tiff_ifd_info(by_id[2][:10]) is None               # truncated IFD
+    assert tiff_ifd_info(None) is None
+
+
+def test_bucketed_join_query_zero_exchange_before_agg(spark):
+    import contextlib
+    import io
+
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["j11_bucketed_join"].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # the co-located join itself must not shuffle: the only exchange in
+        # the whole plan is the post-join groupBy on o_orderpriority
+        n_exchanges = len([l for l in plan.splitlines() if l.strip().startswith("(")
+                           and ") Exchange" in l])
+        assert "SortMergeJoin" in plan
+        assert n_exchanges == 1, f"expected only the agg exchange, got {n_exchanges}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
