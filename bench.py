@@ -98,6 +98,9 @@ HEADLINE = [
     "g26_median_interp",     # exact interpolated median off one histogram
     "layout_zonemap_prune",  # min/max file-stats pruning, 2-layout compare
     "mm_png_chunks",         # PNG chunk walk on real bytes (map-only)
+    "j11_bucketed_join",     # bucketed co-located fact join (zero-exchange)
+    "mm_tiff_exif",          # TIFF/EXIF IFD walk, both byte orders
+    "sql_pivot_daily",       # SQL-text PIVOT front door
 ]
 
 
