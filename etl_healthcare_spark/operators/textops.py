@@ -1434,30 +1434,39 @@ def novelty_scores(
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )
-    spans = toks.select(
+    # the tokenize+sha256 chain feeds BOTH the first-occurrence aggregate and
+    # the flag join; materialize the small per-doc distinct-array frame once
+    # (containment_pairs' rule: ~1 row/doc, expensive to compute, 2 consumers)
+    arrs = toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    sh,
-                    lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
-                )
+        F.array_distinct(
+            F.transform(
+                sh,
+                lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
             )
-        ).alias("h"),
-    )
+        ).alias("hs"),
+    ).localCheckpoint(eager=True)
+    spans = arrs.select("doc_id", F.explode("hs").alias("h"))
+    # no join back onto the span stream: a doc's first-occurrence count IS
+    # the number of spans whose min-doc is that doc, so the whole answer is
+    # two partial-aggregable groupBys (spans -> first occurrence -> count
+    # per first doc) plus a doc-count-sized left join; n_spans comes free
+    # from the checkpointed array frame
     first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    n_first = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
     return (
-        spans.join(first.hint("shuffle_hash"), "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("n_first"),
-        )
+        arrs.select("doc_id", F.size("hs").cast("long").alias("n_spans"))
+        .where(F.col("n_spans") > 0)
+        .join(n_first.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
-            "n_first",
-            F.expr("(1000000 * n_first) div n_spans").alias("novelty_ppm"),
+            F.coalesce(F.col("n_first"), F.lit(0)).alias("n_first"),
+            F.expr(
+                "(1000000 * coalesce(n_first, 0)) div n_spans"
+            ).alias("novelty_ppm"),
         )
     )
 
