@@ -657,7 +657,7 @@ DRIVER_WINDOW: list[str] = [
     "j5b_asof_join",
     "j9_salted_skew_join",
     "j6_star_join",
-    "j8_interval_overlap",
+    "j5c_asof_tolerance",
     # window functions (§2.9)
     "w3_moving_avg",
     # set operations (§2.10)
@@ -666,7 +666,7 @@ DRIVER_WINDOW: list[str] = [
     "o2_topk",
     # multimodal (real header decode)
     "mm_header_decode",
-    "mm_phash_pairs",
+    "mm_tiff_exif",
     # parsing (P family)
     "p1_csv_to_dto",
     "p4_hl7_obx_dto",
@@ -692,10 +692,10 @@ DRIVER_WINDOW: list[str] = [
     # text analysis (chunk_windows is the zero-shuffle RAG pass)
     "text_stats",
     "text_chunk_windows",
-    "text_lm_trigram",
+    "corpus_novelty",
     # sampling / splits / calibration
     "sample_score_calibration",
-    "sample_dsir",
+    "sample_token_shards",
     # end-to-end curation funnel
     "curation_e2e",
     # pivot / subqueries / scalar surface (§2.11)
