@@ -101,6 +101,8 @@ HEADLINE = [
     "j11_bucketed_join",     # bucketed co-located fact join (zero-exchange)
     "mm_tiff_exif",          # TIFF/EXIF IFD walk, both byte orders
     "sql_pivot_daily",       # SQL-text PIVOT front door
+    "link_survivorship",     # golden-record build over CC clusters
+    "sample_kcenter",        # greedy farthest-point diversity coreset
 ]
 
 

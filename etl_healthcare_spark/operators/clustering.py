@@ -354,3 +354,123 @@ def kmeans_oracle_sql(k: int = 8, rounds: int = 1, src: str = "embeddings") -> s
     )
     SELECT id, cluster, d2 AS dist2 FROM a2 WHERE rn = 1
     """
+
+
+def kcenter_assign(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Greedy K-CENTER (farthest-point traversal, Gonzalez 1985) over int8
+    codes — the DIVERSITY coreset selector: each round adds the point
+    farthest from every center chosen so far, giving the classic
+    2-approximation to the k-center cover.  Training-data use: pick k
+    maximally-spread exemplars (dedup-aware seed set, eval-panel
+    selection), the opposite selection pressure from
+    prototype_prune's density-seeking prototypes.
+
+    Determinism: codes are the exact int8 grid (quantized_vectors), every
+    distance is exact integer squared L2, the seed is the lowest id, each
+    round's pick maximizes (min-distance-to-centers, then LOWEST id) — a
+    total order both engines replay bit-for-bit; the oracle unrolls the k
+    rounds as CTEs.
+
+    Scale: the code frame is checkpointed once; each of the k rounds is one
+    map-only least() update against a BROADCAST-LITERAL center plus one
+    1-row argmax aggregate (k tiny driver fetches, like the IVF centroid
+    loads); the final assignment is one broadcast cross join + exact
+    struct-min.  Output (id, center_id, d2) for every point."""
+    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+
+    def lit_qv(xs):
+        return F.array(*[F.lit(int(x)) for x in xs])
+
+    seed = vecs.orderBy("id").limit(1).select("id", "qv").collect()[0]
+    centers = [(int(seed["id"]), [int(x) for x in seed["qv"]])]
+    cur = vecs.select("id", "qv", _dist2(F.col("qv"), lit_qv(centers[0][1])).alias("mind2"))
+    for _ in range(k - 1):
+        pick = cur.agg(
+            F.max(
+                F.struct(
+                    F.col("mind2"), (-F.col("id")).alias("nid"), F.col("qv").alias("qv")
+                )
+            ).alias("p")
+        ).collect()[0]["p"]
+        cid, cqv = -int(pick["nid"]), [int(x) for x in pick["qv"]]
+        centers.append((cid, cqv))
+        cur = cur.select(
+            "id",
+            "qv",
+            F.least(F.col("mind2"), _dist2(F.col("qv"), lit_qv(cqv))).alias("mind2"),
+        )
+    cdf = df.sparkSession.createDataFrame(
+        [(cid, cqv) for cid, cqv in centers], "cid long, cv array<long>"
+    )
+    scored = vecs.crossJoin(F.broadcast(cdf)).select(
+        "id",
+        F.struct(_dist2(F.col("qv"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")).alias(
+            "dc"
+        ),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.min("dc").alias("dc"))
+        .select(F.col("id").alias(id_col), F.col("dc.cid").alias("center_id"), F.col("dc.d2").alias("d2"))
+    )
+
+
+def kcenter_oracle_sql(k: int = 8, src: str = "embeddings") -> str:
+    """DuckDB twin of kcenter_assign: the k greedy rounds unrolled as CTEs
+    over the identical int8 code grid (same codes as _int8_kmeans_ctes)."""
+    parts = [
+        f"""raw AS (
+      SELECT vec_id AS id, unnest(embedding) AS xf,
+             generate_subscripts(embedding, 1) AS pos
+      FROM {src}
+    ),
+    ex AS (SELECT id, pos, CAST(xf AS DOUBLE) AS x FROM raw),
+    stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    q AS (
+      SELECT e.id, e.pos,
+        CASE WHEN s.mx = s.mn THEN 0
+             ELSE least(CAST(floor((e.x - s.mn) * 255.0 / (s.mx - s.mn)) AS BIGINT), 255)
+        END AS q
+      FROM ex e JOIN stats s ON e.pos = s.pos
+    ),
+    cen1 AS (SELECT pos, q AS c FROM q WHERE id = (SELECT min(id) FROM q)),
+    ids1 AS (SELECT (SELECT min(id) FROM q) AS cid),
+    md1 AS (
+      SELECT q.id, CAST(sum((q.q - cen1.c) * (q.q - cen1.c)) AS BIGINT) AS mind2
+      FROM q JOIN cen1 USING (pos) GROUP BY q.id
+    )"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""pick{i} AS (SELECT id FROM md{i - 1} ORDER BY mind2 DESC, id ASC LIMIT 1),
+    cen{i} AS (SELECT pos, q AS c FROM q WHERE id = (SELECT id FROM pick{i})),
+    nd{i} AS (
+      SELECT q.id, CAST(sum((q.q - cen{i}.c) * (q.q - cen{i}.c)) AS BIGINT) AS d2
+      FROM q JOIN cen{i} USING (pos) GROUP BY q.id
+    ),
+    md{i} AS (
+      SELECT m.id, least(m.mind2, n.d2) AS mind2
+      FROM md{i - 1} m JOIN nd{i} n USING (id)
+    )"""
+        )
+    centers_union = " UNION ALL ".join(
+        ["SELECT cid FROM ids1"] + [f"SELECT id AS cid FROM pick{i}" for i in range(2, k + 1)]
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    centers AS ({centers_union}),
+    cend AS (SELECT c.cid, q2.pos, q2.q AS c FROM centers c JOIN q q2 ON q2.id = c.cid),
+    alld AS (
+      SELECT q.id, cend.cid, CAST(sum((q.q - cend.c) * (q.q - cend.c)) AS BIGINT) AS d2
+      FROM q JOIN cend ON q.pos = cend.pos
+      GROUP BY q.id, cend.cid
+    )
+    SELECT id AS vec_id, cid AS center_id, d2
+    FROM (SELECT id, cid, d2,
+                 row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM alld)
+    WHERE rn = 1
+    """
+    )

@@ -89,3 +89,48 @@ def fuzzy_match_join(
         F.col("b.cname").alias("match_name"),
         F.col("b.distance").alias("distance"),
     )
+
+
+def survivorship(
+    records: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    longest: tuple[str, ...] = (),
+    maxs: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """SURVIVORSHIP (golden-record build): one canonical record per entity
+    cluster with field-level merge rules — the step after matching
+    (fuzzy_match_join) and clustering (connected_components) that MDM and
+    dedup pipelines end with: "we found these rows are the same entity; now
+    emit the record we keep".  Rules: ``longest`` columns survive as the
+    longest value (ties -> lexicographically largest — a total order both
+    engines share), ``maxs``/``mins`` as plain max/min; the canonical id is
+    the cluster's minimum id; n_members counts the cluster.
+
+    Scale: one left join records->clusters on the record id (unclustered
+    rows form singleton clusters via coalesce) + ONE partial-aggregable
+    groupBy(cluster).  Every rule is an ordinary aggregate — no window, no
+    per-cluster collect."""
+    sized = clusters.select(F.col(node_col).alias("__node"), F.col(cluster_col))
+    j = records.join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
+    aggs = [
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    ]
+    for c in longest:
+        aggs.append(
+            F.max(F.struct(F.length(c).alias("l"), F.col(c).alias("v")))["v"].alias(
+                f"{c}_survived"
+            )
+        )
+    for c in maxs:
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    for c in mins:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+    return (
+        j.groupBy(F.coalesce(F.col(cluster_col), F.col(id_col)).alias("cluster_id"))
+        .agg(*aggs)
+    )

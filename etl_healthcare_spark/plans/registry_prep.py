@@ -652,3 +652,94 @@ def sql_pivot_daily(spark, sf_dir):
                                            'purchase' AS purchase))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: survivorship (golden-record build)
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    from .registry_llm import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    clusters AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+    SELECT coalesce(z.cluster_id, d.doc_id) AS cluster_id,
+           min(d.doc_id) AS canonical_id,
+           count(*) AS n_members,
+           max(struct_pack(l := length(d.text), v := d.text)).v AS text_survived,
+           max(d.n_chars) AS n_chars_max,
+           min(d.lang) AS lang_min
+    FROM documents d LEFT JOIN clusters z ON d.doc_id = z.node
+    GROUP BY 1
+    """
+
+
+@register(
+    "link_survivorship",
+    sql=_survivorship_oracle(),
+    doc="SURVIVORSHIP / golden-record build (operators/linkage.survivorship "
+    "over minhash-LSH connected components): one canonical record per "
+    "duplicate cluster with field-level merge rules — text survives as the "
+    "longest value (ties lexicographically largest), n_chars as max, lang "
+    "as min, canonical id = cluster minimum — the step MDM and dedup "
+    "pipelines end with after match (j7) and cluster (dedup_cc_clusters).  "
+    "One record->cluster left join (singletons via coalesce) + ONE "
+    "partial-aggregable groupBy; every rule is an ordinary aggregate, no "
+    "window, no per-cluster collect.",
+)
+def link_survivorship(spark, sf_dir):
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.linkage import survivorship
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4)
+    return survivorship(
+        docs,
+        connected_components(pairs, "doc_a", "doc_b"),
+        "doc_id",
+        longest=("text",),
+        maxs=("n_chars",),
+        mins=("lang",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: greedy k-center diversity coreset
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_oracle() -> str:
+    from ..operators.clustering import kcenter_oracle_sql
+
+    return kcenter_oracle_sql(k=8)
+
+
+@register(
+    "sample_kcenter",
+    sql=_kcenter_oracle(),
+    doc="Greedy K-CENTER diversity coreset (operators/clustering."
+    "kcenter_assign, Gonzalez 1985): 8 farthest-point rounds over the exact "
+    "int8 code grid pick maximally-spread exemplars (the opposite selection "
+    "pressure from prototype_prune's density-seeking prototypes), then "
+    "every point is assigned to its nearest center by exact integer "
+    "squared L2.  Each round is one map-only least() update against a "
+    "broadcast-literal center + a 1-row argmax; the oracle unrolls the 8 "
+    "rounds as CTEs — a total (mind2 DESC, id ASC) order both engines "
+    "replay bit-for-bit.",
+)
+def sample_kcenter(spark, sf_dir):
+    from ..operators.clustering import kcenter_assign
+
+    return kcenter_assign(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8)

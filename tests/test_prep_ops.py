@@ -247,3 +247,44 @@ def test_bucketed_join_query_zero_exchange_before_agg(spark):
         assert n_exchanges == 1, f"expected only the agg exchange, got {n_exchanges}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_survivorship_field_rules(spark):
+    from etl_healthcare_spark.operators.linkage import survivorship
+
+    records = spark.createDataFrame(
+        [(1, "short", 5, "b"), (2, "the longest text", 3, "a"),
+         (3, "also long  text!", 9, "c"), (4, "solo", 7, "z")],
+        "doc_id long, text string, score long, tag string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster_id long"
+    )
+    out = {r.cluster_id: r for r in survivorship(
+        records, clusters, "doc_id", longest=("text",), maxs=("score",), mins=("tag",)
+    ).collect()}
+    g = out[1]
+    assert g.canonical_id == 1 and g.n_members == 3
+    # both 16-char strings tie on length -> lexicographically larger survives
+    assert g.text_survived == "the longest text"
+    assert g.score_max == 9 and g.tag_min == "a"
+    s = out[4]   # unclustered singleton
+    assert s.canonical_id == 4 and s.n_members == 1 and s.text_survived == "solo"
+
+
+def test_kcenter_picks_farthest_points(spark):
+    from etl_healthcare_spark.operators.clustering import kcenter_assign
+
+    # three tight groups on a line; k=3 must pick one exemplar from each
+    pts = [0.0, 0.01, 0.02, 5.0, 5.01, 10.0, 10.01, 10.02]
+    df = spark.createDataFrame(
+        [(i, [v, 0.0]) for i, v in enumerate(pts)], "vec_id long, embedding array<float>"
+    )
+    out = kcenter_assign(df, "embedding", "vec_id", k=3).collect()
+    centers = sorted({r.center_id for r in out})
+    # seed = id 0; farthest = one of the 10.x group; then the 5.x group
+    assert len(centers) == 3 and centers[0] == 0
+    assert any(c in (5, 6, 7) for c in centers) and any(c in (3, 4) for c in centers)
+    by_id = {r.vec_id: r.center_id for r in out}
+    assert by_id[1] == 0 and by_id[2] == 0          # first group -> seed
+    assert len({by_id[3], by_id[4]}) == 1           # middle group together
