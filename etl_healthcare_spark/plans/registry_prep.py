@@ -743,3 +743,48 @@ def sample_kcenter(spark, sf_dir):
     from ..operators.clustering import kcenter_assign
 
     return kcenter_assign(_t(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8)
+
+
+# ---------------------------------------------------------------------------
+# io: CSV round trip with hostile content (quotes, commas, newlines)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "io_csv_roundtrip",
+    sql="""
+    SELECT doc_id,
+           text || '",' || chr(10) || coalesce(lang, '') AS hostile,
+           length(text || '",' || chr(10) || coalesce(lang, '')) AS n_chars
+    FROM documents WHERE doc_id < 2000
+    """,
+    doc="CSV ROUND TRIP under hostile content: every document gets a quote, "
+    "a comma, and an embedded NEWLINE appended, is written through Spark's "
+    "CSV writer (default RFC-4180 quoting) and read back with "
+    "multiLine=true + escape='\"' — the fidelity check that catches the "
+    "classic CSV corruption family (split rows at embedded newlines, "
+    "double-quote mangling).  The oracle computes the SAME hostile strings "
+    "directly (no file IO): if the round trip is lossless the hash "
+    "matches; any quoting bug cannot.  Complements io_orc_roundtrip "
+    "(columnar) with the text-format edge cases.",
+)
+def io_csv_roundtrip(spark, sf_dir):
+    import tempfile as _tf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    hostile = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit('",\n'), F.coalesce(F.col("lang"), F.lit(""))
+        ).alias("hostile"),
+    )
+    d = _tf.mkdtemp(prefix="csv_rt_")
+    hostile.write.mode("overwrite").option("header", True).option("escape", '"').csv(
+        f"{d}/docs_csv"
+    )
+    back = spark.read.option("header", True).option("multiLine", True).option(
+        "escape", '"'
+    ).schema("doc_id long, hostile string").csv(f"{d}/docs_csv")
+    return back.select(
+        "doc_id", "hostile", F.length("hostile").cast("long").alias("n_chars")
+    )
