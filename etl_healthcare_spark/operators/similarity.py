@@ -590,8 +590,10 @@ def range_search(
 
     # norms are per-ROW constants: computing them before the cross join runs
     # the fold n + |Q| times instead of 2 x n x |Q| times — at sf1.0 this
-    # was most of the pair-scan cost; with dim known the per-pair dot also
-    # unrolls into codegen arithmetic (int_dot_fixed)
+    # was most of the pair-scan cost.  (dim is accepted for the unrolled
+    # int_dot_fixed path, but measured A/B it is a WASH at sf1.0 and a
+    # clear LOSS at sf0.1 — the cross-join projection evaluates outside
+    # whole-stage codegen, so the registry query uses the fold)
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
     ).withColumn("n2v", int_dot(F.col("qv"), F.col("qv")))
@@ -827,7 +829,8 @@ def hard_negatives(
     from ..functions.vectors import int_dot, quantize_vec
 
     # per-row norms hoisted above the cross join (range_search's rule): one
-    # interpreted int_dot fold per corpus row / per anchor, not per pair
+    # interpreted int_dot fold per corpus row / per anchor, not per pair.
+    # dim/int_dot_fixed: see range_search's caveat — fold wins here too
     vecs = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("qv")
     ).withColumn("n2v", int_dot(F.col("qv"), F.col("qv")))

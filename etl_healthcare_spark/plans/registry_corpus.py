@@ -208,7 +208,6 @@ def sim_hard_negatives(spark, sf_dir):
         "vec_id",
         query_pred=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000),
         lo_ppm=300_000,
-        dim=64,
         hi_ppm=800_000,
         k=5,
         scale=1_000,

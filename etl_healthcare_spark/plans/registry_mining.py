@@ -290,7 +290,6 @@ def sim_range_search(spark, sf_dir):
         "vec_id",
         query_pred=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 1000),
         tau_ppm=200_000,
-        dim=64,
         scale=1_000,
     )
 
