@@ -103,6 +103,11 @@ HEADLINE = [
     "sql_pivot_daily",       # SQL-text PIVOT front door
     "link_survivorship",     # golden-record build over CC clusters
     "sample_kcenter",        # greedy farthest-point diversity coreset
+    # round-4 sequence/itemset batch
+    "ts_m4_downsample",      # one-shuffle M4 pixel-exact downsample
+    "rec_tree_depth",        # pointer-doubling transitive closure (log rounds)
+    "mine_frequent_pairs",   # in-task basket pair expansion + broadcast lift
+    "seq_markov_stationary", # window lag matrix + 12 integer power rounds
 ]
 
 

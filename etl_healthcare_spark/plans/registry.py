@@ -628,6 +628,7 @@ from . import registry_analytics  # noqa: E402,F401
 from . import registry_mining  # noqa: E402,F401
 from . import registry_corpus  # noqa: E402,F401
 from . import registry_prep  # noqa: E402,F401
+from . import registry_seq  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
@@ -648,7 +649,8 @@ DRIVER_WINDOW: list[str] = [
     "g1_minute_counters",
     "g6_max_by_latest",
     "g8_rollup",
-    "anomaly_mad",
+    # time series (M4 pixel-exact downsampling)
+    "ts_m4_downsample",
     # TPC-H suite (G7 family)
     "g7_tpch_q1",
     "g7c_tpch_q3",
@@ -657,7 +659,8 @@ DRIVER_WINDOW: list[str] = [
     "j5b_asof_join",
     "j9_salted_skew_join",
     "j6_star_join",
-    "j5c_asof_tolerance",
+    # recursion (WITH RECURSIVE parity via pointer doubling)
+    "rec_tree_depth",
     # window functions (§2.9)
     "w3_moving_avg",
     # set operations (§2.10)
@@ -684,8 +687,9 @@ DRIVER_WINDOW: list[str] = [
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "dedup_semantic",
-    "dedup_cross_corpus",
     "decontam_ngram",
+    # itemset mining (in-task pair expansion + broadcast lift)
+    "mine_frequent_pairs",
     # similarity search
     "sim_topk_cosine",
     "sim_range_search",

@@ -315,8 +315,9 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
     ARROW_OK = {
         "mm_binary_stats", "mm_header_decode", "mm_resize_plan", "mm_frame_sample",
         "mm_pixel_stats",
-        # round-4 PNG chunk walk (operators/multimodal.png_chunks)
+        # round-4 PNG chunk walk + TIFF/EXIF IFD walk (operators/multimodal)
         "mm_png_chunks",
+        "mm_tiff_exif",
         # per-bucket numpy GEMM pair scorer — the declared embedding-dedup
         # Arrow slot (operators/dedup.embedding_lsh_dedup_pairs)
         "dedup_embedding_lsh",
