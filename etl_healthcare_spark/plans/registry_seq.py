@@ -186,9 +186,11 @@ def _stationary_oracle() -> str:
     doc="Stationary event-type mass via 12 exact-integer power iterations of "
     "v' = vP (v in ppb, P in ppm, floor division) from a uniform start — "
     "bit-identical on any engine at any parallelism, same rationale as "
-    "pagerank_ppm (operators/graph.py:33).  The |states|^2 matrix is "
-    "broadcast into every round; the DuckDB oracle unrolls the 12 rounds as "
-    "chained CTEs, so the loop is checked against the closed-form recurrence.",
+    "pagerank_ppm (operators/graph.py:33).  The corpus-sized work is the "
+    "transition-count shuffle; the |states|^2 recurrence runs driver-side "
+    "over the declared-bounded collected matrix (operators/sequences.py "
+    "docstring).  The DuckDB oracle unrolls the 12 rounds as chained CTEs, "
+    "so the loop is checked against the closed-form recurrence.",
 )
 def seq_markov_stationary(spark, sf_dir):
     from ..operators.sequences import markov_stationary_ppb, markov_transitions
