@@ -108,6 +108,10 @@ HEADLINE = [
     "rec_tree_depth",        # pointer-doubling transitive closure (log rounds)
     "mine_frequent_pairs",   # in-task basket pair expansion + broadcast lift
     "seq_markov_stationary", # window lag matrix + 12 integer power rounds
+    # round-4 quality/maintenance batch
+    "u8_snapshot_diff",      # one full-outer key join diff classification
+    "u9_incremental_join_mv",  # broadcast delta eviction + re-enrichment
+    "text_doc_keywords",     # tf/df shuffle-hash join + per-doc rank<=3
 ]
 
 

@@ -629,6 +629,7 @@ from . import registry_mining  # noqa: E402,F401
 from . import registry_corpus  # noqa: E402,F401
 from . import registry_prep  # noqa: E402,F401
 from . import registry_seq  # noqa: E402,F401
+from . import registry_quality  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
@@ -686,8 +687,11 @@ DRIVER_WINDOW: list[str] = [
     "dedup_containment",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
-    "dedup_semantic",
     "decontam_ngram",
+    # maintenance (snapshot diff / incremental join-MV proof)
+    "u9_incremental_join_mv",
+    # data-quality expectations report
+    "profile_expectations",
     # itemset mining (in-task pair expansion + broadcast lift)
     "mine_frequent_pairs",
     # similarity search
@@ -695,11 +699,10 @@ DRIVER_WINDOW: list[str] = [
     "sim_range_search",
     # text analysis (chunk_windows is the zero-shuffle RAG pass)
     "text_stats",
-    "text_chunk_windows",
+    "text_doc_keywords",
     "corpus_novelty",
     # sampling / splits / calibration
     "sample_score_calibration",
-    "sample_token_shards",
     # end-to-end curation funnel
     "curation_e2e",
     # pivot / subqueries / scalar surface (§2.11)

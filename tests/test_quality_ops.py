@@ -1,0 +1,103 @@
+"""Unit tests for the quality/maintenance batch: snapshot diff, incremental
+join-MV maintenance, the expectations report, keyword extraction — planted
+inputs checked against hand-computed models."""
+
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    from etl_healthcare_spark.operators.maintenance import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+    )
+    b = spark.createDataFrame(
+        [(2, 20), (3, 99), (4, 40), (5, 50)], "k long, v long"
+    )
+    out = {r.change: r for r in snapshot_diff(a, b, "k", "v").collect()}
+    assert out["removed"].n == 1 and out["removed"].key_min == 1
+    assert out["added"].n == 1 and out["added"].key_min == 5
+    assert out["changed"].n == 1 and out["changed"].key_min == 3
+    assert out["unchanged"].n == 2
+    assert (out["unchanged"].key_min, out["unchanged"].key_max) == (2, 4)
+
+
+def test_incremental_join_mv_equals_full_recompute(spark):
+    from etl_healthcare_spark.operators.maintenance import incremental_join_mv
+
+    dim = spark.createDataFrame(
+        [(1, "seg_a"), (2, "seg_b")], "c_key long, segment string"
+    )
+    # true facts; MV was built when keys 10 and 30 had stale values
+    facts = [(10, 1, 100), (20, 1, 200), (30, 2, 300), (40, 2, 400)]
+    stale = {10: 93, 30: 291}
+    mv_base = spark.createDataFrame(
+        [(k, ck, "seg_a" if ck == 1 else "seg_b", stale.get(k, v)) for k, ck, v in facts],
+        "f_key long, c_key long, segment string, price long",
+    )
+    delta = spark.createDataFrame(
+        [(10, 1, 100), (30, 2, 300)], "f_key long, c_key long, price long"
+    )
+    out = incremental_join_mv(mv_base, delta, dim, "f_key", "c_key", "c_key")
+    got = sorted((r.f_key, r.c_key, r.segment, r.price) for r in out.collect())
+    want = sorted((k, ck, "seg_a" if ck == 1 else "seg_b", v) for k, ck, v in facts)
+    assert got == want
+
+
+def test_incremental_mv_anti_join_broadcasts_delta_keys(spark):
+    """The MV (history) side must be pruned by a BROADCAST anti-join — a
+    shuffled anti-join would move the whole history to apply a 1% delta."""
+    import io
+    import contextlib
+
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["u9_incremental_join_mv"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftAnti, BuildRight" in plan.replace("BuildSide: BuildRight", "BuildRight") or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ), plan
+
+
+def test_expectations_flags_planted_violations(spark):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {r.check_name: r for r in REGISTRY["profile_expectations"].fn(spark, "/root/testdata/sf0.001").collect()}
+    assert out["orders_pk_unique"].status == "pass"
+    assert out["customer_name_not_null"].status == "pass"
+    assert out["lineitem_qty_1_to_50"].status == "pass"
+    assert out["lineitem_fk_orders"].status == "pass"
+    # the deliberately failing domain check: 'P' exists in the data
+    assert out["orders_status_in_o_f"].status == "fail"
+    assert out["orders_status_in_o_f"].metric > 0
+
+
+def test_doc_keywords_rational_scores(spark):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+    import duckdb
+
+    # cross-check the registry query's own oracle on the smallest SF is done
+    # by tools/check.py; here verify the scoring rule on planted docs via the
+    # operator pipeline pieces
+    from etl_healthcare_spark.functions.text import tokens as _tokens
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")], "doc_id long, text string"
+    )
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(F.length("t") >= 3)
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    nd = 2
+    scored = {
+        (r.doc_id, r.t): (r.tf * nd * PPM) // r.df
+        for r in tf.join(dfreq, "t").collect()
+    }
+    # apple: tf=2 df=1 -> 2*2e6; banana doc1: tf=1 df=2 -> 1e6
+    assert scored[(1, "apple")] == 4 * PPM
+    assert scored[(1, "banana")] == PPM
+    assert scored[(2, "cherry")] == 2 * PPM
