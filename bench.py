@@ -112,6 +112,8 @@ HEADLINE = [
     "u8_snapshot_diff",      # one full-outer key join diff classification
     "u9_incremental_join_mv",  # broadcast delta eviction + re-enrichment
     "text_doc_keywords",     # tf/df shuffle-hash join + per-doc rank<=3
+    "g31_heavy_hitters",     # two-phase bucket-pruned heavy hitters
+    "ml_winsorize_agg",      # one-exchange rank-bound clamp + aggregate
 ]
 
 

@@ -306,3 +306,220 @@ def io_jsonl_roundtrip(spark, sf_dir):
         F.col("meta.n_chars").alias("m_chars"),
         "t_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# G30: cardinality-capped rollup (top-k per group + OTHER bucket)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g30_topk_other_rollup",
+    sql="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS ck, count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, ck, n,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY n DESC, ck) AS rn
+      FROM per_cust
+    )
+    SELECT segment,
+           CASE WHEN rn <= 3 THEN CAST(ck AS VARCHAR) ELSE 'OTHER' END AS who,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           count(*) AS n_members
+    FROM ranked GROUP BY 1, 2
+    """,
+    doc="Cardinality-capped dashboard rollup: per market segment the top-3 "
+    "customers by order count stay named, everything else folds into one "
+    "OTHER bucket — the standard move that keeps a grouped result set "
+    "BOUNDED (k+1 rows per group) no matter how many distinct members the "
+    "data grows at 100 TB.  Shape: one (segment, customer) partial-agg "
+    "shuffle, a per-segment rank window REUSING that partitioning, then the "
+    "k+1 regroup; total (count desc, key) tiebreak keeps every rank "
+    "engine-reproducible.",
+)
+def g30_topk_other_rollup(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = _W.partitionBy("segment").orderBy(F.col("n").desc(), F.col("ck"))
+    return (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .select(
+            "segment",
+            F.when(F.col("rn") <= 3, F.col("ck").cast("string")).otherwise(F.lit("OTHER")).alias("who"),
+            "n",
+        )
+        .groupBy("segment", "who")
+        .agg(F.sum("n").alias("n_orders"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G31: heavy hitters via two-phase bucket pruning
+# ---------------------------------------------------------------------------
+
+_HH_THRESHOLD = 40
+_HH_BUCKETS = 1024
+
+
+@register(
+    "g31_heavy_hitters",
+    sql=f"""
+    SELECT l_partkey AS key, count(*) AS n
+    FROM lineitem GROUP BY l_partkey HAVING count(*) >= {_HH_THRESHOLD}
+    """,
+    doc="Heavy hitters by TWO-PHASE bucket pruning: phase 1 counts the "
+    f"{_HH_BUCKETS} hash buckets of the key (a bounded-size aggregate no "
+    "matter the key cardinality), phase 2 exact-counts ONLY rows whose "
+    "bucket total reached the threshold (broadcast semi-join on the hot "
+    "bucket list).  Sound because bucket_count >= key_count — a heavy key "
+    "can never hide in a cold bucket (no false negatives; false-positive "
+    "buckets just do extra exact work).  At 100 TB this turns a "
+    "full-key-cardinality shuffle into a bounded bucket agg + a shuffle of "
+    "only the candidate rows.  The oracle is the naive full GROUP BY "
+    "HAVING — equality proves the pruning lossless.",
+)
+def g31_heavy_hitters(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    bucketed = li.withColumn("bk", F.col("key") % _HH_BUCKETS)
+    hot = (
+        bucketed.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") >= _HH_THRESHOLD)
+        .select("bk")
+    )
+    return (
+        bucketed.join(F.broadcast(hot), "bk", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _HH_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML prep: winsorized aggregation (clamp at exact rank percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_winsorize_agg",
+    sql="""
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             l_orderkey * 10 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag ORDER BY cents, rid) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM c
+    ),
+    b AS (
+      SELECT flag, cents, rn, n,
+             max(CASE WHEN rn = greatest(1, n // 10) THEN cents END)
+               OVER (PARTITION BY flag) AS lo,
+             max(CASE WHEN rn = n - greatest(1, n // 10) + 1 THEN cents END)
+               OVER (PARTITION BY flag) AS hi
+      FROM r
+    )
+    SELECT flag, CAST(max(n) AS BIGINT) AS n,
+           max(lo) AS lo_cents, max(hi) AS hi_cents,
+           CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS wsum_cents
+    FROM b GROUP BY flag
+    """,
+    doc="WINSORIZED aggregation — the ML-feature-prep clamp: per return "
+    "flag, prices below the exact rank-P10 value (rank = max(1, n div 10)) "
+    "or above the mirrored rank-P90 value are CLAMPED to the bound, then "
+    "summed — robust location without discarding rows (g24_trimmed_mean "
+    "drops the tails; winsorizing keeps their count weight).  Rank bounds "
+    "are order statistics on the (cents, rowid) total order, so both "
+    "engines pick bit-identical bounds.  Shape: ONE shuffle on the group "
+    "key shared by the rank window, the bound windows, and the closing "
+    "aggregate — the rank value at a given rn is tie-stable because equal "
+    "cents are interchangeable at the boundary.",
+)
+def ml_winsorize_agg(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    wo = _W.partitionBy("flag").orderBy("cents", "rid")
+    wp = _W.partitionBy("flag")
+    r = c.select(
+        "flag",
+        "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo_rank = F.greatest(F.lit(1), F.expr("n div 10"))
+    hi_rank = F.col("n") - F.greatest(F.lit(1), F.expr("n div 10")) + 1
+    b = r.select(
+        "flag",
+        "cents",
+        "n",
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents"))).over(wp).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents"))).over(wp).alias("hi"),
+    )
+    return b.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+        F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))).alias("wsum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile: freshness / timeliness check
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "profile_freshness",
+    sql=f"""
+    WITH per_type AS (
+      SELECT event_type, max(epoch_us(ts)) AS last_us FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(last_us) AS wm FROM per_type)
+    SELECT event_type, last_us, g.wm - last_us AS staleness_us,
+           CASE WHEN g.wm - last_us > {_FRESH_SLA_US} THEN 'stale' ELSE 'fresh' END AS status
+    FROM per_type CROSS JOIN g
+    """,
+    doc="FRESHNESS / timeliness check — the data-quality dimension the "
+    "expectations report doesn't cover: per event type the newest event "
+    "time, its lag behind the global watermark, and a 6h-SLA status.  One "
+    "partial-aggregable max per type (O(#types) rows) + a 1-row watermark "
+    "broadcast; at 100 TB this is a statistics-only pass on any store that "
+    "keeps per-file max(ts) (the zone-map companion of "
+    "layout_zonemap_prune).",
+)
+def profile_freshness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.max(F.unix_micros("ts")).alias("last_us"))
+    wm = per_type.agg(F.max("last_us").alias("wm"))
+    return per_type.crossJoin(F.broadcast(wm)).select(
+        "event_type",
+        "last_us",
+        (F.col("wm") - F.col("last_us")).alias("staleness_us"),
+        F.when(F.col("wm") - F.col("last_us") > _FRESH_SLA_US, F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+    )

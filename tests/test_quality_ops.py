@@ -101,3 +101,47 @@ def test_doc_keywords_rational_scores(spark):
     assert scored[(1, "apple")] == 4 * PPM
     assert scored[(1, "banana")] == PPM
     assert scored[(2, "cherry")] == 2 * PPM
+
+
+def _plan_of(spark, name):
+    import io
+    import contextlib
+
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_heavy_hitters_prunes_via_broadcast_semi_join(spark):
+    """Phase 2 must touch only hot-bucket rows: the hot-bucket list rides a
+    broadcast LEFT SEMI into the scan — never a shuffled join."""
+    plan = _plan_of(spark, "g31_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_shares_one_exchange_across_windows_and_agg(spark):
+    """Rank window, bound windows, and the closing aggregate all key on the
+    group column — one data shuffle total."""
+    import re
+
+    plan = _plan_of(spark, "ml_winsorize_agg")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex == 1, plan
+
+
+def test_topk_other_is_bounded_per_group(spark):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["g30_topk_other_rollup"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    for seg, rs in by_seg.items():
+        assert len(rs) <= 4, (seg, rs)  # top-3 named + OTHER
+        others = [r for r in rs if r.who == "OTHER"]
+        assert len(others) <= 1
