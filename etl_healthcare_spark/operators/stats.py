@@ -510,3 +510,71 @@ def median_interp2_oracle_sql(
                 + max(CASE WHEN r = n // 2 + 1 THEN v END) AS BIGINT) AS med2_cents
     FROM ranked GROUP BY g
     """
+
+
+def two_sample_ecdf(
+    df: DataFrame,
+    is_a,
+    val_col: str,
+    bucket_span: int = 50_000,
+) -> DataFrame:
+    """Per-distinct-value joint ECDF frame for two samples sharing one value
+    axis: (v, ca_v, cb_v, ca_cum, cb_cum) with cumulative counts INCLUSIVE
+    of v — the shared substrate of the exact KS and Mann-Whitney statistics.
+
+    Scale shape — an exact GLOBAL cumulative sum with NO global sort (the
+    token_shards rule, operators/sampling.py:788): distinct values
+    coarse-bucket by ``v div bucket_span``; per-bucket totals are one
+    partial-aggregable groupBy, the bucket PREFIX runs in a window over the
+    AGGREGATED bucket frame and broadcasts back, and the within-bucket
+    cumulative window never holds more than a bucket's distinct values.
+    Requires non-negative integer values (div = floor agreement)."""
+    from pyspark.sql import Window
+
+    a_flag = is_a if not isinstance(is_a, str) else F.col(is_a)
+    per_val = (
+        df.select(F.col(val_col).alias("v"), a_flag.cast("long").alias("ia"))
+        .groupBy("v")
+        .agg(F.sum("ia").alias("ca_v"), F.sum(F.lit(1) - F.col("ia")).alias("cb_v"))
+        .withColumn("bucket", F.expr(f"v div {bucket_span}"))
+    )
+    bsums = per_val.groupBy("bucket").agg(
+        F.sum("ca_v").alias("ba"), F.sum("cb_v").alias("bb")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bsums.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bb").over(wb), F.lit(0)).alias("pb"),
+    )
+    wi = Window.partitionBy("bucket").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_val.join(F.broadcast(prefix), "bucket")
+        .select(
+            "v",
+            "ca_v",
+            "cb_v",
+            (F.col("pa") + F.sum("ca_v").over(wi)).alias("ca_cum"),
+            (F.col("pb") + F.sum("cb_v").over(wi)).alias("cb_cum"),
+        )
+    )
+
+
+def ecdf_oracle_cte(base_sql: str) -> str:
+    """DuckDB twin of two_sample_ecdf as a CTE chain ending in ``ecdf``.
+    ``base_sql`` must select (v, ia) rows; the oracle takes the row-level
+    global cumulative windows the Spark side deliberately avoids."""
+    return f"""base AS (
+      {base_sql}
+    ),
+    per_val AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS ca_v,
+             CAST(sum(1 - ia) AS BIGINT) AS cb_v
+      FROM base GROUP BY v
+    ),
+    ecdf AS (
+      SELECT v, ca_v, cb_v,
+             CAST(sum(ca_v) OVER (ORDER BY v) AS BIGINT) AS ca_cum,
+             CAST(sum(cb_v) OVER (ORDER BY v) AS BIGINT) AS cb_cum
+      FROM per_val
+    )"""

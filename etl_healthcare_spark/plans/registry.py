@@ -630,6 +630,7 @@ from . import registry_corpus  # noqa: E402,F401
 from . import registry_prep  # noqa: E402,F401
 from . import registry_seq  # noqa: E402,F401
 from . import registry_quality  # noqa: E402,F401
+from . import registry_stats  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
