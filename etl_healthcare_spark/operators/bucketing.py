@@ -307,3 +307,27 @@ def zonemap_prune_oracle_sql(
              AS n_rows_skipped
     FROM stats GROUP BY layout
     """
+
+
+def dpp_month_join(spark, fact_src: DataFrame, dim_src: DataFrame, out_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING demonstration: the fact is written
+    partitionBy(ship month) once, then joined to a month dimension filtered
+    at runtime — Catalyst inserts a dynamicpruningexpression subquery into
+    the fact scan's PartitionFilters, so only the dimension-selected months'
+    files are ever opened (plan-tested).  THE mechanism that makes
+    "join a 100 TB date-partitioned fact to a filtered dim" read 1% of the
+    fact: the partition filter is discovered from the dim AT RUN TIME, not
+    by the optimizer's static pruning.
+
+    ``fact_src`` must provide (cents, smonth); ``dim_src`` provides
+    (smonth, pick).  The build write is the once-per-layout cost, same
+    discipline as search_index_probe / j11_bucketed_join."""
+    from pyspark.sql import functions as F
+
+    fact_src.write.partitionBy("smonth").mode("overwrite").parquet(f"{out_dir}/fact")
+    fact = spark.read.parquet(f"{out_dir}/fact")
+    return (
+        fact.join(dim_src.where(F.col("pick") == 1), "smonth")
+        .groupBy("smonth")
+        .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
+    )

@@ -523,3 +523,54 @@ def profile_freshness(spark, sf_dir):
         .otherwise(F.lit("fresh"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout: dynamic partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_dpp_join",
+    sql="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS smonth,
+             CASE WHEN strftime(o_orderdate, '%Y-%m') LIKE '%-03' THEN 1 ELSE 0 END AS pick
+      FROM orders
+    )
+    SELECT strftime(l_shipdate, '%Y-%m') AS smonth,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           count(*) AS n
+    FROM lineitem
+    JOIN dim ON dim.smonth = strftime(l_shipdate, '%Y-%m') AND dim.pick = 1
+    GROUP BY 1
+    """,
+    doc="DYNAMIC PARTITION PRUNING (operators/bucketing.dpp_month_join): "
+    "lineitem written partitionBy(ship month) once, joined to an "
+    "orders-derived month dim filtered to March months — the fact scan's "
+    "PartitionFilters carries a dynamicpruningexpression subquery "
+    "(plan-tested), so only the dim-selected months' files open.  THE "
+    "run-time companion of static partition pruning: at 100 TB a "
+    "date-partitioned fact joined to a filtered dim reads only the "
+    "surviving partitions, and the filter month set is discovered from the "
+    "dim at execution, not compile, time.  The oracle joins the raw tables "
+    "directly — layout must change the PLAN, never the rows.",
+)
+def layout_dpp_join(spark, sf_dir):
+    import tempfile as _tf
+
+    from ..operators.bucketing import dpp_month_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("smonth"),
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("smonth"))
+        .distinct()
+        .withColumn("pick", F.col("smonth").endswith("-03").cast("int"))
+    )
+    return dpp_month_join(spark, fact, dim, _tf.mkdtemp(prefix="dpp_"))

@@ -145,3 +145,12 @@ def test_topk_other_is_bounded_per_group(spark):
         assert len(rs) <= 4, (seg, rs)  # top-3 named + OTHER
         others = [r for r in rs if r.who == "OTHER"]
         assert len(others) <= 1
+
+
+def test_dpp_join_plans_dynamic_pruning(spark):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the run-time partition pruning that makes a
+    dim-filtered join read only surviving partitions of a 100 TB fact."""
+    plan = _plan_of(spark, "layout_dpp_join")
+    assert "dynamicpruning" in plan, plan
+    assert "PartitionFilters" in plan
