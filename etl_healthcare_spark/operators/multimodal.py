@@ -1151,3 +1151,150 @@ def tiff_ifd(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=TIFF_IFD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# AVI/RIFF video container walk (video-modality companion of gif_frames)
+# ---------------------------------------------------------------------------
+
+AVI_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("total_frames", T.IntegerType(), True),
+        T.StructField("us_per_frame", T.LongType(), True),
+        T.StructField("n_movi_chunks", T.IntegerType(), True),
+        T.StructField("movi_bytes", T.LongType(), True),
+    ]
+)
+
+
+def synth_avi(width, height, n_frames, us_per_frame) -> Column:
+    """A COMPLETE minimal RIFF/AVI container: RIFF('AVI ') wrapping a
+    LIST('hdrl') with a real 56-byte avih main header (frame timing, frame
+    count, dimensions) and a LIST('strl') holding a 56-byte strh ('vids')
+    + 40-byte BITMAPINFOHEADER strf, then a LIST('movi') with one '00dc'
+    chunk per frame whose data size varies per frame (8 + 2*(i%3) bytes —
+    always even, so no RIFF pad bytes are exercised by construction; the
+    WALK still handles padding).  Every RIFF size field is the true byte
+    count, so a list-walk bug cannot hash-match the oracle."""
+    dsz = lambda i: F.lit(8) + (i % F.lit(3)) * 2  # noqa: E731
+    frame = lambda i: F.concat(  # noqa: E731
+        F.lit("30306463"),  # '00dc'
+        _le32(dsz(i)),
+        F.substring(F.repeat(F.lit("00"), 12), 1, dsz(i) * 2),
+    )
+    movi_frames = F.array_join(F.transform(F.sequence(F.lit(1), n_frames), frame), "")
+    movi_payload = F.aggregate(
+        F.sequence(F.lit(1), n_frames),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + 8 + dsz(i).cast("long"),
+    )
+    movi_size = F.lit(4) + movi_payload
+    zeros = lambda n: "00" * n  # noqa: E731
+    avih = F.concat(
+        F.lit("61766968"),  # 'avih'
+        _le32(F.lit(56)),
+        _le32(us_per_frame),
+        F.lit(zeros(12)),  # max bytes/sec, padding, flags
+        _le32(n_frames),
+        F.lit(zeros(4)),  # initial frames
+        _le32(F.lit(1)),  # streams
+        F.lit(zeros(4)),  # suggested buffer
+        _le32(width),
+        _le32(height),
+        F.lit(zeros(16)),  # reserved
+    )
+    strh = F.concat(
+        F.lit("73747268"),  # 'strh'
+        _le32(F.lit(56)),
+        F.lit("76696473"),  # fccType 'vids'
+        F.lit("44494220"),  # fccHandler 'DIB '
+        F.lit(zeros(48)),
+    )
+    strf = F.concat(
+        F.lit("73747266"),  # 'strf'
+        _le32(F.lit(40)),
+        _le32(F.lit(40)),  # biSize
+        _le32(width),
+        _le32(height),
+        F.lit("0100"),  # planes LE16
+        F.lit("1800"),  # 24bpp LE16
+        F.lit(zeros(24)),
+    )
+    strl = F.concat(F.lit("4C495354"), _le32(F.lit(4 + 64 + 48)), F.lit("7374726C"), strh, strf)
+    hdrl = F.concat(F.lit("4C495354"), _le32(F.lit(192)), F.lit("6864726C"), avih, strl)
+    movi = F.concat(F.lit("4C495354"), _le32(movi_size), F.lit("6D6F7669"), movi_frames)
+    riff_size = F.lit(4) + F.lit(8 + 192) + F.lit(8) + movi_size
+    return F.unhex(
+        F.concat(F.lit("52494646"), _le32(riff_size), F.lit("41564920"), hdrl, movi)
+    )
+
+
+def avi_info(b: bytes):
+    """(width, height, total_frames, us_per_frame, n_movi_chunks,
+    movi_bytes) from a REAL walk of the RIFF chunk tree: descends LIST
+    chunks by type, reads the avih main header fields, and iterates the
+    movi list counting video-data chunks ('..dc'/'..db') and summing their
+    data sizes, honoring RIFF word alignment (odd sizes padded).  Never
+    decodes pixel data.  Returns None for non-AVI/corrupt payloads."""
+    try:
+        if b is None or b[:4] != b"RIFF" or b[8:12] != b"AVI " or len(b) < 24:
+            return None
+        width = height = total = uspf = None
+        n_movi, movi_bytes = 0, 0
+        stack = [(12, len(b))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                fcc = b[pos : pos + 4]
+                sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                body, nxt = pos + 8, pos + 8 + sz + (sz & 1)
+                if fcc == b"LIST":
+                    ltype = b[body : body + 4]
+                    if ltype in (b"hdrl", b"strl"):
+                        stack.append((body + 4, body + sz))
+                    elif ltype == b"movi":
+                        p = body + 4
+                        while p + 8 <= body + sz:
+                            csz = struct.unpack("<I", b[p + 4 : p + 8])[0]
+                            if b[p + 2 : p + 4] in (b"dc", b"db"):
+                                n_movi += 1
+                                movi_bytes += csz
+                            p += 8 + csz + (csz & 1)
+                elif fcc == b"avih" and sz >= 40:
+                    uspf = struct.unpack("<I", b[body : body + 4])[0]
+                    total = struct.unpack("<I", b[body + 16 : body + 20])[0]
+                    width = struct.unpack("<I", b[body + 32 : body + 36])[0]
+                    height = struct.unpack("<I", b[body + 36 : body + 40])[0]
+                pos = nxt
+        if width is None:
+            return None
+        return (width, height, total, uspf, n_movi, movi_bytes)
+    except (struct.error, IndexError):
+        return None
+
+
+def avi_container_info(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, width, height, total_frames, us_per_frame, n_movi_chunks,
+    movi_bytes) via the Arrow kernel — map-only; undecodable payloads
+    yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            parsed = [avi_info(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"],
+                    "width": pd.Series([p[0] if p else None for p in parsed], dtype="Int32"),
+                    "height": pd.Series([p[1] if p else None for p in parsed], dtype="Int32"),
+                    "total_frames": pd.Series([p[2] if p else None for p in parsed], dtype="Int32"),
+                    "us_per_frame": pd.Series([p[3] if p else None for p in parsed], dtype="Int64"),
+                    "n_movi_chunks": pd.Series([p[4] if p else None for p in parsed], dtype="Int32"),
+                    "movi_bytes": pd.Series([p[5] if p else None for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=AVI_INFO_SCHEMA)

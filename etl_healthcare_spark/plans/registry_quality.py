@@ -574,3 +574,54 @@ def layout_dpp_join(spark, sf_dir):
         .withColumn("pick", F.col("smonth").endswith("-03").cast("int"))
     )
     return dpp_month_join(spark, fact, dim, _tf.mkdtemp(prefix="dpp_"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: AVI/RIFF video container walk
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_avi_info",
+    sql="""
+    WITH vid AS (
+      SELECT doc_id, 32 + doc_id % 48 AS w, 24 + doc_id % 36 AS h,
+             1 + doc_id % 10 AS n, 33366 + doc_id % 1000 AS uspf
+      FROM documents WHERE doc_id < 800
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(8 + 2 * (i % 3)) AS BIGINT) AS movi_bytes
+      FROM (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM vid)
+      GROUP BY doc_id
+    )
+    SELECT vid.doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(n AS INT) AS total_frames, CAST(uspf AS BIGINT) AS us_per_frame,
+           CAST(n AS INT) AS n_movi_chunks, d.movi_bytes
+    FROM vid JOIN d ON vid.doc_id = d.doc_id
+    """,
+    doc="AVI/RIFF VIDEO container walk on REAL bytes — the video-modality "
+    "probe completing the image (PNG/TIFF) / audio (WAV) / animation (GIF) "
+    "triangle: synth_avi emits complete RIFF trees (avih main header, "
+    "strh/strf stream headers, per-frame '00dc' movi chunks with true size "
+    "fields) and avi_info walks the chunk tree — descending LISTs by type, "
+    "honoring RIFF word alignment, counting video-data chunks and summing "
+    "their sizes without decoding (operators/multimodal.avi_container_info)."
+    "  The oracle predicts every field arithmetically, so a tree-walk bug "
+    "cannot hash-match.  Map-only at any scale.",
+)
+def mm_avi_info(spark, sf_dir):
+    from ..operators.multimodal import avi_container_info, synth_avi
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_avi(
+            F.lit(32) + d % 48,
+            F.lit(24) + d % 36,
+            F.lit(1) + d % 10,
+            F.lit(33366) + d % 1000,
+        ).alias("payload"),
+    )
+    return avi_container_info(media, "doc_id", "payload")

@@ -318,6 +318,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         # round-4 PNG chunk walk + TIFF/EXIF IFD walk (operators/multimodal)
         "mm_png_chunks",
         "mm_tiff_exif",
+        # AVI/RIFF container walk (operators/multimodal.avi_container_info)
+        "mm_avi_info",
         # per-bucket numpy GEMM pair scorer — the declared embedding-dedup
         # Arrow slot (operators/dedup.embedding_lsh_dedup_pairs)
         "dedup_embedding_lsh",

@@ -154,3 +154,20 @@ def test_dpp_join_plans_dynamic_pruning(spark):
     plan = _plan_of(spark, "layout_dpp_join")
     assert "dynamicpruning" in plan, plan
     assert "PartitionFilters" in plan
+
+
+def test_avi_walk_rejects_corrupt_and_reads_real_tree(spark):
+    from etl_healthcare_spark.operators.multimodal import avi_info, synth_avi
+    from pyspark.sql import functions as F2
+
+    df = spark.range(1).select(
+        F2.lit(7).alias("id"),
+        synth_avi(F2.lit(100), F2.lit(60), F2.lit(4), F2.lit(40000)).alias("p"),
+    )
+    raw = df.collect()[0].p
+    got = avi_info(bytes(raw))
+    # 4 frames with data sizes 8+2*(i%3) for i=1..4 -> 10,12,8,10 = 40
+    assert got == (100, 60, 4, 40000, 4, 40)
+    assert avi_info(b"RIFFxxxxWAVE") is None
+    assert avi_info(bytes(raw)[:20]) is None
+    assert avi_info(None) is None
