@@ -625,3 +625,192 @@ def mm_avi_info(spark, sf_dir):
         ).alias("payload"),
     )
     return avi_container_info(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# streaming: M4 downsampling as a watermarked streaming aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_m4_windowed",
+    sql="""
+    WITH b AS (
+      SELECT event_type AS series, epoch_us(ts) AS tus, event_id AS rid,
+             CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    r AS (
+      SELECT series, tus // 21600000000 AS bucket, tus, rid, vc,
+             row_number() OVER (PARTITION BY series, tus // 21600000000
+                                ORDER BY tus, rid) AS rn_a,
+             row_number() OVER (PARTITION BY series, tus // 21600000000
+                                ORDER BY tus DESC, rid DESC) AS rn_d
+      FROM b
+    )
+    SELECT series, bucket,
+           max(CASE WHEN rn_a = 1 THEN tus END) AS t_first_us,
+           max(CASE WHEN rn_a = 1 THEN vc END) AS v_first_c,
+           max(CASE WHEN rn_d = 1 THEN tus END) AS t_last_us,
+           max(CASE WHEN rn_d = 1 THEN vc END) AS v_last_c,
+           min(vc) AS v_min_c, max(vc) AS v_max_c,
+           count(*) AS n
+    FROM r GROUP BY series, bucket
+    """,
+    doc="§2.12 streaming M4: the ts_m4_downsample aggregate executed as a "
+    "Structured Streaming job (file source, availableNow, complete mode) — "
+    "struct min/max first/last survive streaming state because they are "
+    "ordinary mergeable aggregates, so the live dashboard M4 equals the "
+    "batch M4 bit-for-bit (the oracle is the batch derivation).  The "
+    "telemetry pipeline's read path and its backfill provably agree.",
+)
+def stream_m4_windowed(spark, sf_dir):
+    import tempfile as _tf
+    import uuid as _uuid
+
+    ev = _t(spark, sf_dir, "events")
+    d = _tf.mkdtemp(prefix="stream_m4_")
+    ev.write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    b = stream.select(
+        F.col("event_type").alias("series"),
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.col("event_id").alias("rid"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
+    ).withColumn("bucket", F.expr("tus div 21600000000"))
+    agg = b.groupBy("series", "bucket").agg(
+        F.min(F.struct("tus", "rid", "vc")).alias("fs"),
+        F.max(F.struct("tus", "rid", "vc")).alias("ls"),
+        F.min("vc").alias("v_min_c"),
+        F.max("vc").alias("v_max_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    name = f"sm4_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "series",
+        "bucket",
+        F.col("fs.tus").alias("t_first_us"),
+        F.col("fs.vc").alias("v_first_c"),
+        F.col("ls.tus").alias("t_last_us"),
+        F.col("ls.vc").alias("v_last_c"),
+        "v_min_c",
+        "v_max_c",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampling: exact Neyman stratified allocation
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_alloc",
+    sql=f"""
+    WITH s AS (
+      SELECT l_returnflag AS flag, l_linestatus AS status,
+             CAST(count(*) AS HUGEINT) AS nh,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS HUGEINT) AS sx,
+             sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS sxx
+      FROM lineitem GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT flag, status, nh,
+             CAST(floor(sqrt(CAST((nh * sxx - sx * sx) // (nh * nh) AS DOUBLE))) AS HUGEINT) AS sh
+      FROM s
+    ),
+    w AS (
+      SELECT flag, status, nh, sh, nh * sh AS wh,
+             (SELECT sum(nh * sh) FROM v) AS wtot
+      FROM v
+    ),
+    fl AS (
+      SELECT flag, status, nh, sh,
+             ({_NEYMAN_BUDGET} * wh) // wtot AS base,
+             ({_NEYMAN_BUDGET} * wh) % wtot AS rem
+      FROM w
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, flag, status) AS rr,
+             (SELECT {_NEYMAN_BUDGET} - sum(base) FROM fl) AS leftover
+      FROM fl
+    )
+    SELECT flag, status, CAST(nh AS BIGINT) AS nh, CAST(sh AS BIGINT) AS sh,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM rk
+    """,
+    doc="EXACT Neyman stratified-sampling allocation (survey-optimal: "
+    f"n_h proportional to N_h * S_h) of a {_NEYMAN_BUDGET}-row budget across the "
+    "(returnflag, linestatus) strata: per-stratum variance from one "
+    "decimal(38) power-sum scan, S_h = floor(sqrt(variance)) — IEEE sqrt "
+    "is correctly rounded and the operand is < 2^53, so both engines floor "
+    "the SAME double — and the largest-remainder method settles the "
+    "integer seats with a total (remainder desc, stratum) tiebreak.  One "
+    "scan + one 6-row window; the allocation the stratified sampler "
+    "(sample_stratified) should be fed at 100 TB instead of equal rates.",
+)
+def sample_neyman_alloc(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    s = li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status"), cents.alias("c")
+    ).groupBy("flag", "status").agg(
+        F.count(F.lit(1)).cast(d38).alias("nh"),
+        F.sum(F.col("c").cast(d38)).alias("sx"),
+        F.sum(F.col("c").cast(d38) * F.col("c").cast(d38)).alias("sxx"),
+    )
+    var = F.expr("(nh * sxx - sx * sx) div (nh * nh)")
+    v = s.select(
+        "flag",
+        "status",
+        "nh",
+        F.floor(F.sqrt(var.cast("double"))).cast(d38).alias("sh"),
+    )
+    wtot = F.sum(F.expr("nh * sh")).over(_W.partitionBy())
+    w = v.select(
+        "flag",
+        "status",
+        "nh",
+        "sh",
+        F.expr("nh * sh").alias("wh"),
+        wtot.alias("wtot"),
+    )
+    fl = w.select(
+        "flag",
+        "status",
+        "nh",
+        "sh",
+        F.expr(f"({_NEYMAN_BUDGET} * wh) div wtot").alias("base"),
+        F.expr(f"({_NEYMAN_BUDGET} * wh) % wtot").alias("rem"),
+    )
+    wp = _W.partitionBy()
+    rk = fl.select(
+        "flag",
+        "status",
+        "nh",
+        "sh",
+        "base",
+        F.row_number().over(_W.orderBy(F.col("rem").desc(), F.col("flag"), F.col("status"))).alias("rr"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base").over(wp)).alias("leftover"),
+    )
+    return rk.select(
+        "flag",
+        "status",
+        F.col("nh").cast("long").alias("nh"),
+        F.col("sh").cast("long").alias("sh"),
+        (F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)).cast("long").alias("alloc"),
+    )

@@ -307,6 +307,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "u1b_store_merge_twice", "s8_s9_audit_roundtrip", "s10_dlq_redrive",
         "pipeline_e2e_write_path", "q4_audit_list", "o5_newest_partition",
         "stream_sessionize",
+        "stream_m4_windowed",
+        "stream_topk_windowed",
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
         "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
         "search_index_probe",  # writes the inverted index (build phase)
