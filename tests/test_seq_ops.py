@@ -171,3 +171,69 @@ def test_m4_plan_is_single_exchange_no_join(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
     assert "Join" not in plan and "Window" not in plan
     assert "partial_" in plan  # map-side combine before the shuffle
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25, unique=True)
+)
+def test_tree_depth_property_random_forests(spark, nodes):
+    """Pointer doubling == the naive parent walk on arbitrary random forests
+    (parent = some smaller node or self)."""
+    from etl_healthcare_spark.operators.sequences import tree_depth_doubling
+
+    # deterministic pseudo-random parent: smaller node (DAG) or self (root)
+    nodes = sorted(nodes)
+    parent = {}
+    for i, k in enumerate(nodes):
+        cands = [p for p in nodes if p < k]
+        parent[k] = cands[(k * 7 + 3) % len(cands)] if cands and (k % 3 != 0) else k
+
+    def walk(k):
+        d, root = 0, k
+        while parent[root] != root:
+            root = parent[root]
+            d += 1
+        return root, d
+
+    df = spark.createDataFrame([(k, parent[k]) for k in nodes], "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in tree_depth_doubling(df).collect()}
+    assert got == {k: walk(k) for k in nodes}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=8)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_frequent_pairs_property_brute_force(spark, rows):
+    """In-task pair expansion == the brute-force per-basket pair count,
+    including the distinct-within-basket rule and the basket cap."""
+    from collections import Counter
+
+    from etl_healthcare_spark.operators.sequences import frequent_pairs
+
+    cap = 4
+    baskets = {}
+    for bk, item in rows:
+        baskets.setdefault(bk, set()).add(item)
+    kept = {bk: its for bk, its in baskets.items() if len(its) <= cap}
+    want = Counter()
+    for its in kept.values():
+        s = sorted(its)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                want[(s[i], s[j])] += 1
+    df = spark.createDataFrame(rows, "bk long, item long")
+    got = {
+        (r.i, r.j): r.support
+        for r in frequent_pairs(df, "bk", "item", min_support=1, max_basket=cap).collect()
+    }
+    assert got == dict(want)
