@@ -814,3 +814,95 @@ def sample_neyman_alloc(spark, sf_dir):
         F.col("sh").cast("long").alias("sh"),
         (F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)).cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile: JSON key/type inference via the VARIANT type
+# ---------------------------------------------------------------------------
+
+_JSON_CLASS_SPARK = """CASE
+  WHEN st = 'BIGINT' THEN 'int'
+  WHEN st = 'STRING' THEN 'string'
+  WHEN st = 'BOOLEAN' THEN 'bool'
+  WHEN st = 'DOUBLE' OR st LIKE 'DECIMAL%' THEN 'number'
+  WHEN st LIKE 'ARRAY%' THEN 'array'
+  WHEN st LIKE 'OBJECT%' OR st LIKE 'STRUCT%' THEN 'object'
+  WHEN st = 'VOID' THEN 'null'
+  ELSE 'other' END"""
+
+
+@register(
+    "profile_json_types",
+    sql="""
+    WITH src AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '{"id": ' || doc_id || ', "name": "' || coalesce(lang, 'xx')
+                         || '", "score": ' || (doc_id % 7) || '.5, "tags": [1,2], "active": true}'
+               WHEN 1 THEN '{"id": ' || doc_id || ', "name": null, "score": ' || doc_id % 100 || '}'
+               WHEN 2 THEN '{"id": "' || doc_id || '", "extra": {"a": 1}}'
+               ELSE '{"id": ' || doc_id || ', "active": false, "tags": []}'
+             END AS j
+      FROM documents WHERE doc_id < 5000
+    ),
+    kv AS (
+      SELECT k AS key, coalesce(json_type(j::JSON, '$.' || k), 'NULL') AS t
+      FROM src, unnest(json_keys(j::JSON)) AS u(k)
+    )
+    SELECT key,
+           CASE
+             WHEN t IN ('UBIGINT', 'BIGINT') THEN 'int'
+             WHEN t = 'VARCHAR' THEN 'string'
+             WHEN t = 'BOOLEAN' THEN 'bool'
+             WHEN t = 'DOUBLE' THEN 'number'
+             WHEN t = 'ARRAY' THEN 'array'
+             WHEN t = 'OBJECT' THEN 'object'
+             WHEN t = 'NULL' THEN 'null'
+             ELSE 'other' END AS vtype,
+           count(*) AS n
+    FROM kv GROUP BY 1, 2
+    """,
+    doc="JSON SCHEMA-DRIFT profiling via Spark's VARIANT type: payloads "
+    "parse once with parse_json, LATERAL variant_explode yields (key, "
+    "variant value) rows, and schema_of_variant classifies each value — "
+    "the schema-on-read inference step semi-structured ingest runs before "
+    "committing a table schema, and the drift monitor that catches a "
+    "producer switching id from int to string (planted here: shape 2 does "
+    "exactly that).  Both engines normalize their native type names to one "
+    "canonical class set, so the comparison is engine-neutral.  Shape: "
+    "map-side parse+explode into ONE partial-aggregable (key, type) "
+    "count; output is vocabulary-sized.",
+)
+def profile_json_types(spark, sf_dir):
+    import uuid as _uuid
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 5000)
+    d = F.col("doc_id")
+    j = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit('{"id": '), d.cast("string"),
+            F.lit(', "name": "'), F.coalesce(F.col("lang"), F.lit("xx")),
+            F.lit('", "score": '), (d % 7).cast("string"),
+            F.lit('.5, "tags": [1,2], "active": true}'),
+        ))
+        .when(d % 4 == 1, F.concat(
+            F.lit('{"id": '), d.cast("string"),
+            F.lit(', "name": null, "score": '), (d % 100).cast("string"), F.lit("}"),
+        ))
+        .when(d % 4 == 2, F.concat(
+            F.lit('{"id": "'), d.cast("string"), F.lit('", "extra": {"a": 1}}'),
+        ))
+        .otherwise(F.concat(
+            F.lit('{"id": '), d.cast("string"), F.lit(', "active": false, "tags": []}'),
+        ))
+    )
+    name = f"json_src_{_uuid.uuid4().hex[:8]}"
+    docs.select(j.alias("j")).createOrReplaceTempView(name)
+    return spark.sql(f"""
+      SELECT key, {_JSON_CLASS_SPARK} AS vtype, count(*) AS n
+      FROM (
+        SELECT t.key, schema_of_variant(t.value) AS st
+        FROM {name}, LATERAL variant_explode(parse_json(j)) AS t
+      )
+      GROUP BY key, vtype
+    """)
