@@ -906,3 +906,89 @@ def profile_json_types(spark, sf_dir):
       )
       GROUP BY key, vtype
     """)
+
+
+# ---------------------------------------------------------------------------
+# U11: snapshot time travel (versioned reads off the atomic snapshot store)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u11_time_travel",
+    sql="""
+    WITH e AS (
+      SELECT event_id AS id, CAST(floor(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_id < 20000
+    ),
+    m AS (
+      SELECT id, vc,
+             CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS in1,
+             CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS in2,
+             CASE WHEN id % 5 = 0 THEN 1 ELSE 0 END AS in3
+      FROM e
+    )
+    SELECT 1 AS snap, count(*) AS n,
+           CAST(sum(vc) AS BIGINT) AS sum_v,
+           CAST(sum(in1) AS BIGINT) AS sum_ver
+    FROM m WHERE in1 = 1
+    UNION ALL
+    SELECT 2, count(*),
+           CAST(sum(CASE WHEN in2 = 1 THEN vc + 5 ELSE vc END) AS BIGINT),
+           CAST(sum(in1 + in2) AS BIGINT)
+    FROM m WHERE in1 = 1 OR in2 = 1
+    UNION ALL
+    SELECT 3, count(*),
+           CAST(sum(CASE WHEN in3 = 1 THEN vc + 9
+                         WHEN in2 = 1 THEN vc + 5 ELSE vc END) AS BIGINT),
+           CAST(sum(in1 + in2 + in3) AS BIGINT)
+    FROM m WHERE in1 = 1 OR in2 = 1 OR in3 = 1
+    """,
+    doc="U11 TIME TRAVEL: three deterministic batches merge into the ATOMIC "
+    "snapshot store (operators/persist.SnapshotStateStore: whole-snapshot "
+    "write + POSIX-atomic pointer flip, the native stand-in for a "
+    "Delta/Iceberg commit), then every historical version is read back "
+    "via read(version=v) and summarized — row count, value mass, and the "
+    "sum of per-entity VERSION counters, which count exactly how many "
+    "batches touched each key.  The oracle reconstructs all three "
+    "overlays arithmetically from the batch predicates, so a merge-order "
+    "or snapshot-isolation bug cannot hash-match.  The lakehouse read "
+    "path (AS OF semantics) the reference delegates to its store's "
+    "backups.",
+)
+def u11_time_travel(spark, sf_dir):
+    import tempfile as _tf
+
+    from ..operators.persist import SnapshotStateStore
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 20000)
+    vc = F.expr("CAST(floor(value * 100) AS BIGINT)")
+
+    def batch(pred, ik, delta):
+        return ev.where(pred).select(
+            F.lit("T").alias("tenantId"),
+            F.lit("obs").alias("entityType"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("entityId"),
+            F.lit(ik).alias("idempotencyKey"),
+            # the store's observation layout sorts by (patientId, time)
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("patientId"),
+            (vc + delta).alias("v_cents"),
+            F.col("ts").alias("effectiveDateTime"),
+        )
+
+    store = SnapshotStateStore(spark, _tf.mkdtemp(prefix="snap_tt_"))
+    store.merge(batch(F.col("event_id") % 2 == 0, "b1", 0), "2024-02-01T00:00:00Z", order_col="effectiveDateTime")
+    store.merge(batch(F.col("event_id") % 3 == 0, "b2", 5), "2024-02-02T00:00:00Z", order_col="effectiveDateTime")
+    store.merge(batch(F.col("event_id") % 5 == 0, "b3", 9), "2024-02-03T00:00:00Z", order_col="effectiveDateTime")
+    snaps = [
+        store.read(version=v).agg(
+            F.lit(v).alias("snap"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").alias("sum_v"),
+            F.sum("version").alias("sum_ver"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -309,6 +309,7 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "stream_sessionize",
         "stream_m4_windowed",
         "stream_topk_windowed",
+        "u11_time_travel",  # writes three snapshot commits when invoked
         "p8_format_routing", "u1_idempotent_merge", "io_orc_roundtrip",
         "sim_ivf_probe",  # writes the IVF index (build phase) when invoked
         "search_index_probe",  # writes the inverted index (build phase)
