@@ -197,3 +197,77 @@ def seq_markov_stationary(spark, sf_dir):
 
     t = markov_transitions(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type", "event_id")
     return markov_stationary_ppb(t, _STATIONARY_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# attribution: equal-split multi-touch credit within a lookback window
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_S = 1800
+
+
+@register(
+    "seq_attribution_linear",
+    sql=f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS tsec
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, event_type, tsec,
+             count(*) FILTER (WHERE event_type = 'click')
+               OVER (PARTITION BY user_id ORDER BY tsec
+                     RANGE BETWEEN {_ATTR_LOOKBACK_S} PRECEDING AND 1 PRECEDING)
+               AS n_touches
+      FROM e
+    )
+    SELECT event_id AS purchase_id, user_id, CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n_touches > 0 THEN 1000000 // n_touches ELSE 0 END AS BIGINT)
+             AS credit_each_ppm,
+           CAST(CASE WHEN n_touches > 0 THEN 1000000 % n_touches ELSE 1000000 END AS BIGINT)
+             AS residual_ppm
+    FROM w WHERE event_type = 'purchase'
+    """,
+    doc="LINEAR multi-touch ATTRIBUTION: every purchase splits 1e6 ppm of "
+    "credit equally across the user's clicks in the 30-minute lookback "
+    "(integer division; the residual ppm is emitted explicitly — by "
+    "convention it goes to the earliest touch, and emitting it keeps the "
+    "arithmetic exact instead of hiding a float split).  Shape: ONE "
+    "user-keyed shuffle where a RANGE-frame window counts lookback clicks "
+    "— no self-join, no pair expansion, so a user with 1e6 events costs "
+    "one sorted pass, not 1e12 pairs.  The marketing/conversion analytics "
+    "family (first/last-touch are j5b/j5d; this is the shared-credit "
+    "variant).",
+)
+def seq_attribution_linear(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isin("click", "purchase"))
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("tsec"),
+    )
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-_ATTR_LOOKBACK_S, -1)
+    )
+    touched = e.withColumn(
+        "n_touches",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w),
+    )
+    return touched.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(F.col("n_touches") > 0, F.expr("1000000 div n_touches"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("credit_each_ppm"),
+        F.when(F.col("n_touches") > 0, F.expr("1000000 % n_touches"))
+        .otherwise(F.lit(1_000_000))
+        .cast("long")
+        .alias("residual_ppm"),
+    )
