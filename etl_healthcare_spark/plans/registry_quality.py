@@ -343,6 +343,14 @@ def io_jsonl_roundtrip(spark, sf_dir):
     "engine-reproducible.",
 )
 def g30_topk_other_rollup(spark, sf_dir):
+    # the OTHER bucket comes from SUBTRACTION (segment totals minus the
+    # top-3 slice), not from labeling every member row through a rank
+    # window: a `CASE WHEN rn <= 3` over all rows defeats Spark's
+    # WindowGroupLimit rewrite and full-sorts each segment's entire member
+    # list — at 100 TB that is |customers|/|segments| rows per sort task.
+    # With a bare rank<=k filter the window runs as per-partition size-3
+    # heaps (plan-tested below), and the totals are one partial-aggregable
+    # groupBy.
     from pyspark.sql import Window as _W
 
     orders = _t(spark, sf_dir, "orders")
@@ -353,16 +361,28 @@ def g30_topk_other_rollup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = _W.partitionBy("segment").orderBy(F.col("n").desc(), F.col("ck"))
-    return (
-        per_cust.withColumn("rn", F.row_number().over(w))
+    top3 = per_cust.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    named = top3.select(
+        "segment", F.col("ck").cast("string").alias("who"),
+        F.col("n").alias("n_orders"), F.lit(1).cast("long").alias("n_members"),
+    )
+    totals = per_cust.groupBy("segment").agg(
+        F.sum("n").alias("tot_n"), F.count(F.lit(1)).alias("tot_m")
+    )
+    top_sums = top3.groupBy("segment").agg(
+        F.sum("n").alias("top_n"), F.count(F.lit(1)).alias("top_m")
+    )
+    other = (
+        totals.join(F.broadcast(top_sums), "segment")
+        .where(F.col("tot_m") > F.col("top_m"))
         .select(
             "segment",
-            F.when(F.col("rn") <= 3, F.col("ck").cast("string")).otherwise(F.lit("OTHER")).alias("who"),
-            "n",
+            F.lit("OTHER").alias("who"),
+            (F.col("tot_n") - F.col("top_n")).alias("n_orders"),
+            (F.col("tot_m") - F.col("top_m")).alias("n_members"),
         )
-        .groupBy("segment", "who")
-        .agg(F.sum("n").alias("n_orders"), F.count(F.lit(1)).alias("n_members"))
     )
+    return named.unionByName(other)
 
 
 # ---------------------------------------------------------------------------
@@ -445,11 +465,15 @@ def g31_heavy_hitters(spark, sf_dir):
     "or above the mirrored rank-P90 value are CLAMPED to the bound, then "
     "summed — robust location without discarding rows (g24_trimmed_mean "
     "drops the tails; winsorizing keeps their count weight).  Rank bounds "
-    "are order statistics on the (cents, rowid) total order, so both "
-    "engines pick bit-identical bounds.  Shape: ONE shuffle on the group "
-    "key shared by the rank window, the bound windows, and the closing "
-    "aggregate — the rank value at a given rn is tie-stable because equal "
-    "cents are interchangeable at the boundary.",
+    "are order statistics (value at rank r = min v with cumcount(v) >= r), "
+    "so both engines pick bit-identical bounds.  Shape: the SCALE.md §16 "
+    "histogram rule — ONE partial-aggregable (group, value) count, the "
+    "cumulative window runs over the AGGREGATED value histogram (|distinct "
+    "values| rows per group, never a 3-partition row-level window over the "
+    "raw data), the 3-row bounds broadcast back, and the clamp+sum is "
+    "map-side into the closing aggregate.  The oracle derives the same "
+    "bounds from the raw row-level rank window — two constructions, one "
+    "hash.",
 )
 def ml_winsorize_agg(spark, sf_dir):
     from pyspark.sql import Window as _W
@@ -458,30 +482,32 @@ def ml_winsorize_agg(spark, sf_dir):
     c = li.select(
         F.col("l_returnflag").alias("flag"),
         (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
     )
-    wo = _W.partitionBy("flag").orderBy("cents", "rid")
-    wp = _W.partitionBy("flag")
-    r = c.select(
+    hist = c.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = _W.partitionBy("flag").orderBy("cents").rowsBetween(_W.unboundedPreceding, 0)
+    wall = _W.partitionBy("flag")
+    h = hist.select(
         "flag",
         "cents",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
     lo_rank = F.greatest(F.lit(1), F.expr("n div 10"))
     hi_rank = F.col("n") - F.greatest(F.lit(1), F.expr("n div 10")) + 1
-    b = r.select(
-        "flag",
-        "cents",
-        "n",
-        F.max(F.when(F.col("rn") == lo_rank, F.col("cents"))).over(wp).alias("lo"),
-        F.max(F.when(F.col("rn") == hi_rank, F.col("cents"))).over(wp).alias("hi"),
-    )
-    return b.groupBy("flag").agg(
+    bounds = h.groupBy("flag").agg(
         F.max("n").alias("n"),
-        F.max("lo").alias("lo_cents"),
-        F.max("hi").alias("hi_cents"),
-        F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))).alias("wsum_cents"),
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi"),
+    )
+    return (
+        c.join(F.broadcast(bounds), "flag")
+        .groupBy("flag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))).alias("wsum_cents"),
+        )
     )
 
 
