@@ -407,8 +407,12 @@ _HH_BUCKETS = 1024
     "can never hide in a cold bucket (no false negatives; false-positive "
     "buckets just do extra exact work).  At 100 TB this turns a "
     "full-key-cardinality shuffle into a bounded bucket agg + a shuffle of "
-    "only the candidate rows.  The oracle is the naive full GROUP BY "
-    "HAVING — equality proves the pruning lossless.",
+    "only the candidate rows.  Honest caveat: pruning has POWER only while "
+    "threshold >> total_rows/buckets (else every bucket is hot and phase 2 "
+    "degenerates to the naive aggregation — still correct, never worse); "
+    "deploying at larger n means scaling the threshold or the bucket "
+    "count with it.  The oracle is the naive full GROUP BY HAVING — "
+    "equality proves the pruning lossless.",
 )
 def g31_heavy_hitters(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
