@@ -239,8 +239,11 @@ def text_doc_keywords(spark, sf_dir):
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    # df is vocabulary-sized and aggregation-descended: Spark's static
+    # estimate would broadcast it (the SCALE.md §11 failure) — pin the
+    # term join to shuffle-hash
     scored = (
-        tf.join(dfreq, "t")
+        tf.join(dfreq.hint("shuffle_hash"), "t")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",

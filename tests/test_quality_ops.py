@@ -188,3 +188,11 @@ def test_topk_other_uses_window_group_limit_heap(spark):
     heaps), never a full per-segment sort of every member."""
     plan = _plan_of(spark, "g30_topk_other_rollup")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_doc_keywords_term_join_is_shuffle_hash_not_broadcast(spark):
+    """The df table is vocabulary-sized and aggregation-descended — the
+    static estimate would broadcast it and explode at corpus scale (the
+    SCALE.md §11 failure); the hint must pin shuffle-hash."""
+    plan = _plan_of(spark, "text_doc_keywords")
+    assert "ShuffledHashJoin" in plan, plan
