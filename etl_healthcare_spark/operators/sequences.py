@@ -203,6 +203,7 @@ def frequent_pairs(
     item_col: str,
     min_support: int,
     max_basket: int = 64,
+    broadcast_supports: bool = True,
 ) -> DataFrame:
     """(i, j, support, lift_ppm) for unordered item pairs co-occurring in
     >= min_support baskets, i < j.
@@ -214,6 +215,12 @@ def frequent_pairs(
     degenerate basket of 1e5 items would otherwise expand 5e9 pairs in one
     task.  lift_ppm = support * n_baskets * 1e6 div (supp_i * supp_j),
     exact int64 (support <= n_baskets <= 2^31 keeps the product in range).
+
+    ``broadcast_supports=True`` fits coarse/bounded item vocabularies (the
+    registry's 211 items); for open vocabularies pass False and the
+    support joins pin shuffle-hash instead — the per-item support table is
+    aggregation-descended, so leaving the choice to the static estimator
+    risks broadcasting a vocabulary-sized frame (SCALE.md §11).
     """
     items = df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item")).distinct()
     baskets = (
@@ -238,9 +245,15 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= min_support)
     )
+    si = item_supp.withColumnRenamed("item", "i").withColumnRenamed("supp", "supp_i")
+    sj = item_supp.withColumnRenamed("item", "j").withColumnRenamed("supp", "supp_j")
+    if broadcast_supports:
+        si, sj = F.broadcast(si), F.broadcast(sj)
+    else:
+        si, sj = si.hint("shuffle_hash"), sj.hint("shuffle_hash")
     return (
-        pair_counts.join(F.broadcast(item_supp.withColumnRenamed("item", "i").withColumnRenamed("supp", "supp_i")), "i")
-        .join(F.broadcast(item_supp.withColumnRenamed("item", "j").withColumnRenamed("supp", "supp_j")), "j")
+        pair_counts.join(si, "i")
+        .join(sj, "j")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "i",
