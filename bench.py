@@ -114,6 +114,12 @@ HEADLINE = [
     "text_doc_keywords",     # tf/df shuffle-hash join + per-doc rank<=3
     "g31_heavy_hitters",     # two-phase bucket-pruned heavy hitters
     "ml_winsorize_agg",      # one-exchange rank-bound clamp + aggregate
+    # round-4 evaluation & feature-engineering batch
+    "stat_bootstrap_ci",     # 24 multiplier-bootstrap replicates, one reduce
+    "ml_target_encoding",    # out-of-fold encoding off one composite agg
+    "search_eval_mrr",       # 3x bm25 + rank/qrel metrics
+    "mm_dicom_tags",         # DICOM explicit-VR header walk (map-only)
+    "profile_candidate_keys",  # grouping-sets uniqueness discovery
 ]
 
 

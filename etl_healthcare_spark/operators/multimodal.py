@@ -1298,3 +1298,111 @@ def avi_container_info(df: DataFrame, id_col: str, payload_col: str) -> DataFram
             )
 
     return src.mapInPandas(run, schema=AVI_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DICOM header walk (the healthcare-native modality: explicit-VR little
+# endian data elements after the 128-byte preamble + "DICM" magic)
+# ---------------------------------------------------------------------------
+
+
+def synth_dicom(doc_id, modality, patient_id, rows, cols) -> Column:
+    """A structurally complete minimal DICOM Part-10 file: 128-byte zero
+    preamble, "DICM" magic, then four explicit-VR little-endian data
+    elements in ascending tag order — (0008,0060) Modality CS, (0010,0020)
+    PatientID LO, (0028,0010) Rows US, (0028,0011) Columns US.  Short-form
+    VRs only (2-byte length field), which is exactly the subset the walker
+    declares.  Built entirely from hex concat + unhex, so the bytes are
+    REAL and the kernel genuinely walks them."""
+
+    def elem(group: int, element: int, vr: str, value_hex: Column, ln) -> Column:
+        return F.concat(
+            _le16(F.lit(group)),
+            _le16(F.lit(element)),
+            F.hex(F.lit(vr)),
+            _le16(ln),
+            value_hex,
+        )
+
+    return F.unhex(
+        F.concat(
+            F.lit("00" * 128),
+            F.hex(F.lit("DICM")),
+            elem(0x0008, 0x0060, "CS", F.hex(modality), F.length(modality)),
+            elem(0x0010, 0x0020, "LO", F.hex(patient_id), F.length(patient_id)),
+            elem(0x0028, 0x0010, "US", _le16(rows), F.lit(2)),
+            elem(0x0028, 0x0011, "US", _le16(cols), F.lit(2)),
+        )
+    )
+
+
+def dicom_info(b: bytes):
+    """(modality, patient_id, rows, cols, n_elements) from a REAL walk of a
+    DICOM Part-10 stream: verify the 128-byte preamble + "DICM" magic, then
+    read explicit-VR little-endian data elements (short-form VRs: 2-byte
+    group, 2-byte element, 2 ASCII VR chars, 2-byte length, value), pulling
+    Modality (0008,0060), PatientID (0010,0020), and the image matrix
+    Rows/Columns (0028,0010/0011) US values.  Long-form VRs (OB/OW/SQ...)
+    terminate the walk rather than misparse.  Returns None for
+    non-DICOM/corrupt payloads."""
+    try:
+        if b is None or len(b) < 132 or b[128:132] != b"DICM":
+            return None
+        u16 = lambda off: struct.unpack("<H", b[off : off + 2])[0]  # noqa: E731
+        off, n, modality, patient, rows, cols = 132, 0, None, None, None, None
+        while off + 8 <= len(b):
+            group, element = u16(off), u16(off + 2)
+            vr = b[off + 4 : off + 6].decode("ascii", "replace")
+            if vr in ("OB", "OW", "OF", "SQ", "UT", "UN"):
+                break  # long-form length layout: outside the declared subset
+            ln = u16(off + 6)
+            value = b[off + 8 : off + 8 + ln]
+            if len(value) < ln:
+                return None
+            if (group, element) == (0x0008, 0x0060):
+                modality = value.decode("ascii").strip()
+            elif (group, element) == (0x0010, 0x0020):
+                patient = value.decode("ascii").strip()
+            elif (group, element) == (0x0028, 0x0010):
+                rows = struct.unpack("<H", value[:2])[0]
+            elif (group, element) == (0x0028, 0x0011):
+                cols = struct.unpack("<H", value[:2])[0]
+            n += 1
+            off += 8 + ln
+        return (modality, patient, rows, cols, n)
+    except (struct.error, IndexError, UnicodeDecodeError):
+        return None
+
+
+DICOM_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("patient_id", T.StringType(), True),
+        T.StructField("n_rows", T.IntegerType(), True),
+        T.StructField("n_cols", T.IntegerType(), True),
+        T.StructField("n_elements", T.IntegerType(), True),
+    ]
+)
+
+
+def dicom_tags(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, modality, patient_id, n_rows, n_cols, n_elements) via the Arrow
+    kernel — map-only; undecodable payloads yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            parsed = [dicom_info(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"],
+                    "modality": [p[0] if p else None for p in parsed],
+                    "patient_id": [p[1] if p else None for p in parsed],
+                    "n_rows": pd.Series([p[2] if p else None for p in parsed], dtype="Int32"),
+                    "n_cols": pd.Series([p[3] if p else None for p in parsed], dtype="Int32"),
+                    "n_elements": pd.Series([p[4] if p else None for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=DICOM_INFO_SCHEMA)

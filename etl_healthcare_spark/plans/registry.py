@@ -631,6 +631,7 @@ from . import registry_prep  # noqa: E402,F401
 from . import registry_seq  # noqa: E402,F401
 from . import registry_quality  # noqa: E402,F401
 from . import registry_stats  # noqa: E402,F401
+from . import registry_eval  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------

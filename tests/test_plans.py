@@ -330,6 +330,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "mm_audio_windows", "mm_phash_pairs", "mm_gif_frames",
         # PCM autocorrelation over real WAV bytes (round-3 mining batch)
         "mm_audio_autocorr",
+        # DICOM Part-10 header walk (operators/multimodal.dicom_tags)
+        "mm_dicom_tags",
     }
     audited = 0
     for name in REGISTRY:
