@@ -167,7 +167,11 @@ def ml_target_encoding(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("s")
     )
     wc = W.partitionBy("category")
-    g = cf.agg(F.sum("cnt").alias("g_cnt"), F.sum("s").alias("g_s"))
+    # global totals as a window over the SAME |cats| x |folds| aggregated
+    # frame (constant partition key: one partition of ~25 rows, no second
+    # scan of the fact table — a broadcast cross-join would recompute the
+    # aggregate lineage and scan orders twice)
+    wg = W.partitionBy(F.lit(0))
     tot = cf.select(
         "category",
         "fold",
@@ -175,7 +179,9 @@ def ml_target_encoding(spark, sf_dir):
         "s",
         F.sum("cnt").over(wc).alias("cat_cnt"),
         F.sum("s").over(wc).alias("cat_s"),
-    ).crossJoin(F.broadcast(g))
+        F.sum("cnt").over(wg).alias("g_cnt"),
+        F.sum("s").over(wg).alias("g_s"),
+    )
     prior = F.expr("g_s div g_cnt")
     return tot.select(
         "category",
@@ -369,7 +375,9 @@ def profile_benford(spark, sf_dir):
         .select(F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit"))
     )
     c = b.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-    c = c.crossJoin(F.broadcast(c.agg(F.sum("n_obs").alias("n"))))
+    # total row count as a window over the 9-row digit frame (constant
+    # partition key — no second scan of orders)
+    c = c.withColumn("n", F.sum("n_obs").over(W.partitionBy(F.lit(0))))
     expr = "CASE digit " + " ".join(f"WHEN {d} THEN {p}L" for d, p in _BENFORD_PPM.items()) + " END"
     return c.select(
         "digit",
