@@ -120,6 +120,9 @@ HEADLINE = [
     "search_eval_mrr",       # 3x bm25 + rank/qrel metrics
     "mm_dicom_tags",         # DICOM explicit-VR header walk (map-only)
     "profile_candidate_keys",  # grouping-sets uniqueness discovery
+    # round-4 classifier-evaluation batch
+    "eval_roc_curve",        # bucketed ROC + exact trapezoid AUC, one scan
+    "ml_gini_feature_rank",  # stack() triple-scan-in-task Gini gain
 ]
 
 

@@ -632,6 +632,7 @@ from . import registry_seq  # noqa: E402,F401
 from . import registry_quality  # noqa: E402,F401
 from . import registry_stats  # noqa: E402,F401
 from . import registry_eval  # noqa: E402,F401
+from . import registry_evalml  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
@@ -686,7 +687,6 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "text_line_dedup",
     "dedup_minhash_lsh",
-    "dedup_containment",
     "dedup_embedding_lsh",
     "dedup_cc_clusters",
     "decontam_ngram",
@@ -694,6 +694,8 @@ DRIVER_WINDOW: list[str] = [
     "u9_incremental_join_mv",
     # data-quality expectations report
     "profile_expectations",
+    # classifier evaluation (exact-integer ROC/AUC)
+    "eval_roc_curve",
     # itemset mining (in-task pair expansion + broadcast lift)
     "mine_frequent_pairs",
     # similarity search

@@ -226,3 +226,172 @@ def test_candidate_keys_single_expand_plan(spark):
     # one wide aggregate over the expanded rows + the tiny per-gid reagg —
     # the lineitem scan itself must appear exactly once (one file index)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation batch (registry_evalml)
+# ---------------------------------------------------------------------------
+
+
+def _score(k):
+    p = (k * 7919) % 1000001
+    lab = 1 if (k * 104729 + 12345) % 1000000 < p else 0
+    return p, lab
+
+
+def _plant_orderkeys(spark, tmp_path, keys):
+    spark.createDataFrame([(k,) for k in keys], "o_orderkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_roc_curve_matches_brute_force(spark, tmp_path):
+    keys = list(range(1, 41))
+    _plant_orderkeys(spark, tmp_path, keys)
+    scored = [_score(k) for k in keys]
+    pos = sum(lab for _, lab in scored)
+    neg = len(scored) - pos
+    assert pos > 0 and neg > 0  # planted keys must exercise both classes
+    buckets = {}
+    for p, lab in scored:
+        b = p // 50000
+        n, np_ = buckets.get(b, (0, 0))
+        buckets[b] = (n + 1, np_ + lab)
+    tp = fp = 0
+    expect = {}
+    for b in sorted(buckets, reverse=True):
+        n, np_ = buckets[b]
+        tp0, fp0 = tp, fp
+        tp, fp = tp + np_, fp + (n - np_)
+        expect[b * 50000] = (n, tp, fp, tp * 10**6 // pos, fp * 10**6 // neg,
+                             (fp - fp0) * (tp + tp0))
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {r.thresh_ppm: r for r in REGISTRY["eval_roc_curve"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == set(expect)
+    auc2 = 0
+    for t, (n, etp, efp, etpr, efpr, eauc2) in expect.items():
+        r = out[t]
+        assert (r.n_bucket, r.tp, r.fp) == (n, etp, efp)
+        assert (r.n_pos, r.n_neg) == (pos, neg)
+        assert (r.tpr_ppm, r.fpr_ppm) == (etpr, efpr)
+        assert r.auc2_num == eauc2
+        auc2 += eauc2
+    # identity: sum of doubled trapezoids over the full curve = 2*P*N*AUC,
+    # and a curve ending at (1,1) means the terms total within [0, 2*P*N]
+    assert sum(r.auc2_num for r in out.values()) == auc2 <= 2 * pos * neg
+
+
+def test_threshold_f1_matches_brute_force(spark, tmp_path):
+    keys = list(range(1, 31))
+    _plant_orderkeys(spark, tmp_path, keys)
+    scored = [_score(k) for k in keys]
+    n = len(scored)
+    pos = sum(lab for _, lab in scored)
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {
+        r.thresh_ppm: r
+        for r in REGISTRY["eval_threshold_f1"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {100_000, 300_000, 500_000, 700_000, 900_000}
+    for t, r in out.items():
+        pp = sum(1 for p, _ in scored if p >= t)
+        tp = sum(lab for p, lab in scored if p >= t)
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, pp - tp, pos - tp, n - pos - pp + tp)
+        assert r.precision_ppm == (tp * 10**6 // pp if pp else None)
+        assert r.recall_ppm == tp * 10**6 // pos
+        assert r.f1_ppm == 2 * tp * 10**6 // (pp + pos)
+
+
+def test_calibration_ece_matches_brute_force(spark, tmp_path):
+    keys = list(range(1, 61))
+    _plant_orderkeys(spark, tmp_path, keys)
+    scored = [_score(k) for k in keys]
+    bins = {}
+    for p, lab in scored:
+        b = min(p // 100000, 9)
+        n, np_, sp = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, np_ + lab, sp + p)
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {
+        r.bin: r for r in REGISTRY["eval_calibration_ece"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(bins)
+    for b, (n, np_, sp) in bins.items():
+        r = out[b]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert r.avg_pred_ppm == sp // n
+        assert r.obs_ppm == np_ * 10**6 // n
+        assert r.ece_num == abs(np_ * 10**6 - sp)
+        assert r.n_total == len(scored)
+
+
+def test_gini_feature_rank_matches_brute_force(spark, tmp_path):
+    import datetime
+
+    rows = [
+        # (priority, status, orderdate, totalprice) — 'priority' perfectly
+        # splits the label, 'status' is uninformative, 'month' is partial
+        ("HIGH", "O", datetime.date(2024, 1, 5), 200000.00),
+        ("HIGH", "F", datetime.date(2024, 1, 9), 180000.00),
+        ("HIGH", "P", datetime.date(2024, 2, 1), 160000.00),
+        ("LOW", "O", datetime.date(2024, 2, 2), 100.00),
+        ("LOW", "F", datetime.date(2024, 3, 3), 50.00),
+        ("LOW", "P", datetime.date(2024, 3, 4), 75.00),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderpriority string, o_orderstatus string, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    labels = [1 if int(p * 100) > 15000000 else 0 for *_, p in rows]
+    feats = {
+        "priority": [r[0] for r in rows],
+        "status": [r[1] for r in rows],
+        "month": [str(r[2].month) for r in rows],
+    }
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {r.feature: r for r in REGISTRY["ml_gini_feature_rank"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"priority", "status", "month"}
+    n = len(rows)
+    pos = sum(labels)
+    parent = (n * n - pos * pos - (n - pos) ** 2) * 10**6 // (n * n)
+    for feat, vals in feats.items():
+        cnt = {}
+        for v, lab in zip(vals, labels):
+            cnt[(v, lab)] = cnt.get((v, lab), 0) + 1
+        by_val = {}
+        for (v, _), c in cnt.items():
+            nv, s2 = by_val.get(v, (0, 0))
+            by_val[v] = (nv + c, s2 + c * c)
+        child_num = sum((nv * nv - s2) * 10**6 // nv for nv, s2 in by_val.values())
+        r = out[feat]
+        assert (r.n, r.n_values) == (n, len(by_val))
+        assert r.parent_gini_ppm == parent
+        assert r.child_gini_ppm == child_num // n
+        assert r.gain_ppm == parent - child_num // n
+    # sanity of the planted design: the perfect splitter wins, the
+    # uninformative feature gains zero
+    assert out["priority"].gain_ppm == parent
+    assert out["status"].gain_ppm == 0
+
+
+def test_eval_queries_scan_once(spark):
+    # every query in the batch is ONE scan of orders: a second
+    # InMemoryFileIndex would mean the stack()/multi-threshold tricks
+    # regressed to union re-reads
+    import contextlib
+    import io
+
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    for name in ("eval_roc_curve", "eval_threshold_f1", "eval_calibration_ece",
+                  "ml_gini_feature_rank"):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Location: InMemoryFileIndex") == 1, name

@@ -198,6 +198,7 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "sketch_",  # mergeable sketches
         "cluster_",  # corpus clustering
         "anomaly_",  # anomaly detection
+        "eval_",  # classifier evaluation
     ):
         assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
 
