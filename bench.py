@@ -123,6 +123,9 @@ HEADLINE = [
     # round-4 classifier-evaluation batch
     "eval_roc_curve",        # bucketed ROC + exact trapezoid AUC, one scan
     "ml_gini_feature_rank",  # stack() triple-scan-in-task Gini gain
+    # round-4 labeling-agreement & collocation batch
+    "eval_cohens_kappa",     # one-scan exact chance-corrected agreement
+    "text_pmi_bigrams",      # one-scan checkpointed unigram+bigram counts
 ]
 
 

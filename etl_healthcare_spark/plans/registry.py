@@ -633,6 +633,7 @@ from . import registry_quality  # noqa: E402,F401
 from . import registry_stats  # noqa: E402,F401
 from . import registry_eval  # noqa: E402,F401
 from . import registry_evalml  # noqa: E402,F401
+from . import registry_agree  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
