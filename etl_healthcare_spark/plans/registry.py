@@ -634,6 +634,7 @@ from . import registry_stats  # noqa: E402,F401
 from . import registry_eval  # noqa: E402,F401
 from . import registry_evalml  # noqa: E402,F401
 from . import registry_agree  # noqa: E402,F401
+from . import registry_maint  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------
@@ -678,7 +679,8 @@ DRIVER_WINDOW: list[str] = [
     # parsing (P family)
     "p1_csv_to_dto",
     "p4_hl7_obx_dto",
-    "p7_envelope",
+    # table maintenance (compaction planner)
+    "maint_compaction_plan",
     # validation (V family)
     "v2_dto_validation",
     # upsert (U family)
