@@ -608,3 +608,73 @@ def p13_patient_dto(spark, sf_dir):
         ok.alias("birth_ok"),
         F.when(ok, F.substring("birthDate", 1, 4).cast("int")).alias("birth_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P14: measurement-unit harmonization (exact rational conversion factors)
+# ---------------------------------------------------------------------------
+
+# unit assignment is deterministic from the code (the synthetic observations
+# carry unit='1'); factors are exact rationals to canonical micro-mmol/L:
+#   mmol_l : x1e4            (cents -> value is /100, canonical is x1e6)
+#   mg_dl  : /18.016         -> v_cents * 10_000_000 // 18016
+#   g_l    : x100 to mg/dL first, then /18.016
+#            -> v_cents * 100 * 10^7 // 18016 = v_cents * 10^9 // 18016
+_UNIT_SQL = """CASE length(code) % 3 WHEN 0 THEN 'mmol_l'
+            WHEN 1 THEN 'mg_dl' ELSE 'g_l' END"""
+_NORM_SQL = """CASE length(code) % 3
+            WHEN 0 THEN v_cents * 10000
+            WHEN 1 THEN v_cents * 10000000 // 18016
+            ELSE v_cents * 1000000000 // 18016 END"""
+
+
+@register(
+    "p14_unit_normalize",
+    sql=f"""
+    WITH {OBSERVATIONS_ORACLE_CTE.strip().rstrip()}
+    , v AS (
+      SELECT code, {_UNIT_SQL} AS unit,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents
+      FROM obs
+    ),
+    n AS (
+      SELECT code, unit, v_cents,
+             CAST({_NORM_SQL} AS BIGINT) AS norm_micro
+      FROM v
+    )
+    SELECT code, unit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(norm_micro) AS BIGINT) AS sum_norm_micro,
+           CAST(min(norm_micro) AS BIGINT) AS min_norm_micro,
+           CAST(max(norm_micro) AS BIGINT) AS max_norm_micro
+    FROM n GROUP BY 1, 2
+    """,
+    doc="P14 UNIT HARMONIZATION: observations arrive with code-dependent "
+    "units (mg/dL, g/L, mmol/L — the OBX-6 field the reference carries "
+    "but never converts, services/normalize/handler.ts keeps "
+    "valueString verbatim); every value is normalized to canonical "
+    "micro-mmol/L via EXACT RATIONAL factors (the glucose molar mass "
+    "18.016 g/mol as the integer ratio 10^7/18016 — no float multiply, "
+    "so both engines land the same last digit) and aggregated per "
+    "(code, unit).  A lab pipeline cannot compare, range-check (V4), or "
+    "aggregate (G5 percentiles) across sites without this pass.  Shape: "
+    "map-only conversion fused into the scan, ONE partial-aggregable "
+    "groupBy out.",
+)
+def p14_unit_normalize(spark, sf_dir):
+    v = observations(spark, sf_dir).select(
+        "code",
+        F.expr(_UNIT_SQL).alias("unit"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_cents"),
+    )
+    n = v.select(
+        "code",
+        "unit",
+        F.expr(_NORM_SQL.replace("//", "div")).alias("norm_micro"),
+    )
+    return n.groupBy("code", "unit").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm_micro").cast("long").alias("sum_norm_micro"),
+        F.min("norm_micro").cast("long").alias("min_norm_micro"),
+        F.max("norm_micro").cast("long").alias("max_norm_micro"),
+    )

@@ -11,6 +11,7 @@ rationals), so both engines agree to the last bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import _t, register
@@ -258,4 +259,72 @@ def stat_corr_matrix(spark, sf_dir):
             "(CAST(1000000 AS DECIMAL(38,0)) * _rxy * _rxy)"
             " div nullif(_rxx * _ryy, CAST(0 AS DECIMAL(38,0)))"
         ).alias("corr2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence (exact integer rationals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stat_chi2_independence",
+    sql="""
+    WITH cell AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(count(*) AS HUGEINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT prio, status, o,
+             sum(o) OVER (PARTITION BY prio) AS r,
+             sum(o) OVER (PARTITION BY status) AS c,
+             sum(o) OVER () AS n
+      FROM cell
+    )
+    SELECT prio, status, CAST(o AS BIGINT) AS observed,
+           CAST(r AS BIGINT) AS row_total,
+           CAST(c AS BIGINT) AS col_total,
+           CAST(r * c * 1000000 // n AS BIGINT) AS expected_x1e6,
+           CAST((n * o - r * c) * (n * o - r * c) * 1000000
+                // (n * r * c) AS BIGINT) AS chi2_term_x1e6
+    FROM m
+    """,
+    doc="CHI-SQUARE TEST OF INDEPENDENCE between order priority and order "
+    "status, EXACT: each cell's term (O-E)^2/E clears to the integer "
+    "rational (n*O - R*C)^2 / (n*R*C) — no float expected counts, so "
+    "sum(chi2_term_x1e6)/1e6 is the engine-exact X^2 statistic (df = "
+    "(R-1)(C-1) = 8; the consumer compares against the critical value).  "
+    "Completes the nonparametric family: stat_ks_exact compares "
+    "continuous distributions, stat_mann_whitney compares ranks, this "
+    "tests categorical association.  Shape: ONE partial-aggregable "
+    "groupBy to the <=15-cell contingency frame; marginals are windows "
+    "on that frame; HUGEINT/decimal(38) since (n*O)^2 passes int64 "
+    "beyond ~50k rows.",
+)
+def stat_chi2_independence(spark, sf_dir):
+    dec = "decimal(38,0)"
+    cell = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("prio"), F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("o"))
+    )
+    m = cell.select(
+        "prio",
+        "status",
+        "o",
+        F.sum("o").over(W.partitionBy("prio")).alias("r"),
+        F.sum("o").over(W.partitionBy("status")).alias("c"),
+        F.sum("o").over(W.partitionBy(F.lit(0))).alias("n"),
+    )
+    return m.select(
+        "prio",
+        "status",
+        F.col("o").cast("long").alias("observed"),
+        F.col("r").cast("long").alias("row_total"),
+        F.col("c").cast("long").alias("col_total"),
+        F.expr("CAST(r * c * 1000000 div n AS BIGINT)").alias("expected_x1e6"),
+        F.expr(
+            "CAST((n * o - r * c) * (n * o - r * c) * 1000000 div (n * r * c) AS BIGINT)"
+        ).alias("chi2_term_x1e6"),
     )

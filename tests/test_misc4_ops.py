@@ -1,0 +1,102 @@
+"""Unit tests for the round-4 cross-module trio: chi-square independence,
+blocking-scheme quality, and unit harmonization — planted inputs vs
+brute-force pure-Python models."""
+
+import datetime
+
+from etl_healthcare_spark.plans.registry import REGISTRY
+
+
+def test_chi2_independence_matches_brute_force(spark, tmp_path):
+    rows = []
+    k = 0
+    # planted 2x2-ish table with clear association: HIGH skews to O
+    for prio, status, cnt in [
+        ("HIGH", "O", 30),
+        ("HIGH", "F", 10),
+        ("LOW", "O", 10),
+        ("LOW", "F", 30),
+    ]:
+        for _ in range(cnt):
+            rows.append((k, prio, status))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_orderstatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        (r.prio, r.status): r
+        for r in REGISTRY["stat_chi2_independence"].fn(spark, str(tmp_path)).collect()
+    }
+    n = 80
+    rtot = {"HIGH": 40, "LOW": 40}
+    ctot = {"O": 40, "F": 40}
+    obs = {("HIGH", "O"): 30, ("HIGH", "F"): 10, ("LOW", "O"): 10, ("LOW", "F"): 30}
+    assert set(out) == set(obs)
+    chi2 = 0
+    for (p, s), o in obs.items():
+        r = out[(p, s)]
+        assert (r.observed, r.row_total, r.col_total) == (o, rtot[p], ctot[s])
+        assert r.expected_x1e6 == rtot[p] * ctot[s] * 10**6 // n
+        num = (n * o - rtot[p] * ctot[s]) ** 2
+        assert r.chi2_term_x1e6 == num * 10**6 // (n * rtot[p] * ctot[s])
+        chi2 += r.chi2_term_x1e6
+    # the planted association is strong: X^2 = sum (n*O-RC)^2/(nRC) = 20
+    assert chi2 == 20_000_000
+
+
+def test_blocking_quality_covers_exact_dups(spark, tmp_path):
+    # 3 copies of text A, 2 copies of text B, 3 distinct texts ->
+    # gold pairs = 3 + 1 = 4; identical docs share every LSH band,
+    # so with no mega-bucket cap hit all gold pairs are covered
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "alpha beta gamma delta epsilon zeta eta theta",
+        4: "one two three four five six seven eight nine",
+        5: "one two three four five six seven eight nine",
+        6: "completely different words in this document here",
+        7: "yet another unrelated body of text lives here",
+        8: "the final unique document closes the tiny corpus",
+    }
+    spark.createDataFrame(list(texts.items()), "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    [r] = REGISTRY["link_blocking_quality"].fn(spark, str(tmp_path)).collect()
+    assert r.n_docs == 8
+    assert r.total_pairs == 28
+    assert r.n_gold_pairs == 4
+    assert r.n_gold_covered == 4
+    assert r.pair_completeness_ppm == 10**6
+    assert r.n_candidate_pairs >= 4
+    assert r.reduction_ratio_ppm == (28 - r.n_candidate_pairs) * 10**6 // 28
+
+
+def test_unit_normalize_exact_factors(spark, tmp_path):
+    # code length % 3 selects the unit; values convert with exact rationals
+    ts = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    rows = [
+        # len("abc")=3 -> mmol_l: norm = cents * 1e4
+        (0, ts, 7, "abc", 1.23, "{}"),
+        (1, ts, 7, "abc", 2.00, "{}"),
+        # len("abcd")=4 -> mg_dl: norm = cents * 1e7 // 18016
+        (2, ts, 7, "abcd", 90.00, "{}"),
+        # len("abcde")=5 -> g_l: norm = cents * 1e10 // 18016
+        (3, ts, 7, "abcde", 1.00, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {(r.code, r.unit): r for r in REGISTRY["p14_unit_normalize"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {("abc", "mmol_l"), ("abcd", "mg_dl"), ("abcde", "g_l")}
+    mmol = out[("abc", "mmol_l")]
+    assert mmol.n == 2
+    assert mmol.min_norm_micro == 123 * 10**4
+    assert mmol.max_norm_micro == 200 * 10**4
+    assert mmol.sum_norm_micro == (123 + 200) * 10**4
+    mg = out[("abcd", "mg_dl")]
+    # 90 mg/dL of glucose = 4.995... mmol/L -> exact floor arithmetic
+    assert mg.sum_norm_micro == 9000 * 10**7 // 18016 == 4995559
+    gl = out[("abcde", "g_l")]
+    # 1.00 g/L = 100 mg/dL = 5.55 mmol/L
+    assert gl.sum_norm_micro == 100 * 10**9 // 18016
+    assert 5_000_000 < gl.sum_norm_micro < 6_000_000
