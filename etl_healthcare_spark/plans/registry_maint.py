@@ -75,7 +75,12 @@ _TARGET = 256_000  # compaction target bytes per output file
     "to the metadata-sized inventory (~1.3k rows at any SF); every window "
     "runs per-partition on that frame.  At a real 100 TB table the "
     "inventory comes from the transaction log, and the plan is the same "
-    "O(files) report.",
+    "O(files) report.  Sibling of layout_compaction (registry_mining), "
+    "which packs in TIME order because its hourly micro-files are "
+    "unpartitioned and footer min/max must keep pruning timestamps; "
+    "here the table IS partitioned by ship-month — the partition column "
+    "carries the time pruning, so within a partition the packer is free "
+    "to size-balance (tighter output-file variance) instead.",
 )
 def maint_compaction_plan(spark, sf_dir):
     inv = (

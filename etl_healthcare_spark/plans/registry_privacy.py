@@ -190,7 +190,10 @@ def privacy_l_diversity(spark, sf_dir):
     "('when did the metric move?') after profile_drift_tvd says THAT it "
     "moved.  Shape: one partial-aggregable groupBy to the O(days) frame; "
     "all windows (totals, running sum, global argmax) run on those ~365 "
-    "rows.",
+    "rows.  Sibling of anomaly_cusum (registry_mining), which locates "
+    "per-event-type hourly shifts — this is the single corpus-level "
+    "daily series an ingest-volume dashboard tracks; same exact "
+    "cross-multiplied statistic, different grain.",
 )
 def ts_cusum_changepoint(spark, sf_dir):
     daily = (
