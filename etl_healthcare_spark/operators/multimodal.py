@@ -1406,3 +1406,146 @@ def dicom_tags(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=DICOM_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF box walk (the BIG-endian container twin of RIFF/AVI)
+# ---------------------------------------------------------------------------
+
+MP4_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration", T.LongType(), True),
+        T.StructField("track_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_top_boxes", T.IntegerType(), True),
+        T.StructField("mdat_bytes", T.LongType(), True),
+    ]
+)
+
+
+def synth_mp4(timescale, duration, track_id, width, height, mdat_n) -> Column:
+    """A structurally complete minimal ISO-BMFF file: ftyp (major brand
+    'isom', one compatible brand), moov wrapping a spec-sized 108-byte
+    mvhd v0 (timescale, duration, rate/volume/matrix/next-track) and a
+    trak > 92-byte tkhd v0 (track id, 16.16 fixed-point width/height),
+    then an mdat of ``mdat_n`` payload bytes.  Every box size field is the
+    true BIG-endian byte count (ISO-BMFF is the byte-order mirror of
+    RIFF), so a walk bug cannot hash-match the arithmetic oracle."""
+    z = lambda n: "00" * n  # noqa: E731
+    ftyp = F.concat(
+        _be32(F.lit(24)), F.lit("66747970"),  # 'ftyp'
+        F.lit("69736f6d"),  # major 'isom'
+        _be32(F.lit(0)),  # minor version
+        F.lit("69736f6d"), F.lit("6d703431"),  # brands 'isom', 'mp41'
+    )
+    mvhd = F.concat(
+        _be32(F.lit(108)), F.lit("6d766864"),  # 'mvhd'
+        F.lit(z(4)),  # version 0 + flags
+        F.lit(z(8)),  # creation/modification
+        _be32(timescale),
+        _be32(duration),
+        F.lit("00010000"),  # rate 1.0
+        F.lit("0100"),  # volume 1.0
+        F.lit(z(10)),  # reserved
+        F.lit("00010000" + z(12) + "00010000" + z(12) + "40000000"),  # matrix
+        F.lit(z(24)),  # pre_defined
+        _be32(F.lit(2)),  # next track id
+    )
+    tkhd = F.concat(
+        _be32(F.lit(92)), F.lit("746b6864"),  # 'tkhd'
+        F.lit("00000007"),  # version 0, flags: enabled|in_movie|in_preview
+        F.lit(z(8)),  # creation/modification
+        _be32(track_id),
+        F.lit(z(4)),  # reserved
+        _be32(duration),
+        F.lit(z(8)),  # reserved
+        F.lit(z(8)),  # layer/alternate/volume/reserved
+        F.lit("00010000" + z(12) + "00010000" + z(12) + "40000000"),  # matrix
+        _be32(width * 65536),  # 16.16 fixed point
+        _be32(height * 65536),
+    )
+    trak = F.concat(_be32(F.lit(100)), F.lit("7472616b"), tkhd)  # 'trak'
+    moov = F.concat(_be32(F.lit(216)), F.lit("6d6f6f76"), mvhd, trak)  # 'moov'
+    mdat = F.concat(
+        _be32(F.lit(8) + mdat_n), F.lit("6d646174"),  # 'mdat'
+        F.substring(F.repeat(F.lit("00"), 64), 1, mdat_n * 2),
+    )
+    return F.unhex(F.concat(ftyp, moov, mdat))
+
+
+def mp4_info(b: bytes):
+    """(brand, timescale, duration, track_id, width, height, n_top_boxes,
+    mdat_bytes) from a REAL walk of the ISO-BMFF box tree: big-endian
+    32-bit sizes, size==1 largesize (64-bit) and size==0 (to-EOF) handled,
+    moov/trak containers descended, 16.16 fixed-point track dimensions
+    truncated to pixels.  Never touches sample data.  Returns None for
+    non-BMFF/corrupt payloads."""
+    try:
+        if b is None or len(b) < 16 or b[4:8] != b"ftyp":
+            return None
+        brand = b[8:12].decode("ascii", "replace")
+        timescale = duration = track_id = width = height = None
+        n_top, mdat_bytes = 0, 0
+        stack = [(0, len(b), True)]
+        while stack:
+            pos, end, top = stack.pop()
+            while pos + 8 <= end:
+                sz = struct.unpack(">I", b[pos : pos + 4])[0]
+                typ = b[pos + 4 : pos + 8]
+                body = pos + 8
+                if sz == 1:  # 64-bit largesize
+                    sz = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+                    body = pos + 16
+                elif sz == 0:  # to end of enclosing container
+                    sz = end - pos
+                if sz < 8 or pos + sz > end:
+                    return None
+                if top:
+                    n_top += 1
+                if typ in (b"moov", b"trak"):
+                    stack.append((body, pos + sz, False))
+                elif typ == b"mvhd" and sz >= 8 + 24:
+                    timescale = struct.unpack(">I", b[body + 12 : body + 16])[0]
+                    duration = struct.unpack(">I", b[body + 16 : body + 20])[0]
+                elif typ == b"tkhd" and sz >= 92:
+                    track_id = struct.unpack(">I", b[body + 12 : body + 16])[0]
+                    width = struct.unpack(">I", b[body + 76 : body + 80])[0] >> 16
+                    height = struct.unpack(">I", b[body + 80 : body + 84])[0] >> 16
+                elif typ == b"mdat":
+                    mdat_bytes += sz - (body - pos)
+                pos += sz
+        if timescale is None:
+            return None
+        return (brand, timescale, duration, track_id, width, height, n_top, mdat_bytes)
+    except (struct.error, IndexError):
+        return None
+
+
+def mp4_container_info(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, brand, timescale, duration, track_id, width, height,
+    n_top_boxes, mdat_bytes) via the Arrow kernel — map-only; undecodable
+    payloads yield NULL fields."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            parsed = [mp4_info(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"],
+                    "brand": [p[0] if p else None for p in parsed],
+                    "timescale": pd.Series([p[1] if p else None for p in parsed], dtype="Int64"),
+                    "duration": pd.Series([p[2] if p else None for p in parsed], dtype="Int64"),
+                    "track_id": pd.Series([p[3] if p else None for p in parsed], dtype="Int64"),
+                    "width": pd.Series([p[4] if p else None for p in parsed], dtype="Int32"),
+                    "height": pd.Series([p[5] if p else None for p in parsed], dtype="Int32"),
+                    "n_top_boxes": pd.Series([p[6] if p else None for p in parsed], dtype="Int32"),
+                    "mdat_bytes": pd.Series([p[7] if p else None for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=MP4_INFO_SCHEMA)

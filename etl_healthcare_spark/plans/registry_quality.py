@@ -1025,3 +1025,52 @@ def u11_time_travel(spark, sf_dir):
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# multimodal: MP4 / ISO-BMFF box walk
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_mp4_boxes",
+    sql="""
+    SELECT doc_id AS id,
+           'isom' AS brand,
+           CAST(1000 + doc_id % 9000 AS BIGINT) AS timescale,
+           CAST(30000 + doc_id % 60000 AS BIGINT) AS duration,
+           CAST(1 + doc_id % 3 AS BIGINT) AS track_id,
+           CAST(16 + doc_id % 128 AS INT) AS width,
+           CAST(16 + (3 * doc_id) % 96 AS INT) AS height,
+           CAST(3 AS INT) AS n_top_boxes,
+           CAST(doc_id % 64 AS BIGINT) AS mdat_bytes
+    FROM documents WHERE doc_id < 800
+    """,
+    doc="MP4/ISO-BMFF BOX WALK on REAL bytes — the BIG-endian container "
+    "twin of mm_avi_info's little-endian RIFF walk, together covering "
+    "both byte-order conventions video containers use: synth_mp4 emits "
+    "spec-sized ftyp/moov(mvhd+trak(tkhd))/mdat trees with true box "
+    "sizes, and mp4_info walks them — largesize (64-bit) and to-EOF "
+    "boxes handled, moov/trak descended, 16.16 fixed-point track "
+    "dimensions truncated to pixels, mdat payload bytes summed without "
+    "touching sample data (operators/multimodal.mp4_container_info).  "
+    "The oracle predicts every field arithmetically, so a walk bug "
+    "cannot hash-match.  Map-only at any scale.",
+)
+def mm_mp4_boxes(spark, sf_dir):
+    from ..operators.multimodal import mp4_container_info, synth_mp4
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id",
+        synth_mp4(
+            F.lit(1000) + d % 9000,
+            F.lit(30000) + d % 60000,
+            F.lit(1) + d % 3,
+            F.lit(16) + d % 128,
+            F.lit(16) + (3 * d) % 96,
+            d % 64,
+        ).alias("payload"),
+    )
+    return mp4_container_info(media, "doc_id", "payload")

@@ -100,3 +100,77 @@ def test_unit_normalize_exact_factors(spark, tmp_path):
     # 1.00 g/L = 100 mg/dL = 5.55 mmol/L
     assert gl.sum_norm_micro == 100 * 10**9 // 18016
     assert 5_000_000 < gl.sum_norm_micro < 6_000_000
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF walk
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mvhd(timescale, duration) -> bytes:
+    import struct
+
+    return _box(
+        b"mvhd",
+        b"\x00" * 12 + struct.pack(">II", timescale, duration) + b"\x00" * 80,
+    )
+
+
+def test_mp4_walk_roundtrip(spark, tmp_path):
+    from etl_healthcare_spark.operators.multimodal import mp4_container_info, synth_mp4
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    media = df.select(
+        "doc_id",
+        synth_mp4(
+            F.lit(1000) + d, F.lit(5000) + d * 7, F.lit(1) + d % 2,
+            F.lit(320) + d, F.lit(240) + d, d % 16
+        ).alias("payload"),
+    )
+    out = {r.id: r for r in mp4_container_info(media, "doc_id", "payload").collect()}
+    for i in range(10):
+        r = out[i]
+        assert r.brand == "isom"
+        assert (r.timescale, r.duration) == (1000 + i, 5000 + 7 * i)
+        assert (r.track_id, r.width, r.height) == (1 + i % 2, 320 + i, 240 + i)
+        assert (r.n_top_boxes, r.mdat_bytes) == (3, i % 16)
+
+
+def test_mp4_walker_largesize_and_eof_boxes():
+    import struct
+
+    from etl_healthcare_spark.operators.multimodal import mp4_info
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    moov = _box(b"moov", _mvhd(90000, 12345))
+    # mdat with 64-bit largesize layout: size field == 1, real size follows
+    payload = b"\xab" * 5
+    mdat1 = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload)) + payload
+    # trailing to-EOF box: size field == 0 runs to end of file
+    mdat2 = struct.pack(">I", 0) + b"mdat" + b"\xcd" * 9
+    info = mp4_info(ftyp + moov + mdat1 + mdat2)
+    assert info is not None
+    brand, timescale, duration, track_id, width, height, n_top, mdat_bytes = info
+    assert (brand, timescale, duration) == ("isom", 90000, 12345)
+    assert track_id is None and width is None  # no trak in this file
+    assert n_top == 4
+    assert mdat_bytes == 5 + 9
+
+
+def test_mp4_walker_rejects_corrupt():
+    from etl_healthcare_spark.operators.multimodal import mp4_info
+
+    assert mp4_info(None) is None
+    assert mp4_info(b"not an mp4 at all") is None
+    assert mp4_info(b"\x00\x00\x00\x18ftypisom") is None  # truncated
+    # a box whose size overruns the buffer must reject, not overread
+    bad = _box(b"ftyp", b"isom\x00\x00\x00\x00isom") + b"\x00\x00\xff\xffmoov"
+    assert mp4_info(bad) is None

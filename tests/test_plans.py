@@ -334,6 +334,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "mm_audio_autocorr",
         # DICOM Part-10 header walk (operators/multimodal.dicom_tags)
         "mm_dicom_tags",
+        # MP4/ISO-BMFF box walk (operators/multimodal.mp4_container_info)
+        "mm_mp4_boxes",
     }
     audited = 0
     for name in REGISTRY:
