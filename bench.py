@@ -126,6 +126,11 @@ HEADLINE = [
     # round-4 labeling-agreement & collocation batch
     "eval_cohens_kappa",     # one-scan exact chance-corrected agreement
     "text_pmi_bigrams",      # one-scan checkpointed unigram+bigram counts
+    # round-4 maintenance / privacy / container batch
+    "maint_compaction_plan", # metadata-frame bin-packing windows
+    "privacy_k_anonymity",   # QI-frame disclosure audit
+    "link_blocking_quality", # LSH blocker graded against sha256 gold
+    "mm_mp4_boxes",          # big-endian ISO-BMFF walk (map-only)
 ]
 
 

@@ -636,6 +636,7 @@ from . import registry_evalml  # noqa: E402,F401
 from . import registry_agree  # noqa: E402,F401
 from . import registry_maint  # noqa: E402,F401
 from . import registry_privacy  # noqa: E402,F401
+from . import registry_opsdiag  # noqa: E402,F401
 
 
 # --- driver-visible ordering ------------------------------------------------

@@ -1,0 +1,250 @@
+"""Round-4 operational-diagnostics batch: telemetry event debouncing, the
+day-over-day delta attribution report (which slice explains the move), and
+the language-ID confusion matrix grading the heuristic classifier against
+the declared label.
+
+These are the three reports an on-call data engineer opens in order: the
+debounce pass de-noises double-fired telemetry before counts mean anything,
+the attribution report turns "volume moved 12% yesterday" into a ranked
+list of the slices that moved it (the Adtributor question), and the
+confusion matrix says whether an in-pipeline model's labels can be trusted
+where gold labels exist.  The reference emits raw telemetry and stores
+declared language fields (libs/obs/metrics.ts, normalize handler) but has
+no de-noising, attribution, or model-vs-label audit.
+
+Exactness: gap comparisons in integer microseconds, deltas and shares as
+cross-multiplied ppm with HUGEINT/decimal(38) products, confusion counts
+plain integers — nothing floats across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+PPM = 1_000_000
+
+_GAP_US = 60_000_000  # debounce threshold: 60 seconds
+
+
+@register(
+    "ts_event_debounce",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, t,
+             lag(t) OVER (PARTITION BY user_id, event_type ORDER BY t) AS prev_t
+      FROM e
+    ),
+    k AS (
+      SELECT event_type,
+             CASE WHEN prev_t IS NULL OR t - prev_t > {_GAP_US}
+                  THEN 1 ELSE 0 END AS keep
+      FROM g
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS n_debounced,
+           CAST(CAST(sum(keep) AS HUGEINT) * {PPM} // count(*) AS BIGINT)
+             AS kept_share_ppm
+    FROM k GROUP BY event_type
+    """,
+    doc="TELEMETRY DEBOUNCE (the de-noising pass before any counter is "
+    "trusted): within each (user, event type) stream, an event fires the "
+    "debouncer only if it is the first or arrives more than 60 s after "
+    "its predecessor — double-clicks, retry storms, and at-least-once "
+    "redelivery collapse to one.  Gap arithmetic in integer microseconds "
+    "(epoch_us == unix_micros, the registry timestamp rule).  Shape: ONE "
+    "window partitioned by the HIGH-CARDINALITY (user_id, event_type) "
+    "key — parallel across users at any scale, no global order — then a "
+    "partial-aggregable per-type rollup.  The stateless batch twin of "
+    "stream_dedup's watermarked exactly-once pass.",
+)
+def ts_event_debounce(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("t")
+    g = e.select("event_type", "t", F.lag("t").over(w).alias("prev_t"))
+    k = g.select(
+        "event_type",
+        (F.col("prev_t").isNull() | (F.col("t") - F.col("prev_t") > _GAP_US))
+        .cast("long")
+        .alias("keep"),
+    )
+    agg = k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("keep").alias("n_kept")
+    )
+    return agg.select(
+        "event_type",
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_debounced"),
+        F.expr(f"CAST(CAST(n_kept AS DECIMAL(38,0)) * {PPM} div n_total AS BIGINT)").alias(
+            "kept_share_ppm"
+        ),
+    )
+
+
+@register(
+    "ts_delta_attribution",
+    sql=f"""
+    WITH daily AS (
+      SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lastdays AS (
+      SELECT day_us, dense_rank() OVER (ORDER BY day_us DESC) AS r
+      FROM (SELECT DISTINCT day_us FROM daily)
+    ),
+    two AS (
+      SELECT d.event_type,
+             sum(CASE WHEN l.r = 1 THEN x ELSE 0 END) AS x_last,
+             sum(CASE WHEN l.r = 2 THEN x ELSE 0 END) AS x_prev
+      FROM daily d JOIN lastdays l ON d.day_us = l.day_us AND l.r <= 2
+      GROUP BY 1
+    ),
+    delta AS (
+      SELECT event_type, x_last, x_prev, x_last - x_prev AS delta,
+             sum(x_last - x_prev) OVER () AS total_delta
+      FROM two
+    )
+    SELECT event_type,
+           CAST(x_prev AS BIGINT) AS prev_cents,
+           CAST(x_last AS BIGINT) AS last_cents,
+           CAST(delta AS BIGINT) AS delta_cents,
+           CAST(CAST(delta AS HUGEINT) * {PPM}
+                // nullif(CAST(total_delta AS HUGEINT), 0) AS BIGINT)
+             AS delta_share_ppm,
+           CAST(row_number() OVER (ORDER BY abs(delta) DESC, event_type)
+                AS BIGINT) AS rnk
+    FROM delta
+    """,
+    doc="DAY-OVER-DAY DELTA ATTRIBUTION (the Adtributor question: volume "
+    "moved — WHICH slice moved it): per event type, yesterday-vs-prior "
+    "daily cents, the exact delta, each slice's signed share of the "
+    "total move in ppm, and a deterministic |delta|-ranked order.  The "
+    "two comparison days are discovered FROM the data (dense_rank over "
+    "the distinct-day frame), so the report needs no date parameter at "
+    "any scale.  Shape: one partial-aggregable groupBy to the "
+    "(day, type) frame; day ranking, the two-day pivot, and the share "
+    "windows all run on that metadata-sized frame.  The drill-down "
+    "ts_cusum_changepoint hands off to once it has located WHEN.",
+)
+def ts_delta_attribution(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us"),
+            "event_type",
+        )
+        .agg(F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("x"))
+    )
+    days = daily.select("day_us").distinct()
+    lastdays = days.select(
+        "day_us",
+        F.dense_rank().over(W.partitionBy(F.lit(0)).orderBy(F.col("day_us").desc())).alias("r"),
+    ).where(F.col("r") <= 2)
+    two = (
+        daily.join(F.broadcast(lastdays), "day_us")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("r") == 1, F.col("x")).otherwise(F.lit(0))).alias("x_last"),
+            F.sum(F.when(F.col("r") == 2, F.col("x")).otherwise(F.lit(0))).alias("x_prev"),
+        )
+    )
+    wall = W.partitionBy(F.lit(0))
+    delta = two.select(
+        "event_type",
+        "x_last",
+        "x_prev",
+        (F.col("x_last") - F.col("x_prev")).alias("delta"),
+        F.sum(F.col("x_last") - F.col("x_prev")).over(wall).alias("total_delta"),
+    )
+    return delta.select(
+        "event_type",
+        F.col("x_prev").cast("long").alias("prev_cents"),
+        F.col("x_last").cast("long").alias("last_cents"),
+        F.col("delta").cast("long").alias("delta_cents"),
+        F.expr(
+            f"CAST(CAST(delta AS DECIMAL(38,0)) * {PPM}"
+            f" div nullif(CAST(total_delta AS DECIMAL(38,0)), 0) AS BIGINT)"
+        ).alias("delta_share_ppm"),
+        F.row_number()
+        .over(W.partitionBy(F.lit(0)).orderBy(F.abs("delta").desc(), "event_type"))
+        .cast("long")
+        .alias("rnk"),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from .registry_llm import _langid_oracle
+
+    return f"""
+    WITH pred AS ({_langid_oracle()}),
+    cm AS (
+      SELECT lang_actual AS actual, lang_pred AS pred, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT actual, pred, CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS support,
+           CAST(sum(n) OVER (PARTITION BY pred) AS BIGINT) AS pred_total,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER (PARTITION BY actual) AS HUGEINT) AS BIGINT)
+             AS recall_ppm,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER (PARTITION BY pred) AS HUGEINT) AS BIGINT)
+             AS precision_ppm
+    FROM cm
+    """
+
+
+@register(
+    "text_langid_confusion",
+    sql=_langid_confusion_oracle(),
+    doc="LANGUAGE-ID CONFUSION MATRIX: the stopword-marker classifier "
+    "(text_langid) graded against the corpus's DECLARED lang column — "
+    "unlike eval_confusion_multiclass's synthetic judge, this audits a "
+    "real in-pipeline model against real labels, per (actual, predicted) "
+    "cell with exact-ppm recall and precision.  The 'und' column prices "
+    "the classifier's abstention mass; off-diagonal cells say which "
+    "marker lists collide.  Shape: the scoring is map-only (marker "
+    "counts fused into the scan), ONE partial-aggregable groupBy "
+    "collapses to <=25 cells, both normalizing windows run on that "
+    "frame.  The trust gate before langid-based filtering (the CCNet "
+    "pipeline step) is allowed to drop documents.",
+)
+def text_langid_confusion(spark, sf_dir):
+    from ..functions.text import lang_guess
+
+    docs = _t(spark, sf_dir, "documents")
+    # actual and predicted both come off the same row: fuse into ONE
+    # map-only select (no doc_id join back to the label column)
+    cm = (
+        docs.select(F.col("lang").alias("actual"), lang_guess(F.col("text")).alias("pred"))
+        .groupBy("actual", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = cm.select(
+        "actual",
+        "pred",
+        "n",
+        F.sum("n").over(W.partitionBy("actual")).alias("support"),
+        F.sum("n").over(W.partitionBy("pred")).alias("pred_total"),
+    )
+    return w.select(
+        "actual",
+        "pred",
+        "n",
+        "support",
+        "pred_total",
+        F.expr(f"n * {PPM} div support").alias("recall_ppm"),
+        F.expr(f"n * {PPM} div pred_total").alias("precision_ppm"),
+    )

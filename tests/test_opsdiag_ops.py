@@ -1,0 +1,126 @@
+"""Unit tests for the operational-diagnostics batch: event debounce,
+day-over-day delta attribution, and the langid confusion matrix — planted
+inputs vs brute-force pure-Python models."""
+
+import contextlib
+import datetime
+import io
+
+from etl_healthcare_spark.plans.registry import REGISTRY
+
+
+def _plant_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def test_debounce_keeps_first_and_gapped(spark, tmp_path):
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1, click: burst of 3 within 60s -> keep only the first;
+        # then one 61s later -> kept
+        (0, t0, 1, "click", 1.0),
+        (1, t0 + 10 * s, 1, "click", 1.0),
+        (2, t0 + 59 * s, 1, "click", 1.0),
+        (3, t0 + 121 * s, 1, "click", 1.0),
+        # user 2, click: single -> kept (streams are per-user independent)
+        (4, t0 + 5 * s, 2, "click", 1.0),
+        # user 1, view: exactly 60s gap is NOT > 60s -> debounced
+        (5, t0, 1, "view", 1.0),
+        (6, t0 + 60 * s, 1, "view", 1.0),
+    ]
+    _plant_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in REGISTRY["ts_event_debounce"].fn(spark, str(tmp_path)).collect()}
+    click = out["click"]
+    assert (click.n_total, click.n_kept, click.n_debounced) == (5, 3, 2)
+    assert click.kept_share_ppm == 3 * 10**6 // 5
+    view = out["view"]
+    assert (view.n_total, view.n_kept, view.n_debounced) == (2, 1, 1)
+
+
+def test_delta_attribution_ranks_movers(spark, tmp_path):
+    d1 = datetime.datetime(2024, 6, 1, 8, 0, 0)
+    d2 = datetime.datetime(2024, 6, 2, 8, 0, 0)
+    d3 = datetime.datetime(2024, 6, 3, 8, 0, 0)  # most recent day
+    rows = [
+        # day1 exists but must be IGNORED (only the last two days compare)
+        (0, d1, 1, "a", 999.0),
+        # type a: 100.00 -> 250.00  (delta +15000 cents, the big mover)
+        (1, d2, 1, "a", 100.0),
+        (2, d3, 1, "a", 250.0),
+        # type b: 50.00 -> 40.00    (delta -1000 cents)
+        (3, d2, 1, "b", 50.0),
+        (4, d3, 1, "b", 40.0),
+        # type c: only on the last day (prev contributes 0)
+        (5, d3, 1, "c", 10.0),
+    ]
+    _plant_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in REGISTRY["ts_delta_attribution"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {"a", "b", "c"}
+    total = 15000 - 1000 + 1000
+    a = out["a"]
+    assert (a.prev_cents, a.last_cents, a.delta_cents) == (10000, 25000, 15000)
+    assert a.delta_share_ppm == 15000 * 10**6 // total
+    assert a.rnk == 1
+    b = out["b"]
+    assert (b.prev_cents, b.last_cents, b.delta_cents) == (5000, 4000, -1000)
+    # negative delta share: BOTH engines truncate toward zero, so the
+    # expected value is the negated positive quotient (Python // floors)
+    assert b.delta_share_ppm == -((1000 * 10**6) // total)
+    c = out["c"]
+    assert (c.prev_cents, c.last_cents, c.delta_cents) == (0, 1000, 1000)
+    assert {out["b"].rnk, out["c"].rnk} == {2, 3}
+    # |delta| tie would break on event_type; here b (1000) ties c (1000):
+    assert out["b"].rnk == 2 and out["c"].rnk == 3
+
+
+def test_langid_confusion_diagonal(spark, tmp_path):
+    rows = [
+        # declared en, predicted en (English stopwords)
+        (1, "the cat and the dog with a hat", "en"),
+        (2, "it was the best of times and the worst", "en"),
+        # declared es, predicted es
+        (3, "el perro y el gato con la casa", "es"),
+        # declared en but text is Spanish -> off-diagonal (en, es)
+        (4, "la vida es una con el mar y los rios", "en"),
+        # declared de, no markers at all -> 'und' abstention column
+        (5, "zzz qqq xxx yyy www", "de"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.actual, r.pred): r
+        for r in REGISTRY["text_langid_confusion"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("en", "en")].n == 2
+    assert out[("es", "es")].n == 1
+    assert out[("en", "es")].n == 1
+    assert out[("de", "und")].n == 1
+    en_en = out[("en", "en")]
+    assert en_en.support == 3  # three declared-en docs
+    assert en_en.recall_ppm == 2 * 10**6 // 3
+    assert en_en.pred_total == 2
+    assert en_en.precision_ppm == 10**6
+    es = out[("en", "es")]
+    assert es.pred_total == 2 and es.precision_ppm == 10**6 // 2
+
+
+def test_opsdiag_plan_shapes(spark):
+    """Debounce's only wide op is the per-(user,type) window + one rollup;
+    attribution and confusion collapse through scan-side aggregates before
+    any window; every query reads its table exactly once."""
+    for name, max_scans in (
+        ("ts_event_debounce", 1),
+        ("ts_delta_attribution", 2),  # daily frame + distinct-day frame
+        ("text_langid_confusion", 1),
+    ):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Location: InMemoryFileIndex") <= max_scans, name
+        assert "CartesianProduct" not in plan, name
