@@ -248,3 +248,157 @@ def text_langid_confusion(spark, sf_dir):
         F.expr(f"n * {PPM} div support").alias("recall_ppm"),
         F.expr(f"n * {PPM} div pred_total").alias("precision_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J12: point-in-time join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j12_pit_scd2",
+    sql="""
+    WITH dim AS (
+      SELECT user_id,
+             epoch_us(ts) AS valid_from_us,
+             coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)),
+                      9223372036854775807) AS valid_to_us,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS attr_cents
+      FROM events WHERE user_id < 20 AND event_id % 5 = 0
+    ),
+    fact AS (
+      SELECT event_id AS fact_id, user_id, epoch_us(ts) AS fact_us,
+             CAST(floor(value * 100) AS BIGINT) AS fact_cents
+      FROM events WHERE user_id < 20 AND event_id % 5 <> 0
+    )
+    SELECT f.fact_id, f.user_id, f.fact_us, f.fact_cents,
+           d.valid_from_us, d.attr_cents
+    FROM fact f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.fact_us >= d.valid_from_us AND f.fact_us < d.valid_to_us
+    """,
+    doc="J12 POINT-IN-TIME JOIN (the warehouse question u6_scd2_intervals "
+    "exists to answer): every fact row picks up the dimension attribute "
+    "that was valid AT ITS OWN timestamp — dimension-change events build "
+    "[valid_from, valid_to) intervals via one lead() window (open current "
+    "row capped at +inf so it matches all later facts), then facts LEFT "
+    "join on the user key with the interval containment as the residual "
+    "condition.  Because SCD2 intervals partition time, each fact matches "
+    "AT MOST one row — no fan-out — and facts before the first change "
+    "surface with NULL attributes instead of silently dropping (the "
+    "left-join-vs-inner trap in PIT backfills).  Shape: the join is "
+    "EQUI on user_id (SMJ/SHJ, fully shuffled-parallel); the interval "
+    "test rides as a post-join filter, never a range-only join.  "
+    "Complements j5b_asof_join: as-of picks nearest-before by sort, PIT "
+    "consumes a PERSISTED interval dimension — the shape a 100 TB "
+    "warehouse actually materializes.",
+)
+def j12_pit_scd2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(w)), F.lit(9223372036854775807)
+            ).alias("valid_to_us"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("attr_cents"),
+        )
+    )
+    fact = ev.where(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").alias("fact_id"),
+        "user_id",
+        F.unix_micros("ts").alias("fact_us"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("fact_cents"),
+    )
+    cond = (
+        (fact["user_id"] == dim["user_id"])
+        & (fact["fact_us"] >= dim["valid_from_us"])
+        & (fact["fact_us"] < dim["valid_to_us"])
+    )
+    return fact.join(dim, cond, "left").select(
+        "fact_id",
+        fact["user_id"].alias("user_id"),
+        "fact_us",
+        "fact_cents",
+        "valid_from_us",
+        "attr_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# U10: right-to-be-forgotten delete propagation audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u10_delete_propagation",
+    sql="""
+    WITH dl AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 3
+    ),
+    ev AS (
+      SELECT count(*) AS purged,
+             (SELECT count(*) FROM events) - count(*) AS retained
+      FROM events WHERE user_id IN (SELECT user_id FROM dl)
+    ),
+    cu AS (
+      SELECT count(*) AS purged,
+             (SELECT count(*) FROM customer) - count(*) AS retained
+      FROM customer WHERE c_custkey IN (SELECT user_id FROM dl)
+    ),
+    od AS (
+      SELECT count(*) AS purged,
+             (SELECT count(*) FROM orders) - count(*) AS retained
+      FROM orders WHERE o_custkey IN (SELECT user_id FROM dl)
+    )
+    SELECT 'events' AS table_name, CAST(purged AS BIGINT) AS n_purged,
+           CAST(retained AS BIGINT) AS n_retained FROM ev
+    UNION ALL
+    SELECT 'customer', CAST(purged AS BIGINT), CAST(retained AS BIGINT) FROM cu
+    UNION ALL
+    SELECT 'orders', CAST(purged AS BIGINT), CAST(retained AS BIGINT) FROM od
+    """,
+    doc="U10 RIGHT-TO-BE-FORGOTTEN DELETE PROPAGATION: a deletion list "
+    "(every ~97th user) is swept across the three tables that key on the "
+    "subject — events by user_id, customer by custkey, orders by the "
+    "customer FK — and the audit reports exact purge/retain counts per "
+    "table, the evidence record a GDPR/CCPA erasure run must produce "
+    "BEFORE the destructive rewrite executes.  Shape: the deletion list "
+    "is id-only and BROADCAST; each table answers with one semi-join "
+    "count + one total count fused into the same scan — at 100 TB each "
+    "table is read once, and the rewrite this plans (anti-join + "
+    "partition overwrite) is the merge() machinery operators/persist.py "
+    "already exercises.  Completes the privacy family: "
+    "privacy_k_anonymity measures disclosure risk, this executes the "
+    "subject's remedy.",
+)
+def u10_delete_propagation(spark, sf_dir):
+    dl = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") % 97 == 3)
+        .select("user_id")
+        .distinct()
+    )
+    out = []
+    for tname, key in (("events", "user_id"), ("customer", "c_custkey"), ("orders", "o_custkey")):
+        t = _t(spark, sf_dir, tname)
+        hit = t.join(F.broadcast(dl), t[key] == dl["user_id"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_purged")
+        )
+        tot = t.agg(F.count(F.lit(1)).alias("n_total"))
+        out.append(
+            hit.crossJoin(tot).select(
+                F.lit(tname).alias("table_name"),
+                "n_purged",
+                (F.col("n_total") - F.col("n_purged")).alias("n_retained"),
+            )
+        )
+    r = out[0]
+    for q in out[1:]:
+        r = r.unionByName(q)
+    return r

@@ -124,3 +124,55 @@ def test_opsdiag_plan_shapes(spark):
         plan = buf.getvalue()
         assert plan.count("Location: InMemoryFileIndex") <= max_scans, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_pit_scd2_picks_interval_valid_at_fact_time(spark, tmp_path):
+    import datetime
+
+    t = lambda m: datetime.datetime(2024, 7, 1, 12, m, 0)  # noqa: E731
+    rows = [
+        # dim changes for user 3 (event_id % 5 == 0): attr 10.00 at :00,
+        # attr 20.00 at :30
+        (0, t(0), 3, "chg", 10.0),
+        (5, t(30), 3, "chg", 20.0),
+        # facts for user 3: before first change (NULL attr), inside first
+        # interval, at the boundary (:30 belongs to the SECOND interval),
+        # and after
+        (1, t(0) - datetime.timedelta(minutes=5), 3, "f", 1.0),
+        (2, t(10), 3, "f", 2.0),
+        (3, t(30), 3, "f", 3.0),
+        (4, t(45), 3, "f", 4.0),
+        # user 7 has facts but NO dim rows at all -> NULL attr
+        (6, t(10), 7, "f", 5.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.fact_id: r for r in REGISTRY["j12_pit_scd2"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4, 6}
+    assert out[1].attr_cents is None  # fact before first dim change
+    assert out[2].attr_cents == 1000
+    assert out[3].attr_cents == 2000  # boundary belongs to the NEW interval
+    assert out[4].attr_cents == 2000  # open current row matches later facts
+    assert out[6].attr_cents is None  # user with no dimension history
+
+
+def test_delete_propagation_counts(spark, tmp_path):
+    import datetime
+
+    ts = datetime.datetime(2024, 7, 1, 8, 0, 0)
+    # users 3 and 100 are on the deletion list (user_id % 97 == 3)
+    ev = [(i, ts, u, "e", 1.0) for i, u in enumerate([3, 3, 100, 5, 9, 42])]
+    spark.createDataFrame(
+        ev, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(3, "X"), (4, "Y"), (100, "Z")], "c_custkey long, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 3), (4, 7)], "o_orderkey long, o_custkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r.table_name: r for r in REGISTRY["u10_delete_propagation"].fn(spark, str(tmp_path)).collect()}
+    assert (out["events"].n_purged, out["events"].n_retained) == (3, 3)
+    assert (out["customer"].n_purged, out["customer"].n_retained) == (2, 1)
+    assert (out["orders"].n_purged, out["orders"].n_retained) == (2, 2)
