@@ -708,8 +708,9 @@ DRIVER_WINDOW: list[str] = [
     "sim_range_search",
     # text analysis (chunk_windows is the zero-shuffle RAG pass)
     "text_stats",
-    "text_doc_keywords",
     "corpus_novelty",
+    # privacy (disclosure-risk release gate)
+    "privacy_k_anonymity",
     # sampling / splits / calibration
     "sample_score_calibration",
     # end-to-end curation funnel

@@ -200,6 +200,7 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "anomaly_",  # anomaly detection
         "eval_",  # classifier evaluation
         "maint_",  # table maintenance / layout analytics
+        "privacy_",  # disclosure-risk audits
     ):
         assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
 
