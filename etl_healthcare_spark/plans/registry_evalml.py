@@ -371,3 +371,74 @@ def ml_gini_feature_rank(spark, sf_dir):
         F.expr("CAST(child_num div n AS BIGINT)").alias("child_gini_ppm"),
         (parent - F.expr("child_num div n")).cast("long").alias("gain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pinball (quantile) loss evaluation of a quantile forecaster
+# ---------------------------------------------------------------------------
+
+_QUANTILES_PPM = [100_000, 500_000, 900_000]
+# synthetic-but-deterministic quantile forecaster of the order total
+_YHAT_SQL = "140000 + (o_orderkey * 13) % 50000"
+_Y_SQL = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _pinball_oracle() -> str:
+    slots = ", ".join(
+        f"sum(CASE WHEN y >= yhat THEN CAST({q} AS HUGEINT) * (y - yhat)"
+        f" ELSE CAST({1_000_000 - q} AS HUGEINT) * (yhat - y) END) AS loss{i}"
+        for i, q in enumerate(_QUANTILES_PPM)
+    )
+    reps = "\n      UNION ALL\n      ".join(
+        f"SELECT {q} AS q_ppm, n, loss{i} AS loss FROM s"
+        for i, q in enumerate(_QUANTILES_PPM)
+    )
+    return f"""
+    WITH base AS (
+      SELECT {_Y_SQL} AS y, {_YHAT_SQL} AS yhat FROM orders
+    ),
+    s AS (SELECT count(*) AS n, {slots} FROM base),
+    r AS ({reps})
+    SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           CAST(n AS BIGINT) AS n,
+           CAST(loss // 1000000 AS BIGINT) AS sum_loss_cents,
+           CAST(loss // n AS BIGINT) AS mean_loss_ppm_cents
+    FROM r
+    """
+
+
+@register(
+    "eval_pinball_loss",
+    sql=_pinball_oracle(),
+    doc="PINBALL (QUANTILE) LOSS of a deterministic quantile forecaster at "
+    "the 10/50/90 operating points, EXACT: loss_q(y, yhat) = q*(y-yhat) "
+    "for under-prediction else (1-q)*(yhat-y), held in ppm-cents HUGEINT "
+    "so the asymmetric penalty never floats — the regression-side "
+    "counterpart of eval_threshold_f1's classification sweep (a quantile "
+    "forecaster is graded by pinball exactly as a classifier is by F1).  "
+    "Shape: the eval_threshold_f1 trick again — ONE scan accumulates all "
+    "three quantile losses as conditional-sum slots in a single partial "
+    "aggregate, then a 3-row stack unpivots; a single row crosses the "
+    "shuffle.",
+)
+def eval_pinball_loss(spark, sf_dir):
+    base = _t(spark, sf_dir, "orders").select(
+        F.expr(_Y_SQL).alias("y"), F.expr(_YHAT_SQL).alias("yhat")
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(_QUANTILES_PPM):
+        loss = F.when(
+            F.col("y") >= F.col("yhat"),
+            F.lit(q).cast(dec) * (F.col("y") - F.col("yhat")),
+        ).otherwise(F.lit(1_000_000 - q).cast(dec) * (F.col("yhat") - F.col("y")))
+        aggs.append(F.sum(loss).alias(f"loss{i}"))
+    s = base.agg(*aggs)
+    stack = ", ".join(f"{q}L, loss{i}" for i, q in enumerate(_QUANTILES_PPM))
+    r = s.select("n", F.expr(f"stack({len(_QUANTILES_PPM)}, {stack}) AS (q_ppm, loss)"))
+    return r.select(
+        "q_ppm",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(loss div 1000000 AS BIGINT)").alias("sum_loss_cents"),
+        F.expr("CAST(loss div n AS BIGINT)").alias("mean_loss_ppm_cents"),
+    )

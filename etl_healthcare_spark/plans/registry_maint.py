@@ -338,3 +338,135 @@ def graph_degree_hist(spark, sf_dir):
             "max_degree",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (non-dominated frontier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g34_pareto_skyline",
+    sql="""
+    WITH best AS (
+      SELECT p_size AS size,
+             min(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS best_price_cents,
+             count(*) AS n_parts
+      FROM part GROUP BY 1
+    ),
+    r AS (
+      SELECT size, best_price_cents, n_parts,
+             min(best_price_cents) OVER (
+               ORDER BY size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_above
+      FROM best
+    )
+    SELECT CAST(size AS BIGINT) AS size,
+           best_price_cents,
+           CAST(n_parts AS BIGINT) AS n_parts
+    FROM r
+    WHERE best_above IS NULL OR best_price_cents < best_above
+    """,
+    doc="PARETO SKYLINE (the non-dominated frontier query, Borzsony et al. "
+    "ICDE 2001): over parts trading off size (maximize) against retail "
+    "price (minimize), a size tier is on the skyline iff no larger tier "
+    "is as cheap — the 'show me only offers nothing else beats on both "
+    "axes' operator every marketplace/benchmark UI needs.  For a 2-D "
+    "skyline the frontier is computable WITHOUT pair domination tests: "
+    "collapse to the per-tier best price (one partial-aggregable "
+    "groupBy, ~50 rows), then one descending running-min window — a tier "
+    "survives iff strictly cheaper than every larger tier (ties lose to "
+    "the bigger size, handled by the strict <).  The quadratic dominance "
+    "join the textbook shape implies never happens at any scale.",
+)
+def g34_pareto_skyline(spark, sf_dir):
+    best = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_size").alias("size"))
+        .agg(
+            F.min((F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")).alias(
+                "best_price_cents"
+            ),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy(F.col("size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = best.select(
+        "size",
+        "best_price_cents",
+        "n_parts",
+        F.min("best_price_cents").over(w).alias("best_above"),
+    )
+    return r.where(
+        F.col("best_above").isNull() | (F.col("best_price_cents") < F.col("best_above"))
+    ).select(F.col("size").cast("long").alias("size"), "best_price_cents", "n_parts")
+
+
+# ---------------------------------------------------------------------------
+# U11: order-insensitive table fingerprint (replica verification)
+# ---------------------------------------------------------------------------
+
+_FP_ROW_SQL = (
+    "l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey"
+    " || '|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " || '|' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " || '|' || l_returnflag || '|' || l_linestatus"
+    " || '|' || CAST(l_shipdate AS VARCHAR)"
+)
+
+
+@register(
+    "u11_table_fingerprint",
+    sql=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(sha256({_FP_ROW_SQL}), 1, 15))::BIGINT AS rh
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(rh AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+             AS sum_hash,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_hash,
+           CAST(min(rh) AS BIGINT) AS min_hash,
+           CAST(max(rh) AS BIGINT) AS max_hash
+    FROM h
+    """,
+    doc="U11 ORDER-INSENSITIVE TABLE FINGERPRINT (replica/migration "
+    "verification): each row canonicalizes to a '|'-joined string of "
+    "normalized columns (cents-cast numerics, ISO date string — never a "
+    "raw float, whose formatting is engine-specific), hashes to a 60-bit "
+    "sha256 prefix, and the table's identity is the (count, SUM, XOR, "
+    "min, max) of those hashes — all order-insensitive and partial-"
+    "aggregable, so two 100 TB replicas compare by exchanging ONE row "
+    "each, no sort, no row shipping (the rsync-style content check for "
+    "tables).  SUM (mod the Mersenne prime 2^61-1, so it stays a BIGINT at any row count) catches what XOR misses (an even number of identical "
+    "corruptions XORs away) and vice versa; min/max localize which "
+    "extreme changed.  Shape: map-only hash fused into the scan, one "
+    "partial aggregate out.",
+)
+def u11_table_fingerprint(spark, sf_dir):
+    row = (
+        "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING)"
+        " || '|' || CAST(l_partkey AS STRING) || '|' || CAST(l_suppkey AS STRING)"
+        " || '|' || CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"
+        " || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"
+        " || '|' || l_returnflag || '|' || l_linestatus"
+        " || '|' || CAST(l_shipdate AS STRING)"
+    )
+    h = _t(spark, sf_dir, "lineitem").select(
+        F.expr(f"CAST(conv(substring(sha2({row}, 256), 1, 15), 16, 10) AS BIGINT)").alias("rh")
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(2305843009213693951))
+        .cast("long")
+        .alias("sum_hash"),
+        F.expr("bit_xor(rh)").cast("long").alias("xor_hash"),
+        F.min("rh").alias("min_hash"),
+        F.max("rh").alias("max_hash"),
+    )

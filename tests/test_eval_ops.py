@@ -395,3 +395,24 @@ def test_eval_queries_scan_once(spark):
             df.explain("formatted")
         plan = buf.getvalue()
         assert plan.count("Location: InMemoryFileIndex") == 1, name
+
+
+def test_pinball_loss_matches_brute_force(spark, tmp_path):
+    rows = [(k, float(p)) for k, p in [(1, 1500.00), (2, 1300.57), (3, 2100.99), (4, 1449.01)]]
+    spark.createDataFrame(rows, "o_orderkey long, o_totalprice double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    out = {r.q_ppm: r for r in REGISTRY["eval_pinball_loss"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {100_000, 500_000, 900_000}
+    for q in out:
+        total = 0
+        for k, p in rows:
+            y = round(p * 100)
+            yhat = 140000 + (k * 13) % 50000
+            total += q * (y - yhat) if y >= yhat else (10**6 - q) * (yhat - y)
+        r = out[q]
+        assert r.n == 4
+        assert r.sum_loss_cents == total // 10**6
+        assert r.mean_loss_ppm_cents == total // 4
+    # the asymmetry is real: under-predicting costs more at q=0.9 than 0.1
+    assert out[900_000].sum_loss_cents != out[100_000].sum_loss_cents

@@ -137,3 +137,63 @@ def test_maint_plan_shapes(spark):
     plan = buf.getvalue()
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
     assert "Window" not in plan
+
+
+def test_pareto_skyline_frontier(spark, tmp_path):
+    rows = [
+        # (partkey, size, price): frontier should be sizes 50 (12.00) and
+        # 30 (8.00); size 40 (15.00) is dominated by 50 being cheaper;
+        # size 20 at 8.00 ties 30's price but is smaller -> dominated
+        (1, 50, 12.00),
+        (2, 40, 15.00),
+        (3, 30, 8.00),
+        (4, 30, 9.50),  # same tier, worse price: collapses into tier min
+        (5, 20, 8.00),
+        (6, 10, 2.00),  # cheapest overall: on the frontier
+    ]
+    spark.createDataFrame(rows, "p_partkey long, p_size int, p_retailprice double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {r.size: r for r in REGISTRY["g34_pareto_skyline"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {50, 30, 10}
+    assert out[50].best_price_cents == 1200
+    assert out[30].best_price_cents == 800 and out[30].n_parts == 2
+    assert out[10].best_price_cents == 200
+
+
+def test_table_fingerprint_order_insensitive_and_sensitive_to_change(spark, tmp_path):
+    import datetime
+
+    base = [
+        (1, 1, 10, 100, 5.0, 100.00, "N", "O", datetime.date(2024, 1, 1)),
+        (2, 1, 11, 101, 3.0, 50.00, "R", "F", datetime.date(2024, 2, 2)),
+        (3, 2, 12, 102, 7.0, 75.25, "A", "F", datetime.date(2024, 3, 3)),
+    ]
+    schema = (
+        "l_orderkey long, l_linenumber long, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date"
+    )
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    spark.createDataFrame(base, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    [fp1] = REGISTRY["u11_table_fingerprint"].fn(spark, str(tmp_path)).collect()
+    # same rows, different order -> identical fingerprint
+    spark.createDataFrame(list(reversed(base)), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    [fp2] = REGISTRY["u11_table_fingerprint"].fn(spark, str(tmp_path)).collect()
+    assert fp1 == fp2
+    # one cent of corruption -> sum and xor both move
+    bad = [base[0], base[1], base[2][:5] + (75.26,) + base[2][6:]]
+    spark.createDataFrame(bad, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    [fp3] = REGISTRY["u11_table_fingerprint"].fn(spark, str(tmp_path)).collect()
+    assert fp3.n_rows == fp1.n_rows
+    assert fp3.sum_hash != fp1.sum_hash
+    assert fp3.xor_hash != fp1.xor_hash
