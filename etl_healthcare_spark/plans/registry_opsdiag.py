@@ -402,3 +402,54 @@ def u10_delete_propagation(spark, sf_dir):
     for q in out[1:]:
         r = r.unionByName(q)
     return r
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the debounce (stateful, applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_debounce",
+    sql="""
+    WITH g AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts) AS prev
+      FROM events
+    )
+    SELECT user_id, event_type, t AS ts_us
+    FROM g WHERE prev IS NULL OR t - prev > 60000000
+    """,
+    doc="STREAMING DEBOUNCE (§2.12, the stateful twin of "
+    "ts_event_debounce): applyInPandasWithState keyed by (user, event "
+    "type) holding ONE int64 of state — the last seen event time — emits "
+    "exactly the events the batch lag() pass keeps.  Source written as "
+    "ONE file so availableNow is a single deterministic batch; the "
+    "emitted row SET is tie-invariant (equal-timestamp events keep "
+    "exactly one representative whichever arrives first), so the batch "
+    "window oracle hash-checks the streaming operator — the batch==stream "
+    "proof for the de-noising pass.  State is O(active keys) at any "
+    "stream volume (streaming/pipeline.debounce_stream).",
+)
+def stream_debounce(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import debounce_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = tempfile.mkdtemp(prefix="stream_deb_")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+    stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    out = debounce_stream(stream, gap_seconds=60)
+    name = f"deb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("user_id", "event_type", "ts_us")

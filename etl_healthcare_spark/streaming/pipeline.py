@@ -307,3 +307,53 @@ def moments_stream(events: DataFrame, group_col: str = "event_type", value_col: 
         F.sum(v).alias("s"),
         F.sum(v * v).alias("q"),
     )
+
+
+DEBOUNCE_OUTPUT = "user_id bigint, event_type string, ts_us bigint"
+DEBOUNCE_STATE = "last_us bigint"
+
+
+def debounce_stream(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Streaming telemetry DEBOUNCE via ``applyInPandasWithState``: per
+    (user, event type) stream, emit an event iff it is the first seen or
+    arrives more than ``gap_seconds`` after the PREVIOUS event (kept or
+    not) — the stateful twin of the batch lag() pass in
+    plans/registry_opsdiag.ts_event_debounce, with identical semantics.
+
+    State per key is ONE int64 (the last seen event time) — O(active
+    keys) however large the stream, the same survival property as the
+    sessionizer.  Within a batch events process in timestamp order, so a
+    single availableNow batch over a one-file source reproduces the batch
+    operator exactly."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        user_id, event_type = key
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        last = state.get[0] if state.exists else None
+        kept: list[int] = []
+        for t in ts_us:
+            if last is None or t - last > gap_us:
+                kept.append(t)
+            last = t
+        if last is not None:
+            state.update((last,))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(kept),
+                    "event_type": [event_type] * len(kept),
+                    "ts_us": kept,
+                }
+            )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn, DEBOUNCE_OUTPUT, DEBOUNCE_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -176,3 +176,48 @@ def test_delete_propagation_counts(spark, tmp_path):
     assert (out["events"].n_purged, out["events"].n_retained) == (3, 3)
     assert (out["customer"].n_purged, out["customer"].n_retained) == (2, 1)
     assert (out["orders"].n_purged, out["orders"].n_retained) == (2, 2)
+
+
+def test_stream_debounce_matches_batch_and_carries_state_across_batches(spark, tmp_path):
+    """Two availableNow runs over a GROWING source directory prove the
+    state carries: the second run sees only the new file, and an event
+    within 60s of the FIRST run's last event is debounced."""
+    import datetime
+
+    from etl_healthcare_spark.streaming.pipeline import debounce_stream
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    schema = "user_id long, event_type string, ts timestamp_ntz"
+    batch1 = [(1, "c", t0), (1, "c", t0 + 10 * s), (1, "c", t0 + 121 * s)]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            debounce_stream(stream, gap_seconds=60)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.ts_us for r in spark.read.parquet(sink).collect()}
+
+    us = lambda dt: int(dt.timestamp() * 1_000_000)  # noqa: E731
+    out1 = run_once()
+    assert out1 == {us(t0), us(t0 + 121 * s)}
+    # batch 2: one event 30s after the last of batch 1 (debounced via
+    # carried state), one 90s after (kept)
+    batch2 = [(1, "c", t0 + 151 * s), (1, "c", t0 + 241 * s)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    out2 = run_once() - out1
+    assert out2 == {us(t0 + 241 * s)}
