@@ -470,3 +470,82 @@ def u11_table_fingerprint(spark, sf_dir):
         F.min("rh").alias("min_hash"),
         F.max("rh").alias("max_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G35: hierarchical share-of-parent rollup (region > nation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g35_share_of_parent",
+    sql="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents,
+             count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(cents AS HUGEINT) * 1000000
+                // CAST(sum(cents) OVER (PARTITION BY region) AS HUGEINT)
+                AS BIGINT) AS share_of_region_ppm,
+           CAST(CAST(sum(cents) OVER (PARTITION BY region) AS HUGEINT) * 1000000
+                // CAST(sum(cents) OVER () AS HUGEINT)
+                AS BIGINT) AS region_share_of_total_ppm
+    FROM rev
+    """,
+    doc="G35 HIERARCHICAL SHARE-OF-PARENT rollup (the BI drill-down view "
+    "g8_rollup's subtotal grid does not give you): revenue per (region, "
+    "nation) with each nation's exact ppm share of its region and each "
+    "region's share of the world — the two ratios every revenue dashboard "
+    "draws as nested bars.  Shape: orders joins three BROADCAST dims "
+    "(customer at TPC-H scale rides the star-join machinery j6 "
+    "plan-tests), ONE partial-aggregable groupBy collapses to the <=50-"
+    "row (region, nation) frame, and both share windows run on that "
+    "frame with HUGEINT cross-multiplication.  At 100 TB the fact scan "
+    "dominates and the hierarchy arithmetic stays metadata-sized.",
+)
+def g35_share_of_parent(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    wreg = W.partitionBy("region")
+    wall = W.partitionBy(F.lit(0))
+    dec = "decimal(38,0)"
+    w = rev.select(
+        "region",
+        "nation",
+        "cents",
+        "n_orders",
+        F.sum("cents").over(wreg).cast(dec).alias("reg_total"),
+        F.sum("cents").over(wall).cast(dec).alias("all_total"),
+    )
+    return w.select(
+        "region",
+        "nation",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        "n_orders",
+        F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div reg_total AS BIGINT)").alias(
+            "share_of_region_ppm"
+        ),
+        F.expr("CAST(reg_total * 1000000 div all_total AS BIGINT)").alias(
+            "region_share_of_total_ppm"
+        ),
+    )

@@ -1074,3 +1074,47 @@ def mm_mp4_boxes(spark, sf_dir):
         ).alias("payload"),
     )
     return mp4_container_info(media, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# IO: gzip-compressed JSONL round trip (the landing-zone codec)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "io_jsonl_gzip_roundtrip",
+    sql="""
+    SELECT doc_id,
+           text || chr(34) || chr(92) || chr(10) || coalesce(lang, '') AS hostile,
+           lang, n_chars,
+           length(text) AS t_len
+    FROM documents WHERE doc_id < 2000
+    """,
+    doc="GZIP JSONL ROUND TRIP: the same hostile-content payload as "
+    "io_jsonl_roundtrip written with codec=gzip and read back — landing "
+    "zones overwhelmingly deliver .jsonl.gz, and the codec changes the "
+    "split story (gzip is NOT splittable: one file = one task, so a 100 "
+    "TB gzip landing must arrive as MANY files to parallelize — the "
+    "docstring constraint this query exists to pin).  The write "
+    "repartitions to 8 files so the read-back genuinely exercises "
+    "multi-file parallelism over compressed parts.  Oracle computes the "
+    "strings directly; a lossless codec round trip hash-matches.",
+)
+def io_jsonl_gzip_roundtrip(spark, sf_dir):
+    import tempfile as _tf
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    hostile = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit('"\\\n'), F.coalesce(F.col("lang"), F.lit(""))).alias(
+            "hostile"
+        ),
+        "lang",
+        "n_chars",
+        F.length("text").cast("long").alias("t_len"),
+    )
+    d = _tf.mkdtemp(prefix="jsonl_gz_")
+    hostile.repartition(8).write.mode("overwrite").option("compression", "gzip").json(
+        f"{d}/docs"
+    )
+    return spark.read.schema(hostile.schema).json(f"{d}/docs")

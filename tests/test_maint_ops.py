@@ -197,3 +197,31 @@ def test_table_fingerprint_order_insensitive_and_sensitive_to_change(spark, tmp_
     assert fp3.n_rows == fp1.n_rows
     assert fp3.sum_hash != fp1.sum_hash
     assert fp3.xor_hash != fp1.xor_hash
+
+
+def test_share_of_parent_exact(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, 10, 100.00), (2, 10, 300.00), (3, 11, 400.00), (4, 12, 200.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2)], "c_custkey long, c_nationkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "FR", 0), (1, "DE", 0), (2, "JP", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "region.parquet"))
+    out = {
+        (r.region, r.nation): r
+        for r in REGISTRY["g35_share_of_parent"].fn(spark, str(tmp_path)).collect()
+    }
+    fr = out[("EUROPE", "FR")]
+    assert fr.revenue_cents == 40000 and fr.n_orders == 2
+    assert fr.share_of_region_ppm == 40000 * 10**6 // 80000
+    assert fr.region_share_of_total_ppm == 80000 * 10**6 // 100000
+    jp = out[("ASIA", "JP")]
+    assert jp.share_of_region_ppm == 10**6  # only nation in its region
+    assert jp.region_share_of_total_ppm == 20000 * 10**6 // 100000
