@@ -386,3 +386,85 @@ def common_neighbors_oracle_sql(edges_cte: str, max_deg: int = 64, min_cn: int =
     WHERE n_common >= {min_cn}
       AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
     """
+
+
+def label_propagation(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", rounds: int = 2
+) -> DataFrame:
+    """(community, n_nodes, lead_node) after `rounds` synchronous
+    label-propagation steps (Raghavan et al. 2007) from self-labels, over
+    the symmetrized edge list: each round every node adopts the MAJORITY
+    label among its neighbors, ties broken by the smaller label — a
+    deterministic LPA, so the community assignment is a pure function of
+    the graph (float-free, engine-reproducible).  Distinct from
+    connected components (min-propagation merges everything reachable;
+    majority voting splits chains at weak cuts) and PageRank (centrality,
+    not membership).
+
+    Shape per round: one join of the O(edges) list to the O(nodes) label
+    frame + one (node, label) count + one per-node WindowGroupLimit-style
+    rank<=1 — all shuffle-parallel on node keys; labels are
+    localCheckpointed per round so round r+1 never re-runs round r's
+    lineage (the pagerank discipline)."""
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    edges = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("lead_node")
+    )
+
+
+def label_propagation_oracle_sql(pairs_cte: str, rounds: int = 2) -> str:
+    """DuckDB twin with the rounds unrolled.  `pairs_cte` must define
+    pairs(doc_a, doc_b)."""
+    assert rounds == 2, "oracle is written for the registered rounds=2 shape"
+    return f"""
+    WITH {pairs_cte},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM edges),
+    v1 AS (
+      SELECT e.b AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l0 l ON e.a = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT e.b AS node, l.lbl, count(*) AS c
+      FROM edges e JOIN l1 l ON e.a = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS lead_node
+    FROM l2 GROUP BY lbl
+    """

@@ -453,3 +453,40 @@ def stream_debounce(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.table(name).select("user_id", "event_type", "ts_us")
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities over the near-duplicate graph
+# ---------------------------------------------------------------------------
+
+
+def _lpa_oracle() -> str:
+    from ..operators.graph import label_propagation_oracle_sql
+    from .registry_scale import _pairs_cte
+
+    return label_propagation_oracle_sql(_pairs_cte(), rounds=2)
+
+
+@register(
+    "graph_label_propagation",
+    sql=_lpa_oracle(),
+    doc="LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the "
+    "minhash-LSH near-duplicate graph: 2 synchronous rounds of "
+    "majority-vote label adoption with a deterministic (count desc, "
+    "label asc) tie-break, so the community assignment is a pure "
+    "function of the graph — the float-free LPA that usually cannot be "
+    "oracle-checked.  Distinct from dedup_cc_clusters (min-propagation "
+    "merges everything reachable; majority voting splits chains at weak "
+    "cuts) and graph_pagerank (centrality, not membership).  Shape per "
+    "round: one O(edges)-to-O(nodes) join + one (node, label) count + "
+    "one per-node rank<=1, labels localCheckpointed per round (the "
+    "pagerank discipline — round r+1 never re-runs round r's lineage).  "
+    "Oracle unrolls both rounds as chained CTEs "
+    "(operators/graph.label_propagation).",
+)
+def graph_label_propagation(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
+    return label_propagation(pairs, "doc_a", "doc_b", rounds=2)

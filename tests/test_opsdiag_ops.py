@@ -221,3 +221,22 @@ def test_stream_debounce_matches_batch_and_carries_state_across_batches(spark, t
     spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
     out2 = run_once() - out1
     assert out2 == {us(t0 + 241 * s)}
+
+
+def test_label_propagation_splits_barbell_where_cc_cannot(spark):
+    """Two 4-cliques joined by ONE bridge edge: connected components sees a
+    single component, but majority voting assigns each clique its own
+    community — the planted case separating LPA from CC."""
+    from etl_healthcare_spark.operators.graph import label_propagation
+
+    clique_a = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    clique_b = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    bridge = [(4, 11)]
+    pairs = spark.createDataFrame(clique_a + clique_b + bridge, "doc_a long, doc_b long")
+    out = {r.community: r for r in label_propagation(pairs, rounds=2).collect()}
+    assert len(out) == 2
+    sizes = sorted(r.n_nodes for r in out.values())
+    assert sum(sizes) == 8
+    # every clique-A node lands in a community led by an A node, same for B
+    leads = sorted(r.lead_node for r in out.values())
+    assert leads[0] <= 4 and leads[1] >= 11
