@@ -433,3 +433,99 @@ def test_chunk_windows_tile_every_token_exactly_per_model(spark, n_tokens_list, 
             assert r.chunk_hash == expect
         if stride <= window:
             assert covered == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# debounce vs a pure-Python model (round-4 opsdiag batch)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.integers(min_value=0, max_value=600),  # seconds offset
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_debounce_matches_python_model(spark, evs):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), u, "e", 1.0)
+        for i, (u, off) in enumerate(evs)
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="deb_prop_")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    [out] = REGISTRY["ts_event_debounce"].fn(spark, d).collect()
+    # python model: per user sorted offsets; keep first or gap > 60s from
+    # the previous EVENT (kept or not)
+    kept = total = 0
+    by_user: dict[int, list[int]] = {}
+    for u, off in evs:
+        by_user.setdefault(u, []).append(off)
+    for offs in by_user.values():
+        offs.sort()
+        prev = None
+        for o in offs:
+            total += 1
+            if prev is None or o - prev > 60:
+                kept += 1
+            prev = o
+    assert (out.n_total, out.n_kept) == (total, kept)
+    assert out.kept_share_ppm == kept * 10**6 // total
+
+
+# ---------------------------------------------------------------------------
+# compaction first-fit vs a pure-Python model (round-4 maint batch)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # file id
+            st.integers(min_value=1, max_value=4000),  # rows in file
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_compaction_plan_matches_python_model(spark, files):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    day = dt.date(2024, 3, 10)
+    rows = []
+    for fid, n in files:
+        rows += [(fid + 16 * i, day) for i in range(n)]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cpk_prop_")
+    spark.createDataFrame(rows, "l_orderkey long, l_shipdate date").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    out = {r.file_id: r for r in REGISTRY["maint_compaction_plan"].fn(spark, d).collect()}
+    # model: sizes desc (ties by file id asc), running-sum-before div target
+    sized = sorted(((n * 100, fid) for fid, n in files), key=lambda t: (-t[0], t[1]))
+    cum = 0
+    groups: dict[int, list[int]] = {}
+    for size, fid in sized:
+        g = cum // 256_000
+        groups.setdefault(g, []).append(fid)
+        assert out[fid].out_group == g
+        assert out[fid].size_bytes == size
+        cum += size
+    for g, members in groups.items():
+        for fid in members:
+            assert out[fid].group_files == len(members)
+            assert out[fid].action == ("compact" if len(members) > 1 else "keep")
