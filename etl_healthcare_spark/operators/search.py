@@ -325,7 +325,7 @@ def related_docs(
     # 2 <= |list| <= max_df buckets, and the <= max_df^2 ordered pairs
     # expand inside the task — the large posting list is shuffled ONCE
     # instead of three times (the join shape ran 58-64 s at sf1.0; this
-    # runs the same query in ~20 s)
+    # shape measures ~41 s standalone at sf1.0, the pair shuffle dominating)
     buckets = (
         postings.groupBy("g")
         .agg(F.collect_list("doc").alias("ds"))

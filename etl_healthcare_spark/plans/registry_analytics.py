@@ -857,3 +857,93 @@ def anomaly_seasonal(spark, sf_dir):
     from ..operators.anomaly import seasonal_baseline_flags
 
     return seasonal_baseline_flags(_t(spark, sf_dir, "events"), "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# source-level minhash similarity matrix
+# ---------------------------------------------------------------------------
+
+
+def _src_sig_sql() -> str:
+    width, slices, n = 12, 5, 16
+    cols = ",\n             ".join(
+        f"min(substr(sha256('{i // slices}:' || s), {1 + width * (i % slices)}, {width})) AS mh{i}"
+        for i in range(n)
+    )
+    return f"""toks AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    idx AS (SELECT source, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
+            FROM toks WHERE len(t) >= 3),
+    shingle AS (SELECT source, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS s FROM idx),
+    sig AS (
+      SELECT source,
+             {cols}
+      FROM shingle GROUP BY source
+    )"""
+
+
+@register(
+    "sketch_source_similarity",
+    sql=f"""
+    WITH {_src_sig_sql()}
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))}
+             AS BIGINT) AS n_agree,
+           CAST(({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))})
+                * 1000000 // 16 AS BIGINT) AS jaccard_est_ppm
+    FROM sig a JOIN sig b ON a.source < b.source
+    """,
+    doc="SOURCE-LEVEL MINHASH SIMILARITY MATRIX: one 16-hash minhash "
+    "signature per SOURCE (min over the union of its documents' shingles "
+    "— a multiset min equals the set min, so no per-doc dedup pass), "
+    "then every source pair's signature-agreement Jaccard estimate in "
+    "exact ppm.  The corpus-vs-corpus overlap view (how much does crawl "
+    "A duplicate crawl B?) that drives dedup budgeting BEFORE any "
+    "pairwise doc work is spent — the same estimator dedup_scored_pairs "
+    "uses per document pair, lifted to the source grain where the "
+    "signature table is |sources| x 16 strings.  Shape: one partial-"
+    "aggregable min-aggregate collapses the corpus to the |sources|-row "
+    "signature frame; the pair join runs on that frame (25 rows -> 10 "
+    "pairs).  Mergeable like every sketch here: region signatures "
+    "min-combine to global ones.",
+)
+def sketch_source_similarity(spark, sf_dir):
+    from ..functions.text import shingles_from_tokens, tokens
+
+    width, slices, n = 12, 5, 16
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles_from_tokens(tokens(F.col("text")), 3)).alias("s")
+    )
+    digests = {
+        g: F.sha2(F.concat(F.lit(f"{g}:"), F.col("s")), 256)
+        for g in range((n + slices - 1) // slices)
+    }
+    hashed = sh.select(
+        "source",
+        *[
+            F.substring(digests[i // slices], 1 + width * (i % slices), width).alias(f"h{i}")
+            for i in range(n)
+        ],
+    )
+    sig = hashed.groupBy("source").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)]
+    )
+    a = sig.select(F.col("source").alias("source_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)])
+    b = sig.select(F.col("source").alias("source_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(n))
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.alias("n_agree"),
+            F.expr(
+                "CAST(("
+                + " + ".join(f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(n))
+                + ") * 1000000 div 16 AS BIGINT)"
+            ).alias("jaccard_est_ppm"),
+        )
+    )

@@ -457,3 +457,27 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
         assert sum(x != y for x, y in zip(b, qb)) <= 1
     scores = [r["score"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_source_similarity_identical_sources_agree_fully(spark, tmp_path):
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta", "s1"),
+        (2, "alpha beta gamma delta epsilon zeta", "s2"),  # s2 == s1 content
+        (3, "one two three four five six seven", "s3"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.source_a, r.source_b): r
+        for r in REGISTRY["sketch_source_similarity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # identical shingle sets -> identical signatures -> 16/16 agreement
+    assert out[("s1", "s2")].n_agree == 16
+    assert out[("s1", "s2")].jaccard_est_ppm == 10**6
+    # disjoint shingle sets -> agreement only by 48-bit collision (none here)
+    assert out[("s1", "s3")].n_agree == 0
+    assert out[("s2", "s3")].jaccard_est_ppm == 0
