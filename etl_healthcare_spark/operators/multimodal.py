@@ -1549,3 +1549,149 @@ def mp4_container_info(df: DataFrame, id_col: str, payload_col: str) -> DataFram
             )
 
     return src.mapInPandas(run, schema=MP4_INFO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ZIP central-directory walk (trailer-directed parsing: the archive genre)
+# ---------------------------------------------------------------------------
+
+ZIP_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("sum_usize", T.LongType(), True),
+        T.StructField("sum_csize", T.LongType(), True),
+        T.StructField("first_name", T.StringType(), True),
+        T.StructField("last_name", T.StringType(), True),
+        T.StructField("cd_offset", T.LongType(), True),
+    ]
+)
+
+
+def synth_zip(doc_id, n_entries) -> Column:
+    """A structurally complete STORED-method ZIP: per entry a 30-byte local
+    file header + 2-char name + payload, then the central directory (one
+    46-byte entry + name each, carrying the TRUE local-header offset), then
+    the EOCD record with the true entry count, CD size, and CD offset.
+    Entry i has usize = csize = 4 + (doc_id + i) % 8 and its REAL CRC-32
+    (Spark's crc32() over the stored payload bytes) — python's zipfile
+    verifies CRCs on read, so the synthesized archives open in a stock
+    unzip.  Every offset/size field is the true byte count, so a
+    trailer-walk bug cannot hash-match."""
+    d = doc_id
+    usize = lambda i: F.lit(4) + (d + i) % 8  # noqa: E731
+    payload_hex = lambda i: F.substring(F.repeat(F.lit("00"), 12), 1, usize(i) * 2)  # noqa: E731
+    crc = lambda i: F.crc32(F.unhex(payload_hex(i)))  # noqa: E731
+    name = lambda i: F.concat(F.lit("66"), F.lpad(F.hex(F.lit(48) + i), 2, "0"))  # noqa: E731  # 'f' + digit
+    zeros = lambda n: "00" * n  # noqa: E731
+
+    def lho(i):  # local header offset of entry i = sum of earlier (30+2+usize)
+        # sequence(0, -1) DESCENDS in Spark — entry 0's empty sum needs a guard
+        return F.when(i == 0, F.lit(0).cast("long")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(0), i - 1),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc + 32 + (d + j) % 8 + 4,
+            )
+        )
+
+    local = lambda i: F.concat(  # noqa: E731
+        F.lit("504b0304"),  # PK\x03\x04
+        F.lit("1400" + zeros(2) + zeros(2) + zeros(4)),  # ver, flags, method=0, time+date
+        _le32(crc(i)),
+        _le32(usize(i)),  # csize (stored)
+        _le32(usize(i)),  # usize
+        F.lit("0200" + zeros(2)),  # name len 2, extra 0
+        name(i),
+        payload_hex(i),
+    )
+    cde = lambda i: F.concat(  # noqa: E731
+        F.lit("504b0102"),  # PK\x01\x02
+        F.lit("1400" + "1400" + zeros(2) + zeros(2) + zeros(4)),
+        _le32(crc(i)),
+        _le32(usize(i)),
+        _le32(usize(i)),
+        F.lit("0200" + zeros(2) + zeros(2) + zeros(2) + zeros(2) + zeros(4)),
+        _le32(lho(i)),
+        name(i),
+    )
+    idxs = F.sequence(F.lit(0), n_entries - 1)
+    locals_hex = F.array_join(F.transform(idxs, local), "")
+    cd_hex = F.array_join(F.transform(idxs, cde), "")
+    cd_offset = F.aggregate(
+        idxs, F.lit(0).cast("long"), lambda acc, j: acc + 32 + (d + j) % 8 + 4
+    )
+    cd_size = n_entries.cast("long") * 48  # 46 + 2-char name each
+    eocd = F.concat(
+        F.lit("504b0506"),  # PK\x05\x06
+        F.lit(zeros(2) + zeros(2)),
+        _le16(n_entries),
+        _le16(n_entries),
+        _le32(cd_size),
+        _le32(cd_offset),
+        F.lit(zeros(2)),
+    )
+    return F.unhex(F.concat(locals_hex, cd_hex, eocd))
+
+
+def zip_info(b: bytes):
+    """(n_entries, sum_usize, sum_csize, first_name, last_name, cd_offset)
+    from a REAL trailer-directed walk: scan the tail for the EOCD magic
+    (comment-tolerant, last 66 KB), read the central-directory offset and
+    entry count from it, then walk CD entries forward — the structurally
+    different parse (metadata at the END) that HTTP-range readers of
+    remote archives rely on.  Returns None for non-ZIP/corrupt payloads."""
+    try:
+        if b is None or len(b) < 22:
+            return None
+        tail = b[-(66 * 1024 + 22):]
+        pos = tail.rfind(b"PK\x05\x06")
+        if pos < 0:
+            return None
+        eocd = tail[pos:]
+        n_total = struct.unpack("<H", eocd[10:12])[0]
+        cd_size = struct.unpack("<I", eocd[12:16])[0]
+        cd_off = struct.unpack("<I", eocd[16:20])[0]
+        if cd_off + cd_size > len(b):
+            return None
+        p = cd_off
+        names: list[str] = []
+        su = sc = 0
+        for _ in range(n_total):
+            if b[p : p + 4] != b"PK\x01\x02":
+                return None
+            sc += struct.unpack("<I", b[p + 20 : p + 24])[0]
+            su += struct.unpack("<I", b[p + 24 : p + 28])[0]
+            nlen = struct.unpack("<H", b[p + 28 : p + 30])[0]
+            xlen = struct.unpack("<H", b[p + 30 : p + 32])[0]
+            clen = struct.unpack("<H", b[p + 32 : p + 34])[0]
+            names.append(b[p + 46 : p + 46 + nlen].decode("ascii", "replace"))
+            p += 46 + nlen + xlen + clen
+        if not names:
+            return None
+        return (n_total, su, sc, names[0], names[-1], cd_off)
+    except (struct.error, IndexError):
+        return None
+
+
+def zip_central_dir(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, n_entries, sum_usize, sum_csize, first_name, last_name,
+    cd_offset) via the Arrow kernel — map-only."""
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            parsed = [zip_info(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"],
+                    "n_entries": pd.Series([p[0] if p else None for p in parsed], dtype="Int32"),
+                    "sum_usize": pd.Series([p[1] if p else None for p in parsed], dtype="Int64"),
+                    "sum_csize": pd.Series([p[2] if p else None for p in parsed], dtype="Int64"),
+                    "first_name": [p[3] if p else None for p in parsed],
+                    "last_name": [p[4] if p else None for p in parsed],
+                    "cd_offset": pd.Series([p[5] if p else None for p in parsed], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=ZIP_INFO_SCHEMA)

@@ -490,3 +490,46 @@ def graph_label_propagation(spark, sf_dir):
 
     pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", bands=4, rows=4)
     return label_propagation(pairs, "doc_a", "doc_b", rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: running totals + share-of-running via window text
+# ---------------------------------------------------------------------------
+
+_SQL_RUNNING = """
+    WITH daily AS (
+      SELECT {epoch_us}(date_trunc('day', ts)) AS day_us,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+      FROM {events} GROUP BY 1
+    )
+    SELECT day_us, CAST(cents AS BIGINT) AS day_cents,
+           CAST(sum(cents) OVER (ORDER BY day_us
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_cents,
+           CAST(sum(cents) OVER (ORDER BY day_us
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                {div} count(*) OVER (ORDER BY day_us
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS ma7_cents_floor
+    FROM daily
+"""
+
+
+@register(
+    "sql_running_total",
+    sql=_SQL_RUNNING.format(events="events", epoch_us="epoch_us", div="//"),
+    doc="The SQL FRONT DOOR, window-function edition (completing the trio "
+    "with sql_topn_hours' rank and sql_pivot_daily's PIVOT): spark.sql() "
+    "text computes the daily running revenue total and a trailing 7-day "
+    "moving average over the aggregated daily frame — running windows in "
+    "SQL text plan identically to the DataFrame API's (one partial agg "
+    "-> one exchange -> Window on O(days) rows).  the moving average is sum div "
+    "count over the SAME frame — avg() would route through DOUBLE and "
+    "drift an ulp between engines (measured: the first cut hash-"
+    "mismatched), integer division cannot.",
+)
+def sql_running_total(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sqlrt_v")
+    return spark.sql(
+        _SQL_RUNNING.format(events="events_sqlrt_v", epoch_us="unix_micros", div="div")
+    )

@@ -1118,3 +1118,55 @@ def io_jsonl_gzip_roundtrip(spark, sf_dir):
         f"{d}/docs"
     )
     return spark.read.schema(hostile.schema).json(f"{d}/docs")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: ZIP central-directory walk (trailer-directed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_zip_central_dir",
+    sql="""
+    WITH z AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n FROM documents WHERE doc_id < 800
+    ),
+    e AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM z
+    ),
+    s AS (
+      SELECT doc_id, max(n) AS n,
+             sum(4 + (doc_id + i) % 8) AS usum,
+             sum(30 + 2 + 4 + (doc_id + i) % 8) AS cd_off
+      FROM e GROUP BY doc_id
+    )
+    SELECT doc_id AS id,
+           CAST(n AS INT) AS n_entries,
+           CAST(usum AS BIGINT) AS sum_usize,
+           CAST(usum AS BIGINT) AS sum_csize,
+           'f0' AS first_name,
+           'f' || CAST(n - 1 AS VARCHAR) AS last_name,
+           CAST(cd_off AS BIGINT) AS cd_offset
+    FROM s
+    """,
+    doc="ZIP CENTRAL-DIRECTORY WALK on REAL bytes — the ARCHIVE genre, and "
+    "the first TRAILER-DIRECTED parse in the multimodal family: unlike "
+    "every header-first walk (PNG/TIFF/AVI/MP4/DICOM), ZIP's metadata "
+    "lives at the END, so the walker scans the tail for the EOCD magic "
+    "(comment-tolerant), reads the central-directory offset/count from "
+    "it, and only then walks entries forward — exactly how HTTP-range "
+    "readers list a remote archive without downloading it.  synth_zip "
+    "emits complete STORED archives (true local-header offsets in every "
+    "CD entry, true EOCD counts/sizes); the oracle predicts entry "
+    "counts, size sums, names, and the CD offset arithmetically "
+    "(operators/multimodal.zip_central_dir).  Map-only at any scale.",
+)
+def mm_zip_central_dir(spark, sf_dir):
+    from ..operators.multimodal import synth_zip, zip_central_dir
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 800)
+    d = F.col("doc_id")
+    media = docs.select(
+        "doc_id", synth_zip(d, (F.lit(1) + d % 3).cast("int")).alias("payload")
+    )
+    return zip_central_dir(media, "doc_id", "payload")

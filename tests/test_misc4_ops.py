@@ -174,3 +174,51 @@ def test_mp4_walker_rejects_corrupt():
     # a box whose size overruns the buffer must reject, not overread
     bad = _box(b"ftyp", b"isom\x00\x00\x00\x00isom") + b"\x00\x00\xff\xffmoov"
     assert mp4_info(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# ZIP trailer-directed walk
+# ---------------------------------------------------------------------------
+
+
+def test_zip_walk_roundtrip_and_python_zipfile_agrees(spark):
+    """The synthesized archives must be REAL zips: python's zipfile module
+    opens them and agrees with the walker on every field."""
+    import io as _io
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from etl_healthcare_spark.operators.multimodal import synth_zip, zip_central_dir
+
+    df = spark.range(0, 9).select(F.col("id").alias("doc_id"))
+    d = F.col("doc_id")
+    media = df.select("doc_id", synth_zip(d, (F.lit(1) + d % 3).cast("int")).alias("payload"))
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    out = {r.id: r for r in zip_central_dir(media, "doc_id", "payload").collect()}
+    for i in range(9):
+        n = 1 + i % 3
+        r = out[i]
+        assert r.n_entries == n
+        assert r.sum_usize == sum(4 + (i + j) % 8 for j in range(n))
+        assert r.first_name == "f0" and r.last_name == f"f{n - 1}"
+        # independent reference parser: python zipfile
+        zf = zipfile.ZipFile(_io.BytesIO(payloads[i]))
+        infos = zf.infolist()
+        assert [zi.filename for zi in infos] == [f"f{j}" for j in range(n)]
+        assert sum(zi.file_size for zi in infos) == r.sum_usize
+        # stored entries round-trip their payload bytes
+        assert len(zf.read("f0")) == 4 + i % 8
+
+
+def test_zip_walker_rejects_corrupt():
+    from etl_healthcare_spark.operators.multimodal import zip_info
+
+    assert zip_info(None) is None
+    assert zip_info(b"PK\x03\x04 not a full zip") is None
+    assert zip_info(b"\x00" * 100) is None
+    # EOCD present but CD offset points past the buffer -> reject
+    import struct
+
+    bad = b"PK\x05\x06" + b"\x00" * 4 + struct.pack("<HHII", 1, 1, 46, 9999) + b"\x00\x00"
+    assert zip_info(bad) is None

@@ -337,6 +337,8 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "mm_dicom_tags",
         # MP4/ISO-BMFF box walk (operators/multimodal.mp4_container_info)
         "mm_mp4_boxes",
+        # ZIP central-directory walk (operators/multimodal.zip_central_dir)
+        "mm_zip_central_dir",
     }
     audited = 0
     for name in REGISTRY:
