@@ -947,3 +947,76 @@ def sketch_source_similarity(spark, sf_dir):
             ).alias("jaccard_est_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary growth (Heaps' law curve)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS j
+            FROM toks WHERE len(t) >= 3),
+    sh AS (SELECT doc_id, t[j] || ' ' || t[j+1] || ' ' || t[j+2] AS s FROM idx),
+    firsts AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    b AS (
+      SELECT length(bin(first_doc + 1)) - 1 AS bucket,
+             count(*) AS new_terms
+      FROM firsts GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(new_terms AS BIGINT) AS new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+    FROM b
+    """,
+    doc="VOCABULARY GROWTH CURVE (Heaps' law) over 3-token SHINGLES: how "
+    "many NEW shingles each power-of-two doc-index bucket introduces and "
+    "the cumulative shingle vocabulary — single tokens saturate the "
+    "closed synthetic vocabulary within the first documents (a 3-row "
+    "degenerate curve, found the hard way), while shingle variety is "
+    "combinatorial and keeps growing, the same reason "
+    "search_related_docs blocks on shingles.  The "
+    "sublinear curve that says when a corpus stops teaching a tokenizer "
+    "new text (flat tail = diminishing data value, the question behind "
+    "every 'do we need more of this source' call; pairs with "
+    "corpus_novelty's per-document view).  First occurrence needs NO "
+    "ordered scan: min(doc_id) per shingle IS the first occurrence under "
+    "doc-id order, one partial-aggregable groupBy; the log2 "
+    "buckets (length(bin(first_doc+1))-1, the graph_degree_hist trick) "
+    "and cumulative sum run on the O(log corpus) frame — log-spaced "
+    "buckets resolve the fast early growth a linear decile split "
+    "collapses into one row.  Exact at any scale — the "
+    "vocabulary frame is the only wide state and it is the thing being "
+    "measured.",
+)
+def text_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    from ..functions.text import shingles_from_tokens
+
+    sh = docs.select(
+        "doc_id", F.explode(shingles_from_tokens(tokens(F.col("text")), 3)).alias("s")
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    b = (
+        firsts.select((F.length(F.bin(F.col("first_doc") + 1)) - 1).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = W.partitionBy(F.lit(0)).orderBy("bucket")
+    return b.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    )

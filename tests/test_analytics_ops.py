@@ -481,3 +481,28 @@ def test_source_similarity_identical_sources_agree_fully(spark, tmp_path):
     # disjoint shingle sets -> agreement only by 48-bit collision (none here)
     assert out[("s1", "s3")].n_agree == 0
     assert out[("s2", "s3")].jaccard_est_ppm == 0
+
+
+def test_vocab_growth_buckets_and_cumsum(spark, tmp_path):
+    docs = [
+        # doc 0 introduces 2 shingles (4 tokens -> 2 trigram shingles)
+        (0, "a b c d"),
+        # doc 1 repeats doc 0's shingles exactly -> introduces 0
+        (1, "a b c d"),
+        # doc 2 introduces 1 new shingle
+        (2, "x y z"),
+        # doc 5 introduces 1 (bucket floor(log2(6)) = 2)
+        (5, "p q r"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    out = {r.bucket: r for r in REGISTRY["text_vocab_growth"].fn(spark, str(tmp_path)).collect()}
+    # first_doc+1 of: 'a b c','b c d' -> 1 (bucket 0); 'x y z' -> 3
+    # (bucket 1); 'p q r' -> 6 (bucket 2)
+    assert set(out) == {0, 1, 2}
+    assert out[0].new_terms == 2 and out[0].vocab_size == 2
+    assert out[1].new_terms == 1 and out[1].vocab_size == 3
+    assert out[2].new_terms == 1 and out[2].vocab_size == 4
