@@ -649,86 +649,83 @@ from . import registry_opsdiag  # noqa: E402,F401
 # whatever order the modules happened to register in.  The remaining queries
 # follow in their original registration order and are checked by the local
 # harness (tools/check.py) at every scale factor.
+# Round-5 rotation: external correctness evidence accumulates one 50-query
+# window per round, and 206 of 304 registered queries had never appeared in
+# any round's window.  14 slots below are pinned — each is the ONLY
+# oracle-backed representative of a family the plan suite requires in the
+# window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
+# cluster_) — the other 36 slots rotate to first-time names each round.
+# COVERAGE.md keeps the ledger of externally-confirmed queries.
 DRIVER_WINDOW: list[str] = [
-    # serving (Q1-Q6)
-    "q2_observations_by_patient",
-    "q3_latest_observation",
-    # aggregation (G family)
-    "g1_minute_counters",
-    "g6_max_by_latest",
-    "g8_rollup",
-    # time series (M4 pixel-exact downsampling)
-    "ts_m4_downsample",
-    # TPC-H suite (G7 family)
-    "g7_tpch_q1",
-    "g7c_tpch_q3",
-    # joins (J family)
-    "j4_anti_join",
-    "j5b_asof_join",
-    "j9_salted_skew_join",
-    "j6_star_join",
-    # recursion (WITH RECURSIVE parity via pointer doubling)
-    "rec_tree_depth",
-    # window functions (§2.9)
-    "w3_moving_avg",
-    # set operations (§2.10)
-    "set_ops",
-    # sort / limit / pagination (O family)
-    "o2_topk",
-    # multimodal (real header decode)
-    "mm_header_decode",
-    "mm_tiff_exif",
-    # parsing (P family)
-    "p1_csv_to_dto",
-    "p4_hl7_obx_dto",
-    # table maintenance (compaction planner)
-    "maint_compaction_plan",
-    # validation (V family)
-    "v2_dto_validation",
-    # upsert (U family)
-    "u1_idempotent_merge",
-    # dedup family (LLM curation; text_line_dedup is the CCNet line pass,
-    # dedup_url_canonical the no-fetch crawl pass)
-    "dedup_exact",
-    "text_line_dedup",
-    "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "dedup_cc_clusters",
-    "decontam_ngram",
-    # maintenance (snapshot diff / incremental join-MV proof)
-    "u9_incremental_join_mv",
-    # data-quality expectations report
-    "profile_expectations",
-    # classifier evaluation (exact-integer ROC/AUC)
-    "eval_roc_curve",
-    # itemset mining (in-task pair expansion + broadcast lift)
-    "mine_frequent_pairs",
-    # similarity search
-    "sim_topk_cosine",
-    "sim_range_search",
-    # text analysis (chunk_windows is the zero-shuffle RAG pass)
-    "text_stats",
-    "corpus_novelty",
-    # privacy (disclosure-risk release gate)
-    "privacy_k_anonymity",
-    # sampling / splits / calibration
-    "sample_score_calibration",
-    # end-to-end curation funnel
-    "curation_e2e",
-    # pivot / subqueries / scalar surface (§2.11)
-    "g10_pivot",
-    "sq_subqueries",
-    "scalar_functions",
-    # streaming semantics (§2.12)
-    "stream_dedup",
-    # corpus-scale analytics (search / sketches / clustering / anomalies /
-    # exact-integer regression surface)
-    "search_bm25",
-    "sketch_hll_merge",
-    "g18_regression_stats",
-    "cluster_kmeans",
-    "anomaly_zscore",
-    "graph_triangles",
+    # --- pinned family representatives (sole member of a required family) ---
+    "q2_observations_by_patient",  # serving
+    "g1_minute_counters",          # aggregation
+    "g7_tpch_q1",                  # TPC-H anchor
+    "j6_star_join",                # joins
+    "w3_moving_avg",               # window functions (§2.9)
+    "set_ops",                     # set operations (§2.10)
+    "o2_topk",                     # sort/limit
+    "p1_csv_to_dto",               # parsing
+    "v2_dto_validation",           # validation
+    "u1_idempotent_merge",         # upsert
+    "g10_pivot",                   # pivot
+    "sq_subqueries",               # subqueries
+    "scalar_functions",            # scalar surface (§2.11)
+    "cluster_kmeans",              # corpus clustering
+    # --- round-5 first-time rotation (36 never-externally-checked names) ---
+    # TPC-H tail (g7e-g7v rotate through the window round by round)
+    "g7m_tpch_q9",
+    "g7p_tpch_q13",
+    "g7u_tpch_q21",
+    # grouping sets / interpolation windows
+    "g8c_grouping_sets",
+    "w7_interpolate",
+    # joins: as-of forward, point-in-time SCD2
+    "j5d_asof_forward",
+    "j12_pit_scd2",
+    # upsert/versioning: SCD2 intervals, time travel
+    "u6_scd2_intervals",
+    "u11_time_travel",
+    # io: schema evolution across parquet generations
+    "io_schema_evolution",
+    # streaming semantics (§2.12): stateful debounce + sessionize
+    "stream_debounce",
+    "stream_sessionize",
+    # multimodal container walks
+    "mm_png_chunks",
+    "mm_zip_central_dir",
+    "mm_dicom_tags",
+    # dedup family rotation
+    "dedup_url_canonical",
+    "dedup_sentence_level",
+    # similarity rotation (IVF + cell-blocked kNN)
+    "sim_ivf_probe",
+    "sim_knn_blocked",
+    # text analysis rotation
+    "text_langid",
+    "text_pii_redact",
+    "text_bpe_train",
+    # sampling rotation
+    "sample_stratified",
+    "sample_kcenter",
+    # graph analytics
+    "graph_pagerank",
+    "graph_label_propagation",
+    # time series / statistics
+    "ts_cusum_changepoint",
+    "stat_mann_whitney",
+    # classifier evaluation rotation
+    "eval_calibration_ece",
+    "eval_confusion_multiclass",
+    # search / sketches / anomalies rotation
+    "search_index_probe",
+    "sketch_kmv_overlap",
+    "anomaly_cusum",
+    # curation funnel rotation
+    "curation_quality_funnel",
+    # maintenance / privacy rotation
+    "maint_partition_gini",
+    "privacy_l_diversity",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

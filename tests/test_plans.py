@@ -626,3 +626,55 @@ def test_embedding_drift_is_one_aggregate(spark):
     assert "Join" not in plan
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}"
+
+
+def test_serving_scan_partition_prunes_to_one_tenant(spark, tmp_path):
+    """The q1/q2/q3 p99<300ms SLO story rests on the serving store being laid
+    out `partitionBy("tenantId")` so a tenant-scoped query touches one
+    partition out of N (reference GSI layout: every serving read is
+    tenant-keyed, api-query/src/handler.ts:66,111).  Held as a plan
+    assertion: the q2 predicate over a tenant-partitioned observation store
+    must reach the scan as a non-empty PartitionFilters entry on tenantId —
+    at 100 TB that is the difference between reading ~1/10th of the store
+    and reading all of it."""
+    from pyspark.sql import functions as F
+
+    from etl_healthcare_spark.datasets import observations
+
+    path = str(tmp_path / "obs_store")
+    observations(spark, SF).write.partitionBy("tenantId").parquet(path)
+
+    store = spark.read.parquet(path)
+    served = (
+        store.where(
+            (F.col("tenantId") == "t3")
+            & (F.col("patientId") == "p13")
+            & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("effectiveDateTime") <= F.lit("2024-01-25 00:00:00"))
+        )
+        .orderBy("effectiveDateTime", "obsId")
+        .limit(25)
+        .select("obsId", "code", "value", "effectiveDateTime")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "tenantId" in pf and "t3" in pf, f"tenant predicate must prune partitions: [{pf}]"
+    # the non-partition predicates still push into the pruned files' row groups
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "patientId" in m.group(1)
+    # and the layout did not change the answer: the partitioned store serves
+    # the same rows as the unpartitioned recast the registry query reads
+    flat = observations(spark, SF)
+    assert served.count() == (
+        flat.where(
+            (F.col("tenantId") == "t3")
+            & (F.col("patientId") == "p13")
+            & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("effectiveDateTime") <= F.lit("2024-01-25 00:00:00"))
+        )
+        .limit(25)
+        .count()
+    )
