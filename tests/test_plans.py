@@ -678,3 +678,28 @@ def test_serving_scan_partition_prunes_to_one_tenant(spark, tmp_path):
         .limit(25)
         .count()
     )
+
+
+def test_window_rotation_proposer_emits_a_valid_window():
+    """tools/rotate_window.py mechanizes the per-round rotation; its proposal
+    must itself satisfy every invariant the live window is held to, so a
+    paste of its output can never break the suite."""
+    import importlib
+
+    rotate_window = importlib.import_module("tools.rotate_window")
+    window, backlog = rotate_window.propose()
+    assert len(window) == 50 and len(set(window)) == 50
+    assert all(REGISTRY[n].sql is not None for n in window)
+    for probe in rotate_window.ROTATING_FAMILY_PROBES:
+        assert any(n.startswith(probe) for n in window), probe
+    for n in rotate_window.PINNED:
+        assert n in window
+    # the proposal actually advances coverage: while a never-confirmed
+    # backlog exists, most non-pinned slots must go to first-time names
+    seen = rotate_window.confirmed_names(rotate_window.Path("/root/repo"))
+    from etl_healthcare_spark.plans.registry import DRIVER_WINDOW
+
+    seen |= set(DRIVER_WINDOW)
+    fresh_in_window = [n for n in window if n not in seen]
+    if backlog:
+        assert len(fresh_in_window) >= 30

@@ -1,0 +1,123 @@
+"""Propose the next DRIVER_WINDOW rotation.
+
+The external harness confirms only the first 50 registry entries per round
+(CORRECTNESS_r{N}.json), so external evidence accumulates one window at a
+time.  Policy (SCALE.md §38 era):
+
+* 14 slots are PINNED — each is the sole oracle-backed representative of a
+  family `tests/test_plans.py::test_driver_window_spans_every_family…`
+  requires inside the window.
+* the remaining 36 slots rotate, preferring queries that have NEVER appeared
+  in any round's CORRECTNESS file, while keeping every probed family
+  represented.
+
+Usage: python tools/rotate_window.py
+Prints the proposed 50-name window (pinned first) plus the remaining
+never-confirmed backlog, so the next round's edit to
+`plans/registry.py:DRIVER_WINDOW` is a paste, not archaeology.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from etl_healthcare_spark.plans.registry import DRIVER_WINDOW, REGISTRY  # noqa: E402
+
+# sole oracle-backed member of a family the plan suite requires in-window
+PINNED = [
+    "q2_observations_by_patient",
+    "g1_minute_counters",
+    "g7_tpch_q1",
+    "j6_star_join",
+    "w3_moving_avg",
+    "set_ops",
+    "o2_topk",
+    "p1_csv_to_dto",
+    "v2_dto_validation",
+    "u1_idempotent_merge",
+    "g10_pivot",
+    "sq_subqueries",
+    "scalar_functions",
+    "cluster_kmeans",
+]
+
+# family probes the plan test asserts (beyond those satisfied by PINNED)
+ROTATING_FAMILY_PROBES = [
+    "curation_",
+    "anomaly_",
+    "sketch_",
+    "search_",
+    "stream_",
+    "mm_",
+    "dedup_",
+    "sim_",
+    "text_",
+    "sample_",
+    "eval_",
+    "maint_",
+    "privacy_",
+]
+
+
+def confirmed_names(repo_root: Path) -> set[str]:
+    seen: set[str] = set()
+    for f in glob.glob(str(repo_root / "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(f)).keys())
+    return seen
+
+
+def propose(repo_root: Path | None = None) -> tuple[list[str], list[str]]:
+    """Return (window, backlog): a 50-name window satisfying the plan-suite
+    invariants, and the never-confirmed names that did not fit this round."""
+    root = repo_root or Path(__file__).resolve().parents[1]
+    seen = confirmed_names(root)
+    # treat the current window as about-to-be-confirmed: a rotation proposal
+    # is for NEXT round, after the harness has run on today's window
+    seen |= set(DRIVER_WINDOW)
+    fresh = [n for n in REGISTRY if n not in seen and REGISTRY[n].sql is not None]
+
+    window = list(PINNED)
+    # first, cover every rotating family probe with a fresh name if one
+    # exists, else fall back to the youngest already-confirmed member
+    for probe in ROTATING_FAMILY_PROBES:
+        if any(n.startswith(probe) for n in window):
+            continue
+        pool = [n for n in fresh if n.startswith(probe)] or [
+            n for n in REGISTRY if n.startswith(probe) and REGISTRY[n].sql is not None
+        ]
+        if pool:
+            window.append(pool[0])
+    # then fill remaining slots with fresh names in registration order
+    for n in fresh:
+        if len(window) >= 50:
+            break
+        if n not in window:
+            window.append(n)
+    # if the backlog ran dry, pad with the oldest-confirmed names (re-verify)
+    if len(window) < 50:
+        for n in REGISTRY:
+            if len(window) >= 50:
+                break
+            if n not in window and REGISTRY[n].sql is not None:
+                window.append(n)
+    backlog = [n for n in fresh if n not in window]
+    return window, backlog
+
+
+def main() -> None:
+    window, backlog = propose()
+    print(f"# proposed next DRIVER_WINDOW ({len(window)} names, pinned first)")
+    for n in window:
+        print(f'    "{n}",')
+    print(f"# never-confirmed backlog after this rotation: {len(backlog)}")
+    for n in backlog:
+        print(f"#   {n}")
+
+
+if __name__ == "__main__":
+    main()
