@@ -147,6 +147,22 @@ HEADLINE = [
 CORE_12 = HEADLINE[:12]
 
 
+def _round_number(repo: Path) -> int:
+    """Current build round, inferred as (latest driver CORRECTNESS round)+1.
+
+    The driver writes CORRECTNESS_r{N}.json at the END of round N, so while
+    round N is in progress the latest file on disk is r{N-1}.  Used to stamp
+    a per-round copy of the full bench map (round-5 verdict: overwriting
+    BENCH_local_sf{sf}.json in place destroyed the raw data cross-round
+    per-query forensics need)."""
+    rounds = [0]
+    for f in repo.glob("CORRECTNESS_r*.json"):
+        digits = f.stem.split("_r")[-1]
+        if digits.isdigit():
+            rounds.append(int(digits))
+    return max(rounds) + 1
+
+
 def _mem_gib(spec: str) -> float:
     """Parse a JVM memory spec ('8g', '512m', '32G') into GiB; 0 on junk."""
     spec = spec.strip().lower()
@@ -216,9 +232,12 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf_out = float(sf) if sf.replace(".", "").isdigit() else sf
-    # full per-query map -> side file (the tail-capture buffer is ~2 KB)
-    side = Path(__file__).resolve().parent / f"BENCH_local_sf{sf}.json"
-    side.write_text(
+    # full per-query map -> side files (the tail-capture buffer is ~2 KB):
+    # a stable name for "latest" consumers AND a round-stamped copy so the
+    # raw per-query data survives across rounds (round-5 verdict item 3)
+    repo = Path(__file__).resolve().parent
+    side = repo / f"BENCH_local_sf{sf}.json"
+    payload = (
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
@@ -233,6 +252,8 @@ def main():
         )
         + "\n"
     )
+    side.write_text(payload)
+    (repo / f"BENCH_local_sf{sf}_r{_round_number(repo):02d}.json").write_text(payload)
     # compact final line: total + the 12 cross-round core queries (~0.6 KB)
     print(
         json.dumps(

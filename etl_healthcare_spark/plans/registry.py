@@ -19,6 +19,7 @@ The registry maps 1:1 onto ``__spark_entry__.queries()`` / ``oracle_sql()``.
 
 from __future__ import annotations
 
+import tempfile
 from dataclasses import dataclass
 from typing import Callable
 
@@ -100,6 +101,48 @@ def q2_observations_by_patient(spark, sf_dir):
     o = observations(spark, sf_dir)
     return (
         o.where(
+            (F.col("tenantId") == "t3")
+            & (F.col("patientId") == "p13")
+            & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
+            & (F.col("effectiveDateTime") <= F.lit("2024-01-25 00:00:00"))
+        )
+        .orderBy("effectiveDateTime", "obsId")
+        .limit(25)
+        .select("obsId", "code", "value", F.unix_micros("effectiveDateTime").alias("eff_us"))
+    )
+
+
+@register(
+    "q2_partitioned_store",
+    sql=WITH_OBS
+    + """
+    SELECT obsId, code, value, epoch_us(effectiveDateTime) AS eff_us
+    FROM obs
+    WHERE tenantId = 't3' AND patientId = 'p13'
+      AND effectiveDateTime >= TIMESTAMP '2024-01-05 00:00:00'
+      AND effectiveDateTime <= TIMESTAMP '2024-01-25 00:00:00'
+    ORDER BY effectiveDateTime, obsId LIMIT 25
+    """,
+    doc="Q2 served from the PRODUCTION layout: the observation recast written "
+    "`partitionBy('tenantId')` once (temp store), then the same timeline "
+    "range scan over the partitioned store.  The tenant predicate prunes to "
+    "one partition directory (non-empty PartitionFilters — plan-asserted in "
+    "tests/test_plans.py::test_serving_scan_partition_prunes_to_one_tenant) "
+    "while the patient/time predicates stay pushed into the pruned files' "
+    "row groups; at 100 TB this is the difference between reading one "
+    "tenant's slice and scanning the whole store.  Mirrors the reference's "
+    "tenant-keyed GSI layout (api-query/src/handler.ts:66,111).  Oracle is "
+    "identical to q2_observations_by_patient: the layout must not change "
+    "the answer.",
+)
+def q2_partitioned_store(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="q2_store_")
+    observations(spark, sf_dir).write.mode("overwrite").partitionBy("tenantId").parquet(
+        f"{d}/obs_store"
+    )
+    store = spark.read.parquet(f"{d}/obs_store")
+    return (
+        store.where(
             (F.col("tenantId") == "t3")
             & (F.col("patientId") == "p13")
             & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
@@ -649,12 +692,14 @@ from . import registry_opsdiag  # noqa: E402,F401
 # whatever order the modules happened to register in.  The remaining queries
 # follow in their original registration order and are checked by the local
 # harness (tools/check.py) at every scale factor.
-# Round-5 rotation: external correctness evidence accumulates one 50-query
-# window per round, and 206 of 304 registered queries had never appeared in
-# any round's window.  14 slots below are pinned — each is the ONLY
-# oracle-backed representative of a family the plan suite requires in the
-# window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
-# cluster_) — the other 36 slots rotate to first-time names each round.
+# Round-6 rotation: external correctness evidence accumulates one 50-query
+# window per round; after round 5, 164 oracle-backed queries had never
+# appeared in any round's window.  14 slots below are pinned — each is the
+# ONLY oracle-backed representative of a family the plan suite requires in
+# the window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
+# cluster_) — the other 36 slots rotate to first-time names each round,
+# proposed mechanically by tools/rotate_window.py (round-6 priority tiers:
+# TPC-H tail, stream_*, io_*, profile_*/layout_* per the round-5 verdict).
 # COVERAGE.md keeps the ledger of externally-confirmed queries.
 DRIVER_WINDOW: list[str] = [
     # --- pinned family representatives (sole member of a required family) ---
@@ -672,60 +717,47 @@ DRIVER_WINDOW: list[str] = [
     "sq_subqueries",               # subqueries
     "scalar_functions",            # scalar surface (§2.11)
     "cluster_kmeans",              # corpus clustering
-    # --- round-5 first-time rotation (36 never-externally-checked names) ---
-    # TPC-H tail (g7e-g7v rotate through the window round by round)
-    "g7m_tpch_q9",
-    "g7p_tpch_q13",
-    "g7u_tpch_q21",
-    # grouping sets / interpolation windows
-    "g8c_grouping_sets",
-    "w7_interpolate",
-    # joins: as-of forward, point-in-time SCD2
-    "j5d_asof_forward",
-    "j12_pit_scd2",
-    # upsert/versioning: SCD2 intervals, time travel
-    "u6_scd2_intervals",
-    "u11_time_travel",
-    # io: schema evolution across parquet generations
-    "io_schema_evolution",
-    # streaming semantics (§2.12): stateful debounce + sessionize
-    "stream_debounce",
-    "stream_sessionize",
-    # multimodal container walks
-    "mm_png_chunks",
-    "mm_zip_central_dir",
-    "mm_dicom_tags",
-    # dedup family rotation
-    "dedup_url_canonical",
-    "dedup_sentence_level",
-    # similarity rotation (IVF + cell-blocked kNN)
-    "sim_ivf_probe",
-    "sim_knn_blocked",
-    # text analysis rotation
-    "text_langid",
-    "text_pii_redact",
-    "text_bpe_train",
-    # sampling rotation
-    "sample_stratified",
-    "sample_kcenter",
-    # graph analytics
-    "graph_pagerank",
-    "graph_label_propagation",
-    # time series / statistics
-    "ts_cusum_changepoint",
-    "stat_mann_whitney",
-    # classifier evaluation rotation
-    "eval_calibration_ece",
-    "eval_confusion_multiclass",
-    # search / sketches / anomalies rotation
-    "search_index_probe",
-    "sketch_kmv_overlap",
-    "anomaly_cusum",
-    # curation funnel rotation
+    # --- family probes (plan suite requires one member of each in-window;
+    #     fresh members where the family still has any, else a re-verify) ---
     "curation_quality_funnel",
-    # maintenance / privacy rotation
-    "maint_partition_gini",
+    "anomaly_iqr",
+    "sketch_countmin",
+    "search_phrase",
+    "stream_g1_windowed",
+    "mm_binary_stats",
+    "dedup_minhash_scored",
+    "sim_ivf_topk",
+    "text_lm_score",
+    "sample_source_cap",
+    "eval_threshold_f1",
+    "maint_encoding_advisor",
     "privacy_l_diversity",
+    # --- round-6 first-time rotation: the full TPC-H tail ---
+    "g7b_tpch_q6",
+    "g7e_tpch_q4",
+    "g7f_tpch_q14",
+    "g7h_tpch_q19",
+    "g7i_tpch_q10",
+    "g7j_tpch_q2",
+    "g7k_tpch_q7",
+    "g7l_tpch_q8",
+    "g7n_tpch_q11",
+    "g7o_tpch_q12",
+    "g7q_tpch_q15",
+    "g7r_tpch_q16",
+    "g7s_tpch_q17",
+    "g7t_tpch_q20",
+    "g7v_tpch_q22",
+    # --- round-6 first-time rotation: the stream_* family ---
+    "stream_g13_sliding",
+    "stream_stream_join",
+    "stream_anomaly_moments",
+    "stream_hll_registers",
+    "stream_static_join",
+    "stream_topk_windowed",
+    "stream_m4_windowed",
+    # --- round-6: serving-path production layout (round-5 verdict item 5) ---
+    "q2_partitioned_store",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -660,24 +660,30 @@ def test_serving_scan_partition_prunes_to_one_tenant(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         served.explain("formatted")
     plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan, f"scan lost its PartitionFilters section:\n{plan}"
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "tenantId" in pf and "t3" in pf, f"tenant predicate must prune partitions: [{pf}]"
     # the non-partition predicates still push into the pruned files' row groups
     m = re.search(r"PushedFilters: \[(.*?)\]", plan)
     assert m and "patientId" in m.group(1)
     # and the layout did not change the answer: the partitioned store serves
-    # the same rows as the unpartitioned recast the registry query reads
+    # the exact same rows (values, not just counts) as the unpartitioned
+    # recast the registry query reads
     flat = observations(spark, SF)
-    assert served.count() == (
+    expected = (
         flat.where(
             (F.col("tenantId") == "t3")
             & (F.col("patientId") == "p13")
             & (F.col("effectiveDateTime") >= F.lit("2024-01-05 00:00:00"))
             & (F.col("effectiveDateTime") <= F.lit("2024-01-25 00:00:00"))
         )
+        .orderBy("effectiveDateTime", "obsId")
         .limit(25)
-        .count()
+        .select("obsId", "code", "value", "effectiveDateTime")
     )
+    got_rows = sorted(tuple(r) for r in served.collect())
+    want_rows = sorted(tuple(r) for r in expected.collect())
+    assert got_rows == want_rows
 
 
 def test_window_rotation_proposer_emits_a_valid_window():
@@ -696,7 +702,7 @@ def test_window_rotation_proposer_emits_a_valid_window():
         assert n in window
     # the proposal actually advances coverage: while a never-confirmed
     # backlog exists, most non-pinned slots must go to first-time names
-    seen = rotate_window.confirmed_names(rotate_window.Path("/root/repo"))
+    seen = rotate_window.confirmed_names(rotate_window.REPO_ROOT)
     from etl_healthcare_spark.plans.registry import DRIVER_WINDOW
 
     seen |= set(DRIVER_WINDOW)

@@ -55,7 +55,12 @@ def _ri(tag: str, n: int, i: str = "i") -> str:
     return f"(CAST(hash('{tag}' || {i}) % {n} AS BIGINT))"
 
 
-def generate(sf: float, outdir: str) -> None:
+def generate(sf: float, outdir: str, only: set[str] | None = None) -> None:
+    """Write the synthetic tables at scale factor ``sf``.  ``only`` restricts
+    generation to a subset of table names (each table's SQL is standalone —
+    cross-table consistency is by shared hash seeds, not reads), so probing
+    one heavy query family at sf3+ does not pay for 180M lineitem rows it
+    never touches."""
     os.makedirs(outdir, exist_ok=True)
     n = {t: max(500, int(v * sf)) if t in ("documents", "embeddings") else max(5, int(v * sf))
          for t, v in BASE.items()}
@@ -63,6 +68,8 @@ def generate(sf: float, outdir: str) -> None:
     con.execute(f"SET threads TO {os.cpu_count()}")
 
     def copy(sql: str, table: str) -> None:
+        if only is not None and table not in only:
+            return
         con.execute(f"COPY ({sql}) TO '{outdir}/{table}.parquet' (FORMAT PARQUET)")
         print(table, con.sql(f"SELECT count(*) FROM '{outdir}/{table}.parquet'").fetchone()[0])
 
@@ -173,7 +180,9 @@ def generate(sf: float, outdir: str) -> None:
 
 
 if __name__ == "__main__":
+    # Usage: python tools/gen_testdata.py <sf> [outdir] [table ...]
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/testdata_gen/sf{sf}"
-    generate(sf, outdir)
+    only = set(sys.argv[3:]) or None
+    generate(sf, outdir, only)
     print("wrote", outdir)

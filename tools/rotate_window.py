@@ -28,6 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from etl_healthcare_spark.plans.registry import DRIVER_WINDOW, REGISTRY  # noqa: E402
 
+REPO_ROOT = Path(__file__).resolve().parents[1]
+
 # sole oracle-backed member of a family the plan suite requires in-window
 PINNED = [
     "q2_observations_by_patient",
@@ -63,23 +65,58 @@ ROTATING_FAMILY_PROBES = [
     "privacy_",
 ]
 
+# prefixes whose never-confirmed members jump the registration-order queue
+# (round-5 verdict: TPC-H tail, stateful streams, io round trips, profilers
+# and layout advisors carry the most un-evidenced semantic surface)
+PRIORITY_PREFIXES = [
+    "g7",
+    "stream_",
+    "io_",
+    "profile_",
+    "layout_",
+]
+
+
+def _priority_rank(name: str) -> int:
+    for i, p in enumerate(PRIORITY_PREFIXES):
+        if name.startswith(p):
+            return i
+    return len(PRIORITY_PREFIXES)
+
 
 def confirmed_names(repo_root: Path) -> set[str]:
+    """Names with at least one GREEN external confirmation.
+
+    A name only counts as confirmed when its harness entry passed outright
+    (rows/schema/hash all true, no error).  A name whose only entries are
+    red stays in the fresh backlog so it rotates back into the window and
+    gets re-checked externally after the fix — counting it as "seen" would
+    bury the failure and overstate the COVERAGE ledger.
+    """
     seen: set[str] = set()
     for f in glob.glob(str(repo_root / "CORRECTNESS_r*.json")):
-        seen |= set(json.load(open(f)).keys())
+        for name, entry in json.load(open(f)).items():
+            if (
+                entry.get("rows_match")
+                and entry.get("schema_match")
+                and entry.get("hash_match")
+                and entry.get("err") is None
+            ):
+                seen.add(name)
     return seen
 
 
 def propose(repo_root: Path | None = None) -> tuple[list[str], list[str]]:
     """Return (window, backlog): a 50-name window satisfying the plan-suite
     invariants, and the never-confirmed names that did not fit this round."""
-    root = repo_root or Path(__file__).resolve().parents[1]
+    root = repo_root or REPO_ROOT
     seen = confirmed_names(root)
     # treat the current window as about-to-be-confirmed: a rotation proposal
     # is for NEXT round, after the harness has run on today's window
     seen |= set(DRIVER_WINDOW)
     fresh = [n for n in REGISTRY if n not in seen and REGISTRY[n].sql is not None]
+    # stable sort: priority families first, registration order within a tier
+    fresh.sort(key=_priority_rank)
 
     window = list(PINNED)
     # first, cover every rotating family probe with a fresh name if one
@@ -92,7 +129,7 @@ def propose(repo_root: Path | None = None) -> tuple[list[str], list[str]]:
         ]
         if pool:
             window.append(pool[0])
-    # then fill remaining slots with fresh names in registration order
+    # then fill remaining slots with fresh names (priority tiers first)
     for n in fresh:
         if len(window) >= 50:
             break

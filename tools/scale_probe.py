@@ -1,0 +1,72 @@
+"""Super-linear-scaling probe: time named queries at two scale factors.
+
+The sublinear-cost claims for the heaviest composite queries rest on
+sf0.1→sf1.0 wall-time ratios (SCALE.md).  This tool extends the evidence one
+decade further: run each query to a noop sink (full computation, no
+driver-side collect — same discipline as bench.py) at a small and a large
+sf dir and report the wall-time ratio next to the data-size ratio.  A query
+whose cost is ~linear in input shows ratio ≈ size ratio; a quadratic
+blocker shows ratio ≈ size ratio squared.
+
+Usage:
+  python tools/scale_probe.py <small_sf_dir> <big_sf_dir> <query ...>
+
+Prints one JSON line per query: {"query", "small_sec", "big_sec", "ratio"},
+then a summary table.  Timings are best-of-2 after a compile pass, matching
+bench.py's steady-state methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from etl_healthcare_spark.plans.registry import REGISTRY  # noqa: E402
+from etl_healthcare_spark.session import get_spark  # noqa: E402
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    fn = REGISTRY[name].fn
+    best = float("inf")
+    for is_measured in (False, True, True):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        elapsed = time.perf_counter() - t0
+        if is_measured:
+            best = min(best, elapsed)
+        spark.catalog.clearCache()
+    return best
+
+
+def main() -> None:
+    small_dir, big_dir, *names = sys.argv[1:]
+    unknown = [n for n in names if n not in REGISTRY]
+    assert not unknown, f"unknown queries: {unknown}"
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen/shuffle machinery once (mirrors bench.py)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    rows = []
+    for name in names:
+        small = time_query(spark, name, small_dir)
+        big = time_query(spark, name, big_dir)
+        row = {
+            "query": name,
+            "small_sec": round(small, 2),
+            "big_sec": round(big, 2),
+            "ratio": round(big / small, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    print(f"\n{'query':<28}{'small':>9}{'big':>9}{'ratio':>7}")
+    for r in rows:
+        print(f"{r['query']:<28}{r['small_sec']:>9}{r['big_sec']:>9}{r['ratio']:>7}")
+
+
+if __name__ == "__main__":
+    main()
