@@ -686,6 +686,20 @@ def test_serving_scan_partition_prunes_to_one_tenant(spark, tmp_path):
     assert got_rows == want_rows
 
 
+def test_q2_partitioned_store_query_prunes_partitions(spark):
+    """The REGISTRY query (not just the fixture test above) must plan a
+    partition-pruned scan: its store is written partitionBy(tenantId), so the
+    tenant predicate has to appear in PartitionFilters and the patient
+    predicate has to stay pushed.  This is the exact plan the driver runs."""
+    plan = _plan(spark, "q2_partitioned_store")
+    assert "PartitionFilters: [" in plan, f"partitioned scan lost PartitionFilters:\n{plan}"
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "tenantId" in pf and "t3" in pf, f"tenant predicate must prune partitions: [{pf}]"
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "patientId" in m.group(1)
+    assert "TakeOrderedAndProject" in plan, "limit+order must not plan a global sort"
+
+
 def test_window_rotation_proposer_emits_a_valid_window():
     """tools/rotate_window.py mechanizes the per-round rotation; its proposal
     must itself satisfy every invariant the live window is held to, so a
