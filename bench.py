@@ -138,6 +138,8 @@ HEADLINE = [
     "privacy_k_anonymity",   # QI-frame disclosure audit
     "link_blocking_quality", # LSH blocker graded against sha256 gold
     "mm_mp4_boxes",          # big-endian ISO-BMFF walk (map-only)
+    # round-6 addition (prior sets stay cross-round comparable)
+    "q2_partitioned_store",  # write-once tenant-partitioned store + pruned q2 serve
 ]
 
 
