@@ -91,8 +91,11 @@ def g7e_tpch_q4(spark, sf_dir):
     """,
     doc="TPC-H Q14 shape (promotion effect): month-sliced lineitem scan "
     "(shipdate range pushed to parquet), part broadcast, conditional sum — "
-    "promo share as exact integer ppm over int64-cents revenue, one final "
-    "IEEE division per output column.",
+    "promo share as exact integer ppm over int64-cents revenue.  The ppm "
+    "numerator (1e6 x a month of cent-percent revenue) exceeds int64 at "
+    "sf1.0 (caught by the round-6 full-registry sf1.0 sweep), so the "
+    "cross-multiplication runs in DECIMAL(38,0)/HUGEINT — the same idiom "
+    "as the round-4 lift/pinball overflow fixes (SCALE.md §37).",
 )
 def g7f_tpch_q14(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(
@@ -102,12 +105,16 @@ def g7f_tpch_q14(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     rev = _rev_col()
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
-    return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
-        (F.sum(promo_rev).cast("double") / 10000.0).alias("promo_revenue"),
-        (F.sum(rev).cast("double") / 10000.0).alias("total_revenue"),
-        ((F.lit(1000000) * F.sum(promo_rev)).cast("long") / F.sum(rev))
-        .cast("long")
-        .alias("promo_ppm"),
+    agg = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).agg(
+        F.sum(promo_rev).alias("_pr"), F.sum(rev).alias("_tr")
+    )
+    return agg.select(
+        (F.col("_pr").cast("double") / 10000.0).alias("promo_revenue"),
+        (F.col("_tr").cast("double") / 10000.0).alias("total_revenue"),
+        F.expr(
+            "CAST((1000000 * CAST(_pr AS DECIMAL(38,0)))"
+            " div CAST(_tr AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("promo_ppm"),
     )
 
 

@@ -214,7 +214,15 @@ def g7l_tpch_q8(spark, sf_dir):
     )
     return (
         j.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(F.expr(f"(1000000 * sum({_spark_share_expr()})) div sum({_spark_rev_expr()})").alias("mkt_share_ppm"))
+        .agg(
+            # 1e6 x a year-group of cent-percent revenue can exceed int64 at
+            # sf1.0+ (the q14 sibling DID overflow there) — cross-multiply in
+            # DECIMAL(38,0), matching the oracle's HUGEINT arithmetic
+            F.expr(
+                f"CAST((1000000 * CAST(sum({_spark_share_expr()}) AS DECIMAL(38,0)))"
+                f" div CAST(sum({_spark_rev_expr()}) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("mkt_share_ppm")
+        )
         .orderBy("o_year")
     )
 
