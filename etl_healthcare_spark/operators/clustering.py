@@ -119,6 +119,41 @@ def _idot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, d: acc + d)
 
 
+# SemDeDup pair cost is n^2/k spread over k cluster tasks; holding the MEAN
+# CLUSTER SIZE constant (k = ceil(n/target)) makes total pair work LINEAR in
+# the corpus (n x target/2 candidate pairs) and parallelism grow with it —
+# the "k grows with the corpus" scale contract, caught as a real blocker by
+# the round-6 full-registry sf1.0 sweep (k=8 over 200k vectors = 2.5e9 pairs
+# on 8-way parallelism).  8 is the floor so small corpora keep the historic
+# shape (every sf <= 0.1 has n <= 20000 -> k = 8, results unchanged).
+SEMANTIC_TARGET_CLUSTER_SIZE = 2500
+
+
+def auto_cluster_count(n_rows: int, target: int = SEMANTIC_TARGET_CLUSTER_SIZE) -> int:
+    """Blocking-cluster count for a corpus of ``n_rows`` embeddings."""
+    return max(8, -(-int(n_rows) // target))
+
+
+def _cluster_assignments(
+    df: DataFrame, vec_col: str, id_col: str, k: int, rounds: int
+) -> DataFrame:
+    """The SemDeDup blocking assignment (id, qv, cluster), computed ONCE and
+    localCheckpoint-ed: the pair stage consumes it as BOTH self-join sides
+    and the keep stage anti-joins against it — without the checkpoint Spark
+    re-runs the whole iterative k-means lineage (quantize shuffle + per-round
+    broadcast assign + centroid shuffle) once per consumer, ~4x the work at
+    any scale.  Size is n x (64-long array) — distributed, never collected."""
+    vecs = quantized_vectors(df, vec_col, id_col, center=128)
+    centroids = (
+        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    assigned = _assign(vecs, centroids)
+    for _ in range(rounds):
+        centroids = _update(assigned)
+        assigned = _assign(vecs, centroids)
+    return assigned.select("id", "qv", "cluster").localCheckpoint()
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -129,6 +164,7 @@ def semantic_dedup_pairs(
     tau_den: int = 100,
     kernel: str = "expr",
     gemm_block: int = 4096,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: k-means topic clusters as the
     blocking key, pairwise cosine ONLY within a cluster (Abbas et al.,
@@ -158,14 +194,11 @@ def semantic_dedup_pairs(
 
     Returns (id_a, id_b, cluster) with id_a < id_b.
     """
-    vecs = quantized_vectors(df, vec_col, id_col, center=128)
-    centroids = (
-        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    assigned = (
+        _assigned
+        if _assigned is not None
+        else _cluster_assignments(df, vec_col, id_col, k, rounds)
     )
-    assigned = _assign(vecs, centroids)
-    for _ in range(rounds):
-        centroids = _update(assigned)
-        assigned = _assign(vecs, centroids)
     # one cluster-keyed shuffle for the self-pairing; the fold/GEMM below is
     # the only per-pair work
     if kernel == "expr":
@@ -222,17 +255,14 @@ def semantic_dedup_pairs(
 def semantic_keep(df: DataFrame, vec_col: str, id_col: str, **kw) -> DataFrame:
     """SemDeDup keep-list: survivors after dropping the LARGER id of every
     within-cluster near-dup pair (deterministic tie-free rule; the kept doc
-    is each ε-group's minimum id).  Returns (id, cluster)."""
-    vecs = quantized_vectors(df, vec_col, id_col, center=128)
-    k = kw.get("k", 8)
-    centroids = (
-        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+    is each ε-group's minimum id).  Returns (id, cluster).
+
+    The clustering assignment is computed once (checkpointed) and shared by
+    the pair stage and the final anti-join — see _cluster_assignments."""
+    assigned = _cluster_assignments(
+        df, vec_col, id_col, kw.get("k", 8), kw.get("rounds", 1)
     )
-    assigned = _assign(vecs, centroids)
-    for _ in range(kw.get("rounds", 1)):
-        centroids = _update(assigned)
-        assigned = _assign(vecs, centroids)
-    pairs = semantic_dedup_pairs(df, vec_col, id_col, **kw)
+    pairs = semantic_dedup_pairs(df, vec_col, id_col, _assigned=assigned, **kw)
     drop = pairs.select(F.col("id_b").alias("id")).distinct()
     return assigned.select("id", "cluster").join(drop, "id", "left_anti")
 
@@ -286,14 +316,27 @@ _SEMANTIC_BASE = """
 
 
 def semantic_oracle_sql(
-    k: int = 8, rounds: int = 1, tau_num: int = 45, tau_den: int = 100, src: str = "embeddings"
+    k: int | str = 8,
+    rounds: int = 1,
+    tau_num: int = 45,
+    tau_den: int = 100,
+    src: str = "embeddings",
 ) -> str:
     """DuckDB twin of semantic_keep (same quantization/centering, seeds,
     floor-means, integer distances and cross-multiplied cosine test).  Every
     list_inner_product here is EXACT: centered-code products <= 2^14, sums
     <= 2^20 — double arithmetic on integers far below 2^53, cast back to
-    BIGINT before the (potentially > 2^53) cross-multiplies."""
+    BIGINT before the (potentially > 2^53) cross-multiplies.
+
+    ``k="auto"`` mirrors auto_cluster_count: the seed LIMIT becomes a scalar
+    subquery ceil(n/SEMANTIC_TARGET_CLUSTER_SIZE) floored at 8, so the twin
+    stays valid at every scale factor without a baked-in literal."""
     assert rounds == 1, "oracle is written for the registered rounds=1 shape"
+    if k == "auto":
+        k = (
+            "(SELECT greatest(8, CAST(ceil(count(DISTINCT id) / "
+            f"{SEMANTIC_TARGET_CLUSTER_SIZE}.0) AS BIGINT)) FROM q)"
+        )
     base = _SEMANTIC_BASE.format(src=src, k=k, t2n=tau_num * tau_num, t2d=tau_den * tau_den)
     return (
         base

@@ -19,7 +19,13 @@ from ..datasets import load_table
 from ..functions.text import tokens
 from ..operators.anomaly import zscore_flags, zscore_oracle_sql
 from ..operators.bucketing import morton_key, morton_key_sql
-from ..operators.clustering import kmeans_int8, kmeans_oracle_sql, semantic_keep, semantic_oracle_sql
+from ..operators.clustering import (
+    auto_cluster_count,
+    kmeans_int8,
+    kmeans_oracle_sql,
+    semantic_keep,
+    semantic_oracle_sql,
+)
 from ..operators.profile import profile_columns, profile_oracle_sql
 from ..operators.search import bm25_oracle_sql, bm25_topk
 from ..operators.sketch import A_LIT, M, RANK_CAP, hll_distinct, hll_oracle_sql
@@ -110,21 +116,38 @@ def cluster_kmeans(spark, sf_dir):
 
 @register(
     "dedup_semantic",
-    sql=semantic_oracle_sql(k=8, rounds=1, tau_num=45, tau_den=100),
+    sql=semantic_oracle_sql(k="auto", rounds=1, tau_num=45, tau_den=100),
     doc="SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): k-means "
     "topic clusters block the corpus, pairwise cosine runs ONLY within a "
     "cluster, and the larger id of every near-dup pair (cos >= 0.45 over "
     "CENTERED int8 codes) is dropped — survivors returned with their "
     "cluster.  All-integer math (cross-multiplied int64 squares, no "
-    "sqrt/float boundary) makes the result engine-independent; pair cost is "
-    "n^2/k over k independent cluster tasks, k growing with the corpus "
+    "sqrt/float boundary) makes the result engine-independent.  k is NOT a "
+    "constant: k = ceil(n/2500) floored at 8 (auto_cluster_count — one "
+    "bounded driver-side count() to size it), holding mean cluster size "
+    "constant so total pair work is LINEAR in the corpus and parallelism "
+    "grows with it; the round-6 sf1.0 sweep caught the fixed-k=8 version "
+    "running 2.5e9 pairs on 8 tasks.  Every sf <= 0.1 still resolves to "
+    "k=8, so small-sf results are unchanged "
     "(operators/clustering.py: semantic_dedup_pairs/semantic_keep; the "
     "per-cluster int64-GEMM Arrow kernel is the oversized-cluster path and "
     "agrees bit-for-bit with this pure-Catalyst shape).",
 )
 def dedup_semantic(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = auto_cluster_count(n)
+    # Pair kernel: the pure-Catalyst self-join (the driver-checked plan at
+    # small sf) evaluates 3 interpreted zip_with folds per candidate pair —
+    # ~µs each, fine at <=2e6 pairs, a wall at sf1.0's 2.7e8.  Past the small
+    # tier, switch to the per-cluster int64-GEMM Arrow kernel (vectorized
+    # ~ns/pair); the two kernels agree BIT-FOR-BIT (integer math, pytest
+    # test_semantic_pair_kernels_agree_bit_for_bit), so the switch can never
+    # change results — measured >13x at sf1.0: 106 s arrow vs a 22-minute
+    # expr run that never finished (SCALE.md §40).
+    kernel = "expr" if n <= 20_000 else "arrow"
     return semantic_keep(
-        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", k=8, rounds=1, tau_num=45, tau_den=100
+        emb, "embedding", "vec_id", k=k, rounds=1, tau_num=45, tau_den=100, kernel=kernel
     )
 
 

@@ -180,6 +180,24 @@ def test_semantic_dedup_drops_only_planted_dup(spark):
     assert ids == [0, 2, 3, 10, 11]
 
 
+def test_auto_cluster_count_holds_mean_cluster_size_constant():
+    """The SemDeDup scale contract: k = ceil(n/2500) floored at 8, so total
+    within-cluster pair work stays LINEAR in the corpus.  Every driver sf
+    (<= 20000 embeddings) must keep the historic k=8 so small-sf oracle
+    hashes are unchanged; big corpora must grow k proportionally."""
+    from etl_healthcare_spark.operators.clustering import auto_cluster_count
+
+    assert auto_cluster_count(500) == 8      # sf0.001
+    assert auto_cluster_count(2000) == 8     # sf0.01
+    assert auto_cluster_count(20000) == 8    # sf0.1 (exactly at the floor)
+    assert auto_cluster_count(20001) == 9    # first corpus past the floor
+    assert auto_cluster_count(200000) == 80  # sf1.0
+    assert auto_cluster_count(2_000_000) == 800
+    # mean cluster size is bounded by the target for any corpus past the floor
+    for n in (50_000, 1_000_000, 123_456_789):
+        assert n / auto_cluster_count(n) <= 2500
+
+
 def test_semantic_pair_kernels_agree_bit_for_bit(spark):
     """Integer math means the Catalyst self-join and the per-cluster int64
     GEMM Arrow kernel must produce IDENTICAL pairs — not just gap-separated
