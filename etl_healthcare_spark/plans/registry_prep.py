@@ -779,8 +779,18 @@ def io_csv_roundtrip(spark, sf_dir):
         ).alias("hostile"),
     )
     d = _tf.mkdtemp(prefix="csv_rt_")
-    hostile.write.mode("overwrite").option("header", True).option("escape", '"').csv(
-        f"{d}/docs_csv"
+    # Spark's CSV WRITER trims leading/trailing whitespace by default
+    # (ignoreLeading/TrailingWhiteSpace default TRUE on write, unlike read):
+    # a value ENDING in the embedded newline (null lang -> '' suffix) loses
+    # it silently.  Caught by the round-6 sf1.0 sweep on data with null
+    # langs; fidelity requires turning the trimming off explicitly.
+    (
+        hostile.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(f"{d}/docs_csv")
     )
     back = spark.read.option("header", True).option("multiLine", True).option(
         "escape", '"'

@@ -288,3 +288,30 @@ def test_kcenter_picks_farthest_points(spark):
     by_id = {r.vec_id: r.center_id for r in out}
     assert by_id[1] == 0 and by_id[2] == 0          # first group -> seed
     assert len({by_id[3], by_id[4]}) == 1           # middle group together
+
+
+def test_csv_roundtrip_preserves_trailing_embedded_newline(spark, tmp_path):
+    """Regression (round-6 sf1.0 sweep): Spark's CSV WRITER trims
+    leading/trailing whitespace by default, so a quoted value ENDING in an
+    embedded newline (hostile doc with null lang) silently lost it.  The
+    writer must disable the trimming; value fidelity is byte-exact."""
+    vals = ['ends with newline\n', '\nstarts with newline', 'quote",\nmiddle', 'plain']
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v string")
+    p = str(tmp_path / "csv_rt")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(p)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("id long, v string")
+        .csv(p)
+    )
+    got = {r.id: r.v for r in back.collect()}
+    assert got == {i: v for i, v in enumerate(vals)}

@@ -51,6 +51,11 @@ def main():
     spark = get_spark("check")
 
     con = duckdb.connect()
+    # A runaway oracle (e.g. a recursive-CTE CC twin materializing the
+    # reachability frontier at sf1.0) must fail ITS query, not OOM-kill the
+    # whole sweep worker: cap DuckDB and give it a spill directory.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
