@@ -783,16 +783,24 @@ def stream_sessionize(spark, sf_dir):
       SELECT k + 1000000, 1, 'I', 'Customer#new' || CAST(k AS VARCHAR), k * 3
       FROM base WHERE k % 10 = 4
     ),
+    -- latest-wins is the same lexicographic max the engine computes over
+    -- (seq, op, name, bal) structs, expressed via row_number: DuckDB's
+    -- planner explodes (OOM at sf1.0, found by the round-6 sweep) when a
+    -- FULL JOIN's post-filter reads a struct FIELD of the nullable side
+    -- (max(struct_pack(...)).op), so the twin avoids structs entirely.
     latest AS (
-      SELECT k, max(struct_pack(seq := seq, op := op, name := name, bal := bal))
-               AS ch
-      FROM changes GROUP BY k
+      SELECT k, op, name, bal FROM (
+        SELECT k, op, name, bal,
+               row_number() OVER (
+                 PARTITION BY k
+                 ORDER BY seq DESC, op DESC, name DESC, bal DESC) AS rn
+        FROM changes) WHERE rn = 1
     )
     SELECT coalesce(b.k, l.k) AS c_custkey,
-           CASE WHEN l.k IS NULL THEN b.name ELSE l.ch.name END AS name,
-           CASE WHEN l.k IS NULL THEN b.bal ELSE l.ch.bal END AS bal_cents
+           CASE WHEN l.k IS NULL THEN b.name ELSE l.name END AS name,
+           CASE WHEN l.k IS NULL THEN b.bal ELSE l.bal END AS bal_cents
     FROM base b FULL JOIN latest l ON b.k = l.k
-    WHERE l.k IS NULL OR l.ch.op <> 'D'
+    WHERE l.k IS NULL OR l.op <> 'D'
     """,
     doc="U7 CDC change-stream apply — MERGE WHEN MATCHED UPDATE/DELETE, "
     "WHEN NOT MATCHED INSERT, as pure DataFrame ops: latest op per key is "
