@@ -9,6 +9,7 @@ order-insensitive value hash (rows stringified, sorted).
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -54,7 +55,7 @@ def main():
     # A runaway oracle (e.g. a recursive-CTE CC twin materializing the
     # reachability frontier at sf1.0) must fail ITS query, not OOM-kill the
     # whole sweep worker: cap DuckDB and give it a spill directory.
-    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_DUCKDB_MEM', '24GB')}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
