@@ -912,15 +912,21 @@ def containment_pairs(
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    # both array joins are hinted shuffle-hash: every input descends from an
+    # both array joins are hinted MERGE: every input descends from an
     # aggregation, so its STATIC size estimate is tiny and Spark would pick
-    # a broadcast that OOMs the driver at corpus scale (the sf1.0 lesson)
+    # a broadcast that OOMs the driver at corpus scale (the sf1.0 lesson).
+    # shuffle_hash was the round-3 choice; the round-6 sf3 probe showed its
+    # build side (per-doc span ARRAYS / the pair stream — both linear in
+    # the corpus) outgrowing per-task execution memory at a fixed partition
+    # count ("Can't acquire 512MB to build hash relation").  Sort-merge
+    # keeps the no-broadcast guarantee AND degrades gracefully (sort
+    # spills to disk instead of failing) at any data:partitions ratio.
     aa = arrs.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"))
     bb = arrs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"))
     return (
-        cand.hint("shuffle_hash")
+        cand.hint("merge")
         .join(aa, "a")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(bb, "b")
         .select(
             "a",
@@ -1276,9 +1282,11 @@ def longest_shared_run(
     )
     sa = spans_pos.select(F.col("doc_id").alias("a"), F.col("j").alias("ja"), "h")
     sb = spans_pos.select(F.col("doc_id").alias("b"), F.col("j").alias("jb"), "h")
-    # shuffle-hash hint: see containment_pairs — the candidate list must
-    # never be broadcast (static estimate tiny, actual size corpus-scale)
-    matches = cand.hint("shuffle_hash").join(sa, "a").join(sb, ["b", "h"]).select(
+    # merge hint: see containment_pairs — the candidate list must never be
+    # broadcast (static estimate tiny, actual size corpus-scale), and a
+    # shuffled-hash build of a corpus-linear side outgrows fixed-partition
+    # task memory (round-6 sf3 probe); sort-merge spills instead of failing
+    matches = cand.hint("merge").join(sa, "a").join(sb.hint("merge"), ["b", "h"]).select(
         "a", "b", "ja", "jb", (F.col("ja") - F.col("jb")).alias("d")
     )
     w = Window.partitionBy("a", "b", "d").orderBy("ja")

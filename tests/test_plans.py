@@ -429,14 +429,19 @@ def test_spatial_pairs_hash_join_on_cells(spark):
 
 
 def test_containment_pair_joins_never_broadcast(spark):
-    """The rare-span and candidate joins carry shuffle-hash hints because
-    their static size estimates are tiny while actual sizes are corpus-scale
-    (driver broadcast OOM observed at sf1.0).  Guard the hint's effect: the
-    plans must contain shuffled hash joins, and the candidate/per-doc joins
-    must not plan as broadcasts."""
+    """The rare-span and candidate joins carry explicit strategy hints
+    because their static size estimates are tiny while actual sizes are
+    corpus-scale (driver broadcast OOM observed at sf1.0).  The
+    candidate/per-doc-array joins are hinted MERGE — a shuffled-hash build
+    of a corpus-linear side outgrew per-task memory at the round-6 sf3
+    probe ("Can't acquire 512MB to build hash relation"); sort-merge spills
+    instead of failing.  Guard both effects: a sort-merge join must be
+    present, and NO broadcast hash join may appear anywhere in these plans
+    (the only broadcastable frames would be the corpus-scale ones)."""
     for name in ("dedup_containment", "dedup_longest_run"):
         plan = _plan(spark, name)
-        assert "ShuffledHashJoin" in plan, f"{name}: shuffle-hash hints lost"
+        assert "SortMergeJoin" in plan, f"{name}: merge hints lost"
+        assert "BroadcastHashJoin" not in plan, f"{name}: corpus-scale side broadcast"
 
 
 def test_chunk_windows_is_map_only(spark):
