@@ -1220,6 +1220,51 @@ def lm_trigram_backoff_oracle_sql(side_sql: str, src: str = "documents") -> str:
     """
 
 
+def _fold_longest_runs(k: int):
+    """Arrow kernel for longest_shared_run: per candidate pair, match the two
+    positioned k-gram hash arrays through a dict (O(n_a + n_b + matches) —
+    never the O(n_a * n_b) scan a native position filter would be), land every
+    match on its diagonal d = j_a - j_b, and fold consecutive-j_a islands per
+    diagonal in one sorted pass.  Exactly the gaps-and-islands window the
+    relational shape computed, minus its two corpus-scale shuffles."""
+
+    def fold(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_run, out_n = [], []
+            for ha, hb in zip(pdf["hs_a"], pdf["hs_b"]):
+                pos = {}
+                for jb, h in enumerate(hb):
+                    pos.setdefault(int(h), []).append(jb)
+                matches = []
+                for ja, h in enumerate(ha):
+                    js = pos.get(int(h))
+                    if js is not None:
+                        for jb in js:
+                            matches.append((ja - jb, ja))
+                matches.sort()
+                best = cur = 0
+                prev_d = prev_j = None
+                for d, ja in matches:
+                    cur = cur + 1 if (d == prev_d and ja == prev_j + 1) else 1
+                    if cur > best:
+                        best = cur
+                    prev_d, prev_j = d, ja
+                out_run.append(best + k - 1)
+                out_n.append(len(matches))
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"],
+                    "b": pdf["b"],
+                    "max_run_tokens": pd.Series(out_run, dtype="int64", index=pdf.index),
+                    "n_matches": pd.Series(out_n, dtype="int64", index=pdf.index),
+                }
+            )
+
+    return fold
+
+
 def longest_shared_run(
     df: DataFrame,
     text_col: str,
@@ -1231,74 +1276,79 @@ def longest_shared_run(
     substring-level dedup signal of Lee et al. 2021 ("Deduplicating Training
     Data Makes Language Models Better", arXiv:2107.06499): their suffix-array
     pass removes exact duplicated spans >= 50 tokens; this measures the same
-    quantity pairwise, relationally.
+    quantity pairwise.
 
-    Method (gaps-and-islands over matching k-gram positions): positioned
-    k-gram hashes (doc, j, h) of the two docs join on h, every match lands on
-    diagonal d = j_a - j_b, and a run of CONSECUTIVE shared k-grams on one
-    diagonal is an island (j_a - row_number() constant); the longest island
-    of length L corresponds to a shared token run of L + k - 1.  Candidate
-    pairs come from rare shared spans (2 <= df <= ``max_span_df``), same
-    blocking as containment_pairs, so the position join is candidate-bounded
-    — never an open self-join on the corpus.
+    Method (gaps-and-islands over matching k-gram positions): every position
+    pair with equal hashes lands on diagonal d = j_a - j_b, and a run of
+    CONSECUTIVE shared k-grams on one diagonal is an island; the longest
+    island of length L corresponds to a shared token run of L + k - 1.
+
+    Shape (the round-7 rewrite, after the round-6 sf3 probe measured the
+    relational form at 6.2x wall time on 3x data): candidate pairs come from
+    rare shared spans (2 <= df <= ``max_span_df``) via IN-BUCKET expansion
+    (the containment_pairs shape — never an open posting self-join), each
+    doc's POSITIONED hash array rides along the candidate row through two
+    merge-hinted array joins, and the run detection folds IN-TASK over the
+    two arrays (Arrow mapInPandas, dict-matched, one sorted diagonal pass).
+    The old shape joined candidate pairs back onto the exploded position
+    stream and windowed over the match rows — two shuffles whose volume
+    (sum over pairs of per-doc positions, then per-pair matches) grows
+    faster than the corpus; both are now in-task, so the only shuffles left
+    are the bounded candidate build and the two per-doc-array merge joins,
+    each linear in corpus + candidates.
 
     Emits (a, b, max_run_tokens, n_matches) per candidate pair, exact
-    integers.  A doc repeating one k-gram m times contributes m^2 match rows
+    integers.  A doc repeating one k-gram m times contributes m x m' matches
     for that hash within a pair — bounded by the span-df cap upstream at
     corpus level; pathological within-pair repetition is a data-quality
     signal text_repetition already flags.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import shingles_from_tokens, tokens
 
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )
-    spans_pos = toks.select(
+    # positioned per-doc hash array (position = array index), ONE row per doc
+    arrs = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                sh, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long")
-            )
-        ).alias("j", "h"),
+        F.transform(
+            sh, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long")
+        ).alias("hs"),
     ).localCheckpoint(eager=True)
-    spans = spans_pos.select("doc_id", "h").distinct()
-    rare = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df_count"))
-        .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_span_df))
-    )
-    # shuffle-hash hints: see containment_pairs — aggregation-derived sides
-    # carry tiny static estimates but corpus-scale actual sizes
-    r = spans.join(rare.select("h").hint("shuffle_hash"), "h")
+    spans = arrs.select("doc_id", F.explode(F.array_distinct("hs")).alias("h"))
     cand = (
-        r.select(F.col("doc_id").alias("a"), "h")
-        .join(r.select(F.col("doc_id").alias("b"), "h").hint("shuffle_hash"), "h")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        spans.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_span_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda a: F.transform(
+                            "ds", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .where(F.col("p.a") < F.col("p.b"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    sa = spans_pos.select(F.col("doc_id").alias("a"), F.col("j").alias("ja"), "h")
-    sb = spans_pos.select(F.col("doc_id").alias("b"), F.col("j").alias("jb"), "h")
-    # merge hint: see containment_pairs — the candidate list must never be
-    # broadcast (static estimate tiny, actual size corpus-scale), and a
-    # shuffled-hash build of a corpus-linear side outgrows fixed-partition
-    # task memory (round-6 sf3 probe); sort-merge spills instead of failing
-    matches = cand.hint("merge").join(sa, "a").join(sb.hint("merge"), ["b", "h"]).select(
-        "a", "b", "ja", "jb", (F.col("ja") - F.col("jb")).alias("d")
-    )
-    w = Window.partitionBy("a", "b", "d").orderBy("ja")
-    runs = matches.withColumn("isl", F.col("ja") - F.row_number().over(w)).groupBy(
-        "a", "b", "d", "isl"
-    ).agg(F.count(F.lit(1)).alias("run_len"))
-    return (
-        runs.groupBy("a", "b")
-        .agg(
-            (F.max("run_len") + F.lit(k - 1)).alias("max_run_tokens"),
-            F.sum("run_len").alias("n_matches"),
-        )
+    # merge hints: see containment_pairs — the candidate list and the per-doc
+    # array frames must never be broadcast (static estimates tiny, actual
+    # sizes corpus-scale), and a shuffled-hash build of a corpus-linear side
+    # outgrows fixed-partition task memory (round-6 sf3 probe); sort-merge
+    # spills instead of failing
+    aa = arrs.select(F.col("doc_id").alias("a"), F.col("hs").alias("hs_a"))
+    bb = arrs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hs_b"))
+    paired = cand.hint("merge").join(aa, "a").hint("merge").join(bb, "b")
+    id_t = dict(paired.dtypes)["a"]
+    return paired.mapInPandas(
+        _fold_longest_runs(k),
+        schema=f"a {id_t}, b {id_t}, max_run_tokens bigint, n_matches bigint",
     )
 
 

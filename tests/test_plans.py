@@ -339,6 +339,9 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         "mm_mp4_boxes",
         # ZIP central-directory walk (operators/multimodal.zip_central_dir)
         "mm_zip_central_dir",
+        # in-task diagonal run fold over per-doc position arrays — the
+        # round-7 scale fix (operators/textops._fold_longest_runs)
+        "dedup_longest_run",
     }
     audited = 0
     for name in REGISTRY:
@@ -442,6 +445,19 @@ def test_containment_pair_joins_never_broadcast(spark):
         plan = _plan(spark, name)
         assert "SortMergeJoin" in plan, f"{name}: merge hints lost"
         assert "BroadcastHashJoin" not in plan, f"{name}: corpus-scale side broadcast"
+
+
+def test_longest_run_folds_in_task(spark):
+    """The round-6 sf3 probe measured the relational longest-run shape at
+    6.2x wall on 3x data: joining candidate pairs back onto the exploded
+    position stream and windowing over match rows shuffles a volume that
+    grows faster than the corpus.  The round-7 shape folds run detection
+    in-task over per-doc position arrays: MapInPandas present, NO window
+    over a match stream, and no posting join-back (the only Generate nodes
+    are the candidate build's explodes)."""
+    plan = _plan(spark, "dedup_longest_run")
+    assert "MapInPandas" in plan, "run fold must be the in-task Arrow kernel"
+    assert "Window" not in plan, "match-stream window shuffle reintroduced"
 
 
 def test_chunk_windows_is_map_only(spark):
