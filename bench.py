@@ -150,19 +150,38 @@ CORE_12 = HEADLINE[:12]
 
 
 def _round_number(repo: Path) -> int:
-    """Current build round, inferred as (latest driver CORRECTNESS round)+1.
+    """Current build round: $BENCH_ROUND if set, else inferred as (latest
+    driver CORRECTNESS round)+1.
 
     The driver writes CORRECTNESS_r{N}.json at the END of round N, so while
-    round N is in progress the latest file on disk is r{N-1}.  Used to stamp
-    a per-round copy of the full bench map (round-5 verdict: overwriting
-    BENCH_local_sf{sf}.json in place destroyed the raw data cross-round
-    per-query forensics need)."""
+    round N is in progress the latest file on disk is r{N-1}.  The env
+    override exists because the inference mislabels a bench run that
+    happens AFTER the driver has already stamped round N (round-6 advice).
+    Used to stamp a per-round copy of the full bench map (round-5 verdict:
+    overwriting BENCH_local_sf{sf}.json in place destroyed the raw data
+    cross-round per-query forensics need)."""
+    explicit = os.environ.get("BENCH_ROUND", "")
+    if explicit.isdigit():
+        return int(explicit)
     rounds = [0]
     for f in repo.glob("CORRECTNESS_r*.json"):
         digits = f.stem.split("_r")[-1]
         if digits.isdigit():
             rounds.append(int(digits))
     return max(rounds) + 1
+
+
+def _stamped_path(repo: Path, sf: str) -> Path:
+    """Round-stamped BENCH side-file path that never clobbers a prior run:
+    a second run in the same round gets a `.2`, `.3`, ... suffix instead of
+    silently overwriting the forensics ledger (round-6 advice)."""
+    base = repo / f"BENCH_local_sf{sf}_r{_round_number(repo):02d}.json"
+    if not base.exists():
+        return base
+    n = 2
+    while (p := base.with_suffix(f".{n}.json")).exists():
+        n += 1
+    return p
 
 
 def _mem_gib(spec: str) -> float:
@@ -255,7 +274,7 @@ def main():
         + "\n"
     )
     side.write_text(payload)
-    (repo / f"BENCH_local_sf{sf}_r{_round_number(repo):02d}.json").write_text(payload)
+    _stamped_path(repo, sf).write_text(payload)
     # compact final line: total + the 12 cross-round core queries (~0.6 KB)
     print(
         json.dumps(

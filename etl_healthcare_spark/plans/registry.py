@@ -133,13 +133,29 @@ def q2_observations_by_patient(spark, sf_dir):
     "tenant's slice and scanning the whole store.  Mirrors the reference's "
     "tenant-keyed GSI layout (api-query/src/handler.ts:66,111).  Oracle is "
     "identical to q2_observations_by_patient: the layout must not change "
-    "the answer.",
+    "the answer.  The store is WRITE-ONCE per source dataset: its path is "
+    "keyed on (sf_dir, events.parquet size+mtime), a complete store "
+    "(_SUCCESS present) is reused, and stale keys are wiped before a new "
+    "write — repeated bench/correctness runs leave exactly one store.",
 )
 def q2_partitioned_store(spark, sf_dir):
-    d = tempfile.mkdtemp(prefix="q2_store_")
-    observations(spark, sf_dir).write.mode("overwrite").partitionBy("tenantId").parquet(
-        f"{d}/obs_store"
-    )
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "etl_spark_q2_store")
+    d = os.path.join(root, key)
+    if not os.path.exists(os.path.join(d, "obs_store", "_SUCCESS")):
+        if os.path.isdir(root):  # stale keys (older generations) die here
+            shutil.rmtree(root, ignore_errors=True)
+        observations(spark, sf_dir).write.mode("overwrite").partitionBy("tenantId").parquet(
+            f"{d}/obs_store"
+        )
     store = spark.read.parquet(f"{d}/obs_store")
     return (
         store.where(
@@ -692,14 +708,16 @@ from . import registry_opsdiag  # noqa: E402,F401
 # whatever order the modules happened to register in.  The remaining queries
 # follow in their original registration order and are checked by the local
 # harness (tools/check.py) at every scale factor.
-# Round-6 rotation: external correctness evidence accumulates one 50-query
-# window per round; after round 5, 164 oracle-backed queries had never
-# appeared in any round's window.  14 slots below are pinned — each is the
-# ONLY oracle-backed representative of a family the plan suite requires in
-# the window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
+# Round-7 rotation: external correctness evidence accumulates one 50-query
+# window per round.  14 slots below are pinned — each is the ONLY
+# oracle-backed representative of a family the plan suite requires in the
+# window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
 # cluster_) — the other 36 slots rotate to first-time names each round,
-# proposed mechanically by tools/rotate_window.py (round-6 priority tiers:
-# TPC-H tail, stream_*, io_*, profile_*/layout_* per the round-5 verdict).
+# proposed mechanically by tools/rotate_window.py.  Round-7 change: the
+# rotation now also excludes the 77 names the JUDGE oracle-audited in
+# rounds 4–6 (tools/rotate_window.py:JUDGE_AUDITED, recovered from the
+# VERDICT.md git history), so every rotating slot is a genuinely
+# never-externally-confirmed name; after this window the backlog is 45.
 # COVERAGE.md keeps the ledger of externally-confirmed queries.
 DRIVER_WINDOW: list[str] = [
     # --- pinned family representatives (sole member of a required family) ---
@@ -721,43 +739,44 @@ DRIVER_WINDOW: list[str] = [
     #     fresh members where the family still has any, else a re-verify) ---
     "curation_quality_funnel",
     "anomaly_iqr",
-    "sketch_countmin",
-    "search_phrase",
+    "sketch_histogram_quantiles",
+    "search_related_docs",
     "stream_g1_windowed",
-    "mm_binary_stats",
-    "dedup_minhash_scored",
-    "sim_ivf_topk",
-    "text_lm_score",
-    "sample_source_cap",
-    "eval_threshold_f1",
+    "mm_pixel_stats",
+    "dedup_span_overlap",
+    "sim_int8_quant",
+    "text_tokens",
+    "sample_temperature",
+    "eval_lift_deciles",
     "maint_encoding_advisor",
     "privacy_l_diversity",
-    # --- round-6 first-time rotation: the full TPC-H tail ---
-    "g7b_tpch_q6",
-    "g7e_tpch_q4",
-    "g7f_tpch_q14",
-    "g7h_tpch_q19",
-    "g7i_tpch_q10",
-    "g7j_tpch_q2",
-    "g7k_tpch_q7",
-    "g7l_tpch_q8",
-    "g7n_tpch_q11",
-    "g7o_tpch_q12",
-    "g7q_tpch_q15",
-    "g7r_tpch_q16",
-    "g7s_tpch_q17",
-    "g7t_tpch_q20",
-    "g7v_tpch_q22",
-    # --- round-6 first-time rotation: the stream_* family ---
-    "stream_g13_sliding",
-    "stream_stream_join",
-    "stream_anomaly_moments",
-    "stream_hll_registers",
-    "stream_static_join",
-    "stream_topk_windowed",
-    "stream_m4_windowed",
-    # --- round-6: serving-path production layout (round-5 verdict item 5) ---
-    "q2_partitioned_store",
+    # --- round-7 first-time rotation: io round trips ---
+    "io_orc_roundtrip",
+    "io_jsonl_roundtrip",
+    "io_jsonl_gzip_roundtrip",
+    # --- round-7 first-time rotation: the profiler family ---
+    "profile_table",
+    "profile_key_skew",
+    "profile_drift_tvd",
+    "profile_fk_orphans",
+    "profile_embedding_drift",
+    "profile_freshness",
+    # --- round-7 first-time rotation: layout advisors ---
+    "layout_zorder",
+    "layout_range_bounds",
+    "layout_compaction",
+    # --- round-7 first-time rotation: remaining never-confirmed names ---
+    "g19_ohlc_bars",
+    "p14_unit_normalize",
+    "text_fingerprint",
+    "mm_resize_plan",
+    "mm_frame_sample",
+    "text_rolling_hash",
+    "link_blocking_quality",
+    "array_map_functions",
+    "map_json_functions",
+    "g10b_unpivot",
+    "g12_salted_skew_agg",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -84,6 +84,44 @@ def _priority_rank(name: str) -> int:
     return len(PRIORITY_PREFIXES)
 
 
+# Names the JUDGE independently oracle-audited (tools/check.py runs listed in
+# each round's VERDICT.md, recovered from git history: r4 da60eb5, r5 f864697,
+# r6 8ed883a — 20+25+32, all green).  They carry external confirmation the
+# CORRECTNESS files don't record, so the rotation treats them as seen; without
+# this the window wastes slots re-proving what the judge already proved
+# (round-6 window proposal re-picked anomaly_seasonal/io_csv_roundtrip/
+# profile_benford etc.).
+JUDGE_AUDITED = {
+    # round 4
+    "g7u_tpch_q21", "graph_pagerank", "stream_sessionize", "text_bpe_train",
+    "sample_kcenter", "j12_pit_scd2", "privacy_l_diversity", "u11_time_travel",
+    "mm_zip_central_dir", "sql_running_total", "graph_label_propagation",
+    "w7_interpolate", "g16_retention_cohorts", "io_schema_evolution",
+    "u6_scd2_intervals", "link_survivorship", "text_pii_redact",
+    "seq_markov_stationary", "g25_weighted_median", "stat_mann_whitney",
+    # round 5
+    "g7j_tpch_q2", "g7s_tpch_q17", "g7v_tpch_q22", "g8b_cube",
+    "j7_fuzzy_match_join", "j11_bucketed_join", "layout_dpp_join",
+    "graph_kcore", "ml_winsorize_agg", "ml_target_encoding",
+    "stat_ks_two_sample", "stat_bootstrap_ci", "eval_threshold_f1",
+    "eval_pinball_loss", "profile_candidate_keys", "profile_json_types",
+    "seq_attribution_linear", "text_vocab_growth", "text_pmi_bigrams",
+    "sample_neyman_alloc", "sketch_source_similarity", "u10_delete_propagation",
+    "u11_table_fingerprint", "mm_avi_info", "stream_m4_windowed",
+    # round 6
+    "u7_cdc_apply", "io_csv_roundtrip", "dedup_semantic", "dedup_containment",
+    "dedup_longest_run", "decontam_bloom", "sim_pq_topk", "mm_mp4_boxes",
+    "g31_heavy_hitters", "layout_zonemap_prune", "profile_benford",
+    "eval_cohens_kappa", "graph_bfs_hops", "text_bpe_apply",
+    "text_classifier_score", "sim_multiprobe", "g34_pareto_skyline",
+    "ts_delta_attribution", "g13_sliding_window", "u5_incremental_agg",
+    "sample_weighted", "g20_sliding_distinct", "anomaly_seasonal",
+    "j10_spatial_pairs", "w8_ewma", "g15_funnel", "v1_envelope_gate",
+    "v3_fhir_gate", "p8_format_routing", "u3_commit_log",
+    "o5_newest_partition", "sketch_join_size",
+}
+
+
 def confirmed_names(repo_root: Path) -> set[str]:
     """Names with at least one GREEN external confirmation.
 
@@ -110,7 +148,7 @@ def propose(repo_root: Path | None = None) -> tuple[list[str], list[str]]:
     """Return (window, backlog): a 50-name window satisfying the plan-suite
     invariants, and the never-confirmed names that did not fit this round."""
     root = repo_root or REPO_ROOT
-    seen = confirmed_names(root)
+    seen = confirmed_names(root) | JUDGE_AUDITED
     # treat the current window as about-to-be-confirmed: a rotation proposal
     # is for NEXT round, after the harness has run on today's window
     seen |= set(DRIVER_WINDOW)

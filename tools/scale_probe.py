@@ -19,6 +19,7 @@ bench.py's steady-state methodology.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -54,9 +55,8 @@ def main() -> None:
     # warm the JVM/codegen/shuffle machinery once (mirrors bench.py)
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    import os
-
     measured = int(os.environ.get("SCALE_PROBE_MEASURED", "2"))
+    assert measured >= 1, "SCALE_PROBE_MEASURED must be >= 1 (0 yields inf ratios)"
     rows = []
     for name in names:
         small = time_query(spark, name, small_dir, measured)
