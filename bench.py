@@ -234,9 +234,15 @@ def main():
     # reported alongside for transparency.
     cold_total = 0.0
     timings: dict[str, float] = {}
-    for is_measured in (False, True, True):
+    # BENCH_TRACE=1 marks each query on stderr so any Spark ERROR log (e.g.
+    # the round-6 updateAccumulators fragment in BENCH_r06.json's tail) can
+    # be attributed to the query that was executing when it fired.
+    trace = os.environ.get("BENCH_TRACE", "") == "1"
+    for pass_no, is_measured in enumerate((False, True, True)):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
+            if trace:
+                print(f"bench: pass{pass_no} {name}", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
