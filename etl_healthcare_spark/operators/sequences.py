@@ -209,12 +209,21 @@ def frequent_pairs(
     >= min_support baskets, i < j.
 
     Pairs are generated in-task from each basket's sorted distinct item
-    array (the dedup LSH combinator pattern) — ONE scan and ONE wide
-    shuffle total: collect_set dedups per basket (no separate distinct
-    pass), the capped basket frame is localCheckpointed once, and the
-    basket count, per-item supports, and pair expansion all read that
-    checkpoint (the branch-naive shape re-ran the scan + a distinct
-    shuffle per consumer — measured 62.8 s at sf1.0 before the rewrite).
+    array (the dedup LSH combinator pattern), and the basket count, item
+    supports, and pair supports all come out of ONE aggregate: each basket
+    emits a sentinel (null, null), its singles (x, null), and its pairs
+    (x, y) into one exploded stream, so the count groupBy collapses
+    map-side to the co-occurrence vocabulary (~|V|^2/2 groups) and the only
+    frame reused downstream — checkpointed once — is that aggregate,
+    bounded at ANY corpus size.  The previous shape localCheckpointed the
+    CAPPED BASKET FRAME (corpus-sized: 45M rows x item arrays at sf3) for
+    three consumers; under the fixed 8 GB executor budget its cached
+    blocks starved the unified memory region and the sf1->sf3 probe died
+    with AGGREGATE_OUT_OF_MEMORY — the round-6 3.77x ratio was this
+    defect's shadow, not contention (SCALE.md §43).  Rule repeated from
+    dedup_containment: never pin a corpus-linear frame to executor memory;
+    cache only aggregation-descended bounded frames.
+
     Baskets above ``max_basket`` distinct items are truncation-free
     DROPPED (counted nowhere — supports included, matching the oracle's
     kept-basket semantics), the d^2 guard: a single degenerate basket of
@@ -229,17 +238,16 @@ def frequent_pairs(
     risks broadcasting a vocabulary-sized frame (SCALE.md §11).
     """
     items = df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
+    item_t = dict(items.dtypes)["item"]
+    null_item = F.lit(None).cast(item_t)
     baskets = (
         items.groupBy("bk")
         .agg(F.array_sort(F.collect_set("item")).alias("its"))
         .where(F.size("its") <= max_basket)
-        .localCheckpoint(eager=False)
     )
-    n_baskets = baskets.select(F.count(F.lit(1)).alias("nb"))
-    item_supp = (
-        baskets.select(F.explode("its").alias("item"))
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("supp"))
+    sentinel = F.array(F.struct(null_item.alias("i"), null_item.alias("j")))
+    singles = F.transform(
+        F.col("its"), lambda x: F.struct(x.alias("i"), null_item.alias("j"))
     )
     pairs_arr = F.flatten(
         F.transform(
@@ -250,14 +258,25 @@ def frequent_pairs(
             ),
         )
     )
+    counted = (
+        baskets.select(F.explode(F.concat(sentinel, singles, pairs_arr)).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = counted.where(F.col("i").isNull() & F.col("j").isNull()).select(
+        F.col("c").alias("nb")
+    )
+    item_supp = counted.where(F.col("i").isNotNull() & F.col("j").isNull()).select(
+        "i", F.col("c").alias("supp")
+    )
     pair_counts = (
-        baskets.select(F.explode(pairs_arr).alias("p"))
-        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
-        .agg(F.count(F.lit(1)).alias("support"))
+        counted.where(F.col("j").isNotNull())
+        .select("i", "j", F.col("c").alias("support"))
         .where(F.col("support") >= min_support)
     )
-    si = item_supp.withColumnRenamed("item", "i").withColumnRenamed("supp", "supp_i")
-    sj = item_supp.withColumnRenamed("item", "j").withColumnRenamed("supp", "supp_j")
+    si = item_supp.select("i", F.col("supp").alias("supp_i"))
+    sj = item_supp.select(F.col("i").alias("j"), F.col("supp").alias("supp_j"))
     if broadcast_supports:
         si, sj = F.broadcast(si), F.broadcast(sj)
     else:

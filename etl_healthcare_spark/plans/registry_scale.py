@@ -404,15 +404,20 @@ def graph_pagerank(spark, sf_dir):
         UNION ALL SELECT ('0x' || substr(sha256('b3:' || s), 1, 5))::BIGINT FROM eval_sh
       )
     ),
-    screened AS (
+    -- the 4 probes unnest into rows and COUNT via a plain join: the
+    -- correlated-scalar-subquery form was not decorrelated by DuckDB and
+    -- ground >2h at sf0.3 (same twin-side pathology class as u7_cdc_apply);
+    -- identical semantics, hash-verified against the unchanged engine side
+    probes AS (
       SELECT c.doc_id, c.s,
-             (SELECT count(*) FROM bloom b
-              WHERE b.pos IN (('0x' || substr(sha256('b0:' || c.s), 1, 5))::BIGINT,
-                              ('0x' || substr(sha256('b1:' || c.s), 1, 5))::BIGINT,
-                              ('0x' || substr(sha256('b2:' || c.s), 1, 5))::BIGINT,
-                              ('0x' || substr(sha256('b3:' || c.s), 1, 5))::BIGINT)) = 4
-               AS might
-      FROM corpus c
+             ('0x' || substr(sha256('b' || CAST(u.k AS VARCHAR) || ':' || c.s), 1, 5))::BIGINT
+               AS pos
+      FROM corpus c, unnest([0, 1, 2, 3]) AS u(k)
+    ),
+    screened AS (
+      SELECT p.doc_id, p.s, count(b.pos) = 4 AS might
+      FROM probes p LEFT JOIN bloom b USING (pos)
+      GROUP BY p.doc_id, p.s
     ),
     per_doc AS (
       SELECT doc_id, count(*) AS n_shingles,

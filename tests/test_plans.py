@@ -460,6 +460,23 @@ def test_longest_run_folds_in_task(spark):
     assert "Window" not in plan, "match-stream window shuffle reintroduced"
 
 
+def test_frequent_pairs_reuses_only_the_bounded_aggregate(spark):
+    """The round-7 sf1->sf3 probe killed the previous frequent-pairs shape
+    with AGGREGATE_OUT_OF_MEMORY: it localCheckpointed the CAPPED BASKET
+    FRAME (corpus-sized) for three consumers, and the pinned cache starved
+    the fixed executor memory budget.  The one-pass shape aggregates
+    sentinel+singles+pairs in a single count groupBy that collapses
+    map-side to the co-occurrence vocabulary, and only THAT bounded frame
+    is checkpointed and reused.  Pin the property: the final plan reads the
+    checkpoint (ExistingRDD scans), never the corpus (no file scan below
+    the lift joins), and the support/basket-count joins broadcast the
+    vocabulary-bounded frames."""
+    plan = _plan(spark, "mine_frequent_pairs")
+    assert "Scan ExistingRDD" in plan, "lift joins must read the checkpointed aggregate"
+    assert "Scan parquet" not in plan, "corpus re-scan downstream of the checkpoint"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_chunk_windows_is_map_only(spark):
     """RAG chunking must be pure scan-side fan-out: sequence+explode+slice
     inside the task, ZERO Exchange anywhere in the plan."""
