@@ -79,6 +79,55 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     return best.select("id", "qv", F.col("dc.cid").alias("cluster"), F.col("dc.d2").alias("dist2"))
 
 
+def _assign_arrow(vecs: DataFrame, centroid_rows, id_t: str, block: int = 8192) -> DataFrame:
+    """Vectorized twin of _assign for corpus-scale k: argmin over the
+    centroid matrix via int64 numpy GEMM inside an Arrow mapInPandas task.
+
+    _assign's crossJoin(broadcast(centroids)) materializes n x k ROWS each
+    carrying two 64-long arrays through an interpreted zip_with fold; with
+    the SemDeDup contract k = ceil(n/2500) that row volume is QUADRATIC in
+    the corpus — the round-7 sf1->sf3 probe measured dedup_semantic at 6.1x
+    wall on 3x data with assignment dominating (SCALE.md §46).  Here the
+    bounded centroid table (k x 64 longs — k grows only as n/2500, ~123 KB
+    at sf3) is collected once and rides the task closure; each Arrow batch
+    computes d2 = |v|^2 - 2 v.C + |C|^2 exactly in int64 and argmins.
+    BIT-IDENTICAL to _assign: same integers (centered codes <= 128 keep
+    every term far inside int64), same tie rule (centroids sorted by cid
+    ascending, np.argmin returns the FIRST minimum = smallest cid —
+    matching min(struct(d2, cid))); agreement pytest-asserted."""
+    rows = sorted(centroid_rows, key=lambda r: r["cid"])
+    cids = [int(r["cid"]) for r in rows]
+    cvs = [[int(x) for x in r["cv"]] for r in rows]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cvs, dtype=np.int64)
+        c2 = (C * C).sum(axis=1)
+        cid_arr = np.array(cids, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            out_c = np.empty(n, dtype=np.int64)
+            out_d = np.empty(n, dtype=np.int64)
+            if n:
+                m = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                for lo in range(0, n, block):
+                    hi = min(lo + block, n)
+                    mb = m[lo:hi]
+                    d2 = (mb * mb).sum(axis=1)[:, None] - 2 * (mb @ C.T) + c2[None, :]
+                    j = d2.argmin(axis=1)
+                    out_c[lo:hi] = cid_arr[j]
+                    out_d[lo:hi] = d2[np.arange(hi - lo), j]
+            yield pd.DataFrame(
+                {"id": pdf["id"], "qv": pdf["qv"], "cluster": out_c, "dist2": out_d}
+            )
+
+    return vecs.mapInPandas(
+        assign, schema=f"id {id_t}, qv array<bigint>, cluster bigint, dist2 bigint"
+    )
+
+
 def _update(assigned: DataFrame) -> DataFrame:
     """New centroids: element-wise floor-mean of members (exact integers)."""
     ex = assigned.select("cluster", F.posexplode("qv").alias("pos", "q"))
@@ -135,15 +184,30 @@ def auto_cluster_count(n_rows: int, target: int = SEMANTIC_TARGET_CLUSTER_SIZE) 
 
 
 def _cluster_assignments(
-    df: DataFrame, vec_col: str, id_col: str, k: int, rounds: int
+    df: DataFrame, vec_col: str, id_col: str, k: int, rounds: int, kernel: str = "expr"
 ) -> DataFrame:
     """The SemDeDup blocking assignment (id, qv, cluster), computed ONCE and
     localCheckpoint-ed: the pair stage consumes it as BOTH self-join sides
     and the keep stage anti-joins against it — without the checkpoint Spark
     re-runs the whole iterative k-means lineage (quantize shuffle + per-round
     broadcast assign + centroid shuffle) once per consumer, ~4x the work at
-    any scale.  Size is n x (64-long array) — distributed, never collected."""
+    any scale.  Size is n x (64-long array) — distributed, never collected.
+
+    ``kernel="arrow"`` (the oversized-corpus path, same switch as the pair
+    kernel) assigns via _assign_arrow: per round the k-row centroid table is
+    collected (bounded — k = ceil(n/2500)) and distances vectorize in-task,
+    replacing _assign's quadratic n x k crossJoin row stream.  Bit-identical
+    results either way."""
     vecs = quantized_vectors(df, vec_col, id_col, center=128)
+    if kernel == "arrow":
+        id_t = dict(vecs.dtypes)["id"]
+        seed = (
+            vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
+        )
+        assigned = _assign_arrow(vecs, seed.collect(), id_t)
+        for _ in range(rounds):
+            assigned = _assign_arrow(vecs, _update(assigned).collect(), id_t)
+        return assigned.select("id", "qv", "cluster").localCheckpoint()
     centroids = (
         vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
     )
@@ -197,7 +261,7 @@ def semantic_dedup_pairs(
     assigned = (
         _assigned
         if _assigned is not None
-        else _cluster_assignments(df, vec_col, id_col, k, rounds)
+        else _cluster_assignments(df, vec_col, id_col, k, rounds, kernel=kernel)
     )
     # one cluster-keyed shuffle for the self-pairing; the fold/GEMM below is
     # the only per-pair work
@@ -260,7 +324,7 @@ def semantic_keep(df: DataFrame, vec_col: str, id_col: str, **kw) -> DataFrame:
     The clustering assignment is computed once (checkpointed) and shared by
     the pair stage and the final anti-join — see _cluster_assignments."""
     assigned = _cluster_assignments(
-        df, vec_col, id_col, kw.get("k", 8), kw.get("rounds", 1)
+        df, vec_col, id_col, kw.get("k", 8), kw.get("rounds", 1), kernel=kw.get("kernel", "expr")
     )
     pairs = semantic_dedup_pairs(df, vec_col, id_col, _assigned=assigned, **kw)
     drop = pairs.select(F.col("id_b").alias("id")).distinct()

@@ -145,6 +145,11 @@ def dedup_semantic(spark, sf_dir):
     # test_semantic_pair_kernels_agree_bit_for_bit), so the switch can never
     # change results — measured >13x at sf1.0: 106 s arrow vs a 22-minute
     # expr run that never finished (SCALE.md §40).
+    # kernel="arrow" also vectorizes the ASSIGNMENT (round-7: with
+    # k = ceil(n/2500), _assign's n x k crossJoin row stream is quadratic in
+    # the corpus — the sf1->sf3 probe measured 6.1x wall at 3x data with
+    # assignment dominating; the Arrow argmin-over-centroid-matrix kernel
+    # is bit-identical and re-measured 1.07x, SCALE.md §46).
     kernel = "expr" if n <= 20_000 else "arrow"
     return semantic_keep(
         emb, "embedding", "vec_id", k=k, rounds=1, tau_num=45, tau_den=100, kernel=kernel

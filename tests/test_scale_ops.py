@@ -198,6 +198,41 @@ def test_auto_cluster_count_holds_mean_cluster_size_constant():
         assert n / auto_cluster_count(n) <= 2500
 
 
+def test_semantic_assignment_kernels_agree_bit_for_bit(spark):
+    """The Arrow assignment kernel (round-7: _assign's n x k crossJoin was
+    the quadratic term left after §40 made pair work linear) must reproduce
+    the Catalyst assignment EXACTLY — same integer distances, same
+    ties-to-smallest-cid rule — across multiple Lloyd rounds."""
+    from etl_healthcare_spark.operators.clustering import _cluster_assignments
+
+    df = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws(":", F.col("id").cast("string"), i.cast("string")), 256),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    expr = sorted(
+        (r.id, r.cluster)
+        for r in _cluster_assignments(df, "embedding", "vec_id", k=5, rounds=2).collect()
+    )
+    arrow = sorted(
+        (r.id, r.cluster)
+        for r in _cluster_assignments(
+            df, "embedding", "vec_id", k=5, rounds=2, kernel="arrow"
+        ).collect()
+    )
+    assert expr == arrow and len(expr) == 120 and len({c for _, c in expr}) > 1
+
+
 def test_semantic_pair_kernels_agree_bit_for_bit(spark):
     """Integer math means the Catalyst self-join and the per-cluster int64
     GEMM Arrow kernel must produce IDENTICAL pairs — not just gap-separated
