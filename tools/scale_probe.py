@@ -43,7 +43,25 @@ def time_query(spark, name: str, sf_dir: str, measured: int = 2) -> float:
         if is_measured:
             best = min(best, elapsed)
         spark.catalog.clearCache()
+        _release_lingering_blocks(spark)
     return best
+
+
+def _release_lingering_blocks(spark) -> None:
+    """Unpersist RDD-level cached blocks (localCheckpoints) left by the query
+    just timed.  catalog.clearCache() only clears CATALOG-cached relations;
+    a query's internal localCheckpoint blocks linger until the ContextCleaner
+    notices the Python refs died — and at sf9 one query's checkpointed blocks
+    (GBs, half pinned by spark.memory.storageFraction) starved the NEXT
+    query's unmanaged read-ahead/shuffle buffers into a JVM heap OOM, failing
+    a probe at a scale the same query passes in a fresh session.  Production
+    pipelines release checkpoints between jobs; so does the probe."""
+    import gc
+
+    gc.collect()  # drop Python-side refs so unpersist is safe and complete
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()  # py4j map view
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(True)
 
 
 def main() -> None:
