@@ -150,19 +150,33 @@ CORE_12 = HEADLINE[:12]
 
 
 def _round_number(repo: Path) -> int:
-    """Current build round: $BENCH_ROUND if set, else inferred as (latest
-    driver CORRECTNESS round)+1.
+    """Current build round: $BENCH_ROUND if set, else the `round` field of
+    the last PROGRESS.jsonl line, else (latest driver CORRECTNESS round)+1.
 
-    The driver writes CORRECTNESS_r{N}.json at the END of round N, so while
-    round N is in progress the latest file on disk is r{N-1}.  The env
-    override exists because the inference mislabels a bench run that
-    happens AFTER the driver has already stamped round N (round-6 advice).
+    PROGRESS.jsonl is the driver's own heartbeat and carries the authoritative
+    in-progress round number, so it stays correct both mid-round AND when the
+    driver benches at end-of-round after CORRECTNESS_r{N}.json has landed —
+    the case the old `max(CORRECTNESS_r*)+1` inference mislabeled twice
+    (round-7 verdict item 2).  $BENCH_ROUND remains the explicit override.
     Used to stamp a per-round copy of the full bench map (round-5 verdict:
     overwriting BENCH_local_sf{sf}.json in place destroyed the raw data
     cross-round per-query forensics need)."""
     explicit = os.environ.get("BENCH_ROUND", "")
     if explicit.isdigit():
         return int(explicit)
+    progress = repo / "PROGRESS.jsonl"
+    if progress.exists():
+        for line in reversed(progress.read_text().splitlines()):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rnd = json.loads(line).get("round")
+            except (json.JSONDecodeError, AttributeError):
+                break
+            if isinstance(rnd, int) and rnd > 0:
+                return rnd
+            break
     rounds = [0]
     for f in repo.glob("CORRECTNESS_r*.json"):
         digits = f.stem.split("_r")[-1]

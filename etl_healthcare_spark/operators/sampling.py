@@ -713,7 +713,13 @@ def interleave_order(
     vocabulary-sized source-index frame (distinct sources ranked in a
     single-partition window over an aggregated ~|sources| rows — the same
     justified tiny-frame pattern as the IVF centroid fetch) broadcast back,
-    and map-only arithmetic.  A consumer materializes the order by
+    and map-only arithmetic.  That src_idx window is the one GLOBAL
+    (no-partition) window here, and it is safe at any corpus size because
+    its input is AGGREGATION-DESCENDED and bounded: Distinct collapses the
+    corpus to |sources| rows (training mixes have tens of sources) before
+    the window ever runs — the WindowExec "No Partition Defined" warning it
+    emits is expected, and test_plans.py asserts engine-wide that every
+    zero-partition window sits above an aggregate, never a corpus scan.  A consumer materializes the order by
     range-partitioning on global_order — no total sort on the driver, no
     skew (ranks are dense per source by construction).
 
@@ -807,7 +813,12 @@ def token_shards(
     window over the AGGREGATED bucket frame (|id range| / bucket_span rows —
     the g22_mode rule: windows only over aggregated tables) and broadcasts
     back; (3) the within-bucket cumulative window partitions by bucket, so
-    no window task ever holds more than bucket_span rows.  Requires
+    no window task ever holds more than bucket_span rows.  The prefix-sum
+    window in (2) is GLOBAL (no partition spec) by design — its input is
+    aggregation-descended and bounded (~1M-row frame per 1B-id corpus at the
+    default span), so the WindowExec "No Partition Defined" warning is
+    expected; test_plans.py asserts engine-wide that every zero-partition
+    window sits above an aggregate, never a corpus scan.  Requires
     non-negative integer ids (div = floor agreement; the grid/bin rule).
 
     Output (id, n_tokens, token_offset, shard): token_offset = tokens

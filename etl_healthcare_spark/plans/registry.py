@@ -708,17 +708,17 @@ from . import registry_opsdiag  # noqa: E402,F401
 # whatever order the modules happened to register in.  The remaining queries
 # follow in their original registration order and are checked by the local
 # harness (tools/check.py) at every scale factor.
-# Round-7 rotation: external correctness evidence accumulates one 50-query
+# Round-8 rotation: external correctness evidence accumulates one 50-query
 # window per round.  14 slots below are pinned — each is the ONLY
 # oracle-backed representative of a family the plan suite requires in the
 # window (q2_/g1_/g7_/j6_/w3_/set_ops/o2_/p1_/v2_/u1_/g10_/sq_/scalar_/
-# cluster_) — the other 36 slots rotate to first-time names each round,
-# proposed mechanically by tools/rotate_window.py.  Round-7 change: the
-# rotation now also excludes the 77 names the JUDGE oracle-audited in
-# rounds 4–6 (tools/rotate_window.py:JUDGE_AUDITED, recovered from the
-# VERDICT.md git history), so every rotating slot is a genuinely
-# never-externally-confirmed name; after this window the backlog is 45.
-# COVERAGE.md keeps the ledger of externally-confirmed queries.
+# cluster_) — the other 36 slots rotate each round, proposed mechanically by
+# tools/rotate_window.py.  Round-8 change of target: every registry query
+# now has at least one EXTERNAL hash-match (round-7 verdict), so the rotation
+# now drains the never-DRIVER-confirmed backlog — names whose only external
+# evidence is a judge audit get driver-grade confirmation (fresh process,
+# driver's own DuckDB).  33 first-time-in-driver names this window; backlog
+# after it: 17.  COVERAGE.md keeps the ledger.
 DRIVER_WINDOW: list[str] = [
     # --- pinned family representatives (sole member of a required family) ---
     "q2_observations_by_patient",  # serving
@@ -736,47 +736,45 @@ DRIVER_WINDOW: list[str] = [
     "scalar_functions",            # scalar surface (§2.11)
     "cluster_kmeans",              # corpus clustering
     # --- family probes (plan suite requires one member of each in-window;
-    #     fresh members where the family still has any, else a re-verify) ---
+    #     never-driver-confirmed members where the family still has any) ---
     "curation_quality_funnel",
     "anomaly_iqr",
     "sketch_histogram_quantiles",
-    "search_related_docs",
+    "search_eval_mrr",
     "stream_g1_windowed",
-    "mm_pixel_stats",
+    "mm_audio_windows",
     "dedup_span_overlap",
-    "sim_int8_quant",
-    "text_tokens",
-    "sample_temperature",
+    "sim_l2_normalize",
+    "text_rare_tokens",
+    "sample_shard_export",
     "eval_lift_deciles",
     "maint_encoding_advisor",
     "privacy_l_diversity",
-    # --- round-7 first-time rotation: io round trips ---
-    "io_orc_roundtrip",
-    "io_jsonl_roundtrip",
-    "io_jsonl_gzip_roundtrip",
-    # --- round-7 first-time rotation: the profiler family ---
-    "profile_table",
-    "profile_key_skew",
-    "profile_drift_tvd",
-    "profile_fk_orphans",
-    "profile_embedding_drift",
-    "profile_freshness",
-    # --- round-7 first-time rotation: layout advisors ---
-    "layout_zorder",
-    "layout_range_bounds",
-    "layout_compaction",
-    # --- round-7 first-time rotation: remaining never-confirmed names ---
-    "g19_ohlc_bars",
-    "p14_unit_normalize",
-    "text_fingerprint",
-    "mm_resize_plan",
-    "mm_frame_sample",
-    "text_rolling_hash",
-    "link_blocking_quality",
-    "array_map_functions",
-    "map_json_functions",
-    "g10b_unpivot",
-    "g12_salted_skew_agg",
+    # --- round-8 first-time-in-driver rotation: judge-r7-audited names get
+    #     driver-grade confirmation (fresh process, driver's own DuckDB) ---
+    "p10_fanout",
+    "pack_sequences",
+    "text_normalize",
+    "corpus_stats",
+    "text_token_topk",
+    "text_quality_gate",
+    "text_url_extract",
+    "mm_gif_frames",
+    "w9_autocov",
+    "g21_cross_covariance",
+    "corpus_chi2_keyness",
+    "mm_audio_autocorr",
+    "g22_mode",
+    "sim_recall_report",
+    "sample_mixture_plan",
+    "g24_trimmed_mean",
+    "sim_hard_negatives",
+    "sql_topn_hours",
+    "sample_prototype_prune",
+    "sample_interleave_order",
+    "sim_mrl_rerank",
+    "training_prep_e2e",
+    "sample_token_shards",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -488,4 +488,8 @@ def profile_candidate_keys(spark, sf_dir):
         .unionByName(profile(okln, _KEY_COMBOS[3]))
         .unionByName(profile(pksk, _KEY_COMBOS[12]))
         .unionByName(profile(skc, _KEY_COMBOS[14]))
+        # empty-table edge: a global agg over empty input emits one row of
+        # NULLs per combo while the GROUPING SETS oracle emits 0 rows
+        # (round-7 advice) — drop the degenerate rows so the twins agree
+        .where(F.col("n_groups") > 0)
     )

@@ -774,3 +774,77 @@ def test_window_rotation_proposer_emits_a_valid_window():
             ), f"{n} wastes a rotating slot while {len(backlog)} names are unconfirmed"
     # bookkeeping identity: fresh names are either in the window or the backlog
     assert fresh_pool == {n for n in window if n in fresh_pool} | set(backlog)
+
+
+# --- global (unpartitioned) windows -----------------------------------------
+# A WindowExec with no partition spec runs in ONE task; it is only legal over
+# a frame that aggregation (or an explicit limit) has already collapsed to a
+# bounded size — never over a corpus scan (round-7 verdict item 4).  Two
+# layers of defense: the static allowlist below forces any NEW unpartitioned
+# window through this test, and the plan check proves each allowlisted site's
+# window input is aggregate/limit-descended in the optimized logical plan.
+
+GLOBAL_WINDOW_SITES = {
+    # file -> queries exercising its unpartitioned window(s)
+    "operators/sampling.py": ["sample_interleave_order", "sample_token_shards"],
+    "operators/stats.py": ["stat_ks_two_sample", "stat_mann_whitney"],
+    "operators/bucketing.py": ["layout_range_bounds"],
+    "operators/similarity.py": ["sim_mrl_rerank"],
+}
+
+
+def test_every_unpartitioned_window_site_is_allowlisted():
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "etl_healthcare_spark"
+    out = subprocess.run(
+        ["grep", "-rln", r"Window\.orderBy", str(root)], capture_output=True, text=True
+    ).stdout
+    sites = {str(pathlib.Path(p).relative_to(root)) for p in out.split() if p}
+    assert sites == set(GLOBAL_WINDOW_SITES), (
+        f"unpartitioned Window sites changed: {sites ^ set(GLOBAL_WINDOW_SITES)} — "
+        "a global window is a single-task stage; prove its input is bounded "
+        "(aggregate- or limit-descended) and extend GLOBAL_WINDOW_SITES"
+    )
+
+
+def _bounded_subtree(node) -> bool:
+    """True iff every path from `node` to a leaf passes through a node that
+    bounds the row count (Aggregate/Distinct collapse to group cardinality,
+    Limit to a constant)."""
+    if node.getClass().getSimpleName() in (
+        "Aggregate",
+        "Distinct",
+        "GlobalLimit",
+        "LocalLimit",
+    ):
+        return True
+    ch = node.children()
+    if ch.size() == 0:
+        return False
+    return all(_bounded_subtree(ch.apply(i)) for i in range(ch.size()))
+
+
+def test_global_windows_run_over_bounded_frames_only(spark):
+    for queries in GLOBAL_WINDOW_SITES.values():
+        for name in queries:
+            df = REGISTRY[name].fn(spark, SF)
+            plan = df._jdf.queryExecution().optimizedPlan()
+            n_global = 0
+            stack = [plan]
+            while stack:
+                node = stack.pop()
+                ch = node.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+                if (
+                    node.getClass().getSimpleName() == "Window"
+                    and node.partitionSpec().size() == 0
+                ):
+                    n_global += 1
+                    kids = node.children()
+                    assert all(
+                        _bounded_subtree(kids.apply(i)) for i in range(kids.size())
+                    ), f"{name}: unpartitioned window over an unbounded frame"
+            assert n_global >= 1, f"{name}: expected a global window in the plan"

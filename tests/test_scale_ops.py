@@ -233,6 +233,35 @@ def test_semantic_assignment_kernels_agree_bit_for_bit(spark):
     assert expr == arrow and len(expr) == 120 and len({c for _, c in expr}) > 1
 
 
+def test_semantic_collect_k_guard_raises_with_migration_note():
+    """Past the driver-collect ceiling the arrow path must fail with the
+    documented IVF-coarse-quantizer migration pointer, not a driver OOM
+    (round-7 verdict item 5)."""
+    import pytest
+
+    from etl_healthcare_spark.operators.clustering import (
+        SEMANTIC_MAX_COLLECT_K,
+        _guard_collect_k,
+    )
+
+    _guard_collect_k(SEMANTIC_MAX_COLLECT_K)  # at the ceiling: fine
+    with pytest.raises(ValueError, match="IVF coarse-quantizer"):
+        _guard_collect_k(SEMANTIC_MAX_COLLECT_K + 1)
+
+
+def test_assign_arrow_empty_centroids_returns_empty(spark):
+    """An empty centroid table must early-return an empty typed frame — the
+    numpy kernel would AxisError on a 1-D empty C matrix (round-7 advice)."""
+    from etl_healthcare_spark.operators.clustering import _assign_arrow
+
+    vecs = spark.range(0).select(
+        F.col("id"), F.array(F.lit(1).cast("bigint")).alias("qv")
+    )
+    out = _assign_arrow(vecs, [], "bigint")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "qv", "cluster", "dist2"]
+
+
 def test_semantic_pair_kernels_agree_bit_for_bit(spark):
     """Integer math means the Catalyst self-join and the per-cluster int64
     GEMM Arrow kernel must produce IDENTICAL pairs — not just gap-separated
