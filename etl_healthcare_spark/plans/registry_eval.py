@@ -468,16 +468,23 @@ def profile_candidate_keys(spark, sf_dir):
     # counts DERIVE from the fine set's (sum of (ok, ln) counts per ok =
     # rows per ok), which both stays in-stage (hashpartitioning(ok) still
     # clusters the sub-grouping) and makes the two union branches share the
-    # exchange subtree verbatim -> ReusedExchange, one scan+shuffle per pair
+    # exchange subtree verbatim -> ReusedExchange, one scan+shuffle per pair.
+    # The exchanges are SIZE-AWARE (operators/exchange.py): these grouping
+    # sets are near-unique, so each reduce task must hold ~its whole input
+    # as exact groups — under the fixed session partition count the hash map
+    # outgrows execution memory and the sf3->sf9 probe measured a 4.78x
+    # compounding spill cascade; sized tasks re-measured 3.2x (SCALE.md §48)
+    from ..operators.exchange import sized_shuffle_partitions
+
+    ok2 = li.select("l_orderkey", "l_linenumber")
+    pk2 = li.select("l_partkey", "l_suppkey")
     okln = (
-        li.select("l_orderkey", "l_linenumber")
-        .repartition(F.col("l_orderkey"))
+        ok2.repartition(sized_shuffle_partitions(ok2), F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_linenumber")
         .agg(cnt)
     )
     pksk = (
-        li.select("l_partkey", "l_suppkey")
-        .repartition(F.col("l_suppkey"))
+        pk2.repartition(sized_shuffle_partitions(pk2), F.col("l_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(cnt)
     )

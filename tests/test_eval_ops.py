@@ -227,6 +227,40 @@ def test_candidate_keys_shares_prefix_exchanges_no_expand(spark):
     assert plan.count("ReusedExchange") >= 2, "prefix pairs must share their exchange"
 
 
+def test_candidate_keys_exchanges_are_size_aware(spark):
+    """Round-8 fix (SCALE.md §48): near-unique-key exact aggregation must
+    size its reduce tasks by input bytes, not the session constant — under
+    fixed partitions the per-task hash map grows with the corpus until the
+    aggregate degrades into a compounding sort-spill cascade (measured
+    4.78x wall at 3x data sf3->sf9; sized: 2.52x).  The helper must (a)
+    floor at the session default so tiny inputs keep their plan, and (b)
+    grow the count once stats outrun the per-task target."""
+    from etl_healthcare_spark.operators.exchange import sized_shuffle_partitions
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny input -> session floor
+    assert sized_shuffle_partitions(li) == session_default
+    # shrink the per-task target below the input's stats -> count must scale
+    # with stats bytes (and respect the cap)
+    stats = int(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert stats > 4096
+    sized = sized_shuffle_partitions(li, target_stats_bytes=4096)
+    assert sized == -(-stats // 4096) > session_default
+    assert sized_shuffle_partitions(li, target_stats_bytes=1, cap=64) == 64
+    # and the registered query actually uses it: every corpus repartition
+    # carries an explicit numPartitions (rendered as ", N" after the keys;
+    # an unsized one renders bare "RepartitionByExpression [keys]")
+    import re
+
+    df = REGISTRY["profile_candidate_keys"].fn(spark, "/root/testdata/sf0.001")
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    reps = re.findall(r"RepartitionByExpression \[[^\]]*\](, \d+)?", lp)
+    assert reps and all(r for r in reps), lp[:2000]
+
+
 # ---------------------------------------------------------------------------
 # classifier evaluation batch (registry_evalml)
 # ---------------------------------------------------------------------------
