@@ -544,29 +544,61 @@ def layout_zonemap_prune(spark, sf_dir):
     "join is free (THE 100 TB fact-to-fact strategy; SortMergeJoin hint "
     "pins the shape so a small-SF broadcast cannot hide the co-location — "
     "plan-tested).  The oracle is the plain join+agg: bucketing must change "
-    "the PLAN, never the rows.",
+    "the PLAN, never the rows.  The bucketed store is WRITE-ONCE per source "
+    "dataset (same discipline as q2_partitioned_store): its path and table "
+    "names are keyed on (sf_dir, orders+lineitem size+mtime), a complete "
+    "store is reused — re-registered in a fresh session's catalog without "
+    "rewriting — and stale keys are wiped before a new write.  Repeated "
+    "bench/probe runs previously leaked a full bucketed copy of both "
+    "tables per invocation (uuid-named mkdtemp).",
 )
 def j11_bucketed_join(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
     import tempfile
-    import uuid
 
-    from ..operators.bucketing import write_bucketed
-
-    tag = uuid.uuid4().hex[:8]
-    d = tempfile.mkdtemp(prefix="bucketed_join_")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    ta, tb = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
-    (
-        o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", f"{d}/orders").saveAsTable(ta)
-    )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", f"{d}/lineitem").saveAsTable(tb)
-    )
+    sta = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stb = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{sta.st_size}|{sta.st_mtime_ns}"
+        f"|{stb.st_size}|{stb.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "etl_spark_bucketed_join")
+    d = os.path.join(root, key)
+    ta, tb = f"bj_orders_{key}", f"bj_lineitem_{key}"
+
+    def _register(table, df, path, bucket_col):
+        """External bucketed-table DDL over EXISTING files — a fresh session
+        has the parquet but not the catalog entry carrying the bucket spec."""
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) INTO 8 BUCKETS "
+            f"LOCATION '{path}'"
+        )
+
+    if all(os.path.exists(os.path.join(d, t, "_SUCCESS")) for t in ("orders", "lineitem")):
+        if not spark.catalog.tableExists(ta):
+            _register(ta, o, f"{d}/orders", "o_orderkey")
+        if not spark.catalog.tableExists(tb):
+            _register(tb, li, f"{d}/lineitem", "l_orderkey")
+    else:
+        shutil.rmtree(root, ignore_errors=True)  # stale keys die here
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{d}/orders").saveAsTable(ta)
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{d}/lineitem").saveAsTable(tb)
+        )
     j = (
         spark.table(ta)
         .hint("merge")

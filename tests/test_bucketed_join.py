@@ -30,3 +30,19 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_fact_a")
         spark.sql("DROP TABLE IF EXISTS bt_fact_b")
+
+
+def test_j11_store_is_write_once(spark):
+    """The registered j11 query must not leak a new bucketed copy of both
+    fact tables per invocation (round-8 fix: uuid-named mkdtemp leaked ~6 GB
+    per probe run at sf9).  Same discipline as q2_partitioned_store: one
+    content-keyed dir, reused across calls, stale keys wiped."""
+    import glob
+
+    from etl_healthcare_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["j11_bucketed_join"].fn
+    r1 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    r2 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert r1 == r2 and len(r1) > 0
+    assert len(glob.glob("/tmp/etl_spark_bucketed_join/*")) == 1
