@@ -130,6 +130,24 @@ def generate(sf: float, outdir: str, only: set[str] | None = None) -> None:
     langs = list(MARKERS)
     lang_arr = "[" + ",".join(f"'{x}'" for x in langs) + "]"
     vocab_arr = "[" + ",".join(f"'{w}'" for w in VOCAB) + "]"
+    # GEN_HEAPS_VOCAB=1: grow the content vocabulary with the corpus
+    # (V ~ 2*sqrt(n_docs), Heaps' law beta=0.5) instead of the fixed
+    # 28-word list.  The fixed list is ADVERSARIALLY dense at multi-million
+    # docs: random shingles collide so often that LSH candidate-pair count
+    # itself grows super-linearly (measured 4.17x pairs at 3x docs,
+    # sf3->sf9), which makes minhash-family probe ratios measure the
+    # SYNTHETIC corpus, not the engine.  Real corpora keep minting new
+    # vocabulary, so near-dup density stays ~linear in planted dups.
+    # Opt-in so every previously generated dir stays reproducible.
+    n_vocab = len(VOCAB)
+    if os.environ.get("GEN_HEAPS_VOCAB") == "1":
+        n_vocab = max(len(VOCAB), int(2 * n["documents"] ** 0.5))
+    vocab_word = (
+        f"CASE WHEN CAST(hash('dw' || seed_id || ':' || j) % {n_vocab} AS BIGINT)"
+        f" < {len(VOCAB)} THEN {vocab_arr}[1 + CAST(hash('dw' || seed_id || ':' || j)"
+        f" % {len(VOCAB)} AS BIGINT)] ELSE 'w' || CAST(hash('dw' || seed_id || ':' || j)"
+        f" % {n_vocab} AS BIGINT) END"
+    )
     marker_arr = "[" + ",".join(
         "[" + ",".join(f"'{w}'" for w in MARKERS[x]) + "]" for x in langs
     ) + "]"
@@ -148,7 +166,7 @@ def generate(sf: float, outdir: str, only: set[str] | None = None) -> None:
                list_transform(range(20 + CAST(hash('dn' || seed_id) % 60 AS BIGINT)),
                  j -> CASE WHEN CAST(hash('dm' || seed_id || ':' || j) % 10 AS BIGINT) < 2
                            THEN {marker_arr}[lang_ix][1 + CAST(hash('dmk' || seed_id || ':' || j) % 5 AS BIGINT)]
-                           ELSE {vocab_arr}[1 + CAST(hash('dw' || seed_id || ':' || j) % {len(VOCAB)} AS BIGINT)] END) AS ws
+                           ELSE {vocab_word} END) AS ws
         FROM base
       )
       SELECT i AS doc_id,

@@ -55,13 +55,22 @@ def _release_lingering_blocks(spark) -> None:
     (GBs, half pinned by spark.memory.storageFraction) starved the NEXT
     query's unmanaged read-ahead/shuffle buffers into a JVM heap OOM, failing
     a probe at a scale the same query passes in a fresh session.  Production
-    pipelines release checkpoints between jobs; so does the probe."""
+    pipelines release checkpoints between jobs; so does the probe.
+
+    ALSO force a JVM GC: shuffle files are deleted only when ContextCleaner
+    processes the ShuffleDependency's weak reference, which needs a JVM GC
+    cycle — Python-side gc.collect() never triggers one, so a multi-query
+    sf9 session accumulated 33 GB of dead shuffle files in blockmgr and the
+    probe died on disk, twice (round 8).  One System.gc() per timed run
+    bounds blockmgr at ~one query's working set."""
     import gc
 
     gc.collect()  # drop Python-side refs so unpersist is safe and complete
     jmap = spark.sparkContext._jsc.getPersistentRDDs()  # py4j map view
     for jrdd in list(jmap.values()):
         jrdd.unpersist(True)
+    spark._jvm.System.gc()  # let ContextCleaner reap dead shuffle files
+    time.sleep(1.0)  # cleaner runs async; give it a beat before the next run
 
 
 def main() -> None:
