@@ -59,14 +59,30 @@ def minhash_signatures(
     )
     slices = 64 // width  # independent slices per sha256 hex digest
     digests = {g: F.sha2(F.concat(F.lit(f"{g}:"), F.col("s")), 256) for g in range((n + slices - 1) // slices)}
+    # Aggregate the slices as BIGINTs, not hex strings: a min(string) buffer
+    # is not UnsafeRow-mutable, so Spark plans the groupBy as SORTAGGREGATE —
+    # a full sort of the exploded shingle stream (n x 16 x 12-char rows
+    # through the sorter, n log n + spill), measured 4.7x wall at 3x data on
+    # the sf3->sf9 probe (SCALE.md §48).  A 12-hex slice is 48 bits, exact in
+    # a long; min over the numeric value picks the SAME winner as min over
+    # the fixed-length lowercase-hex string (lexicographic == numeric there),
+    # and the post-agg re-format emits the identical hex so every downstream
+    # band key, pair, and oracle hash is unchanged — but the agg is now a
+    # HashAggregate with map-side partial combine (plan-asserted).
     hashed = sh.select(
         "doc",
         *[
-            F.substring(digests[i // slices], 1 + width * (i % slices), width).alias(f"h{i}")
+            F.conv(F.substring(digests[i // slices], 1 + width * (i % slices), width), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
             for i in range(n)
         ],
     )
-    return hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)])
+    mins = hashed.groupBy("doc").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(n)])
+    return mins.select(
+        "doc",
+        *[F.lower(F.lpad(F.hex(F.col(f"m{i}")), width, "0")).alias(f"mh{i}") for i in range(n)],
+    )
 
 
 def minhash_bands(

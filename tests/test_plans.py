@@ -848,3 +848,16 @@ def test_global_windows_run_over_bounded_frames_only(spark):
                         _bounded_subtree(kids.apply(i)) for i in range(kids.size())
                     ), f"{name}: unpartitioned window over an unbounded frame"
             assert n_global >= 1, f"{name}: expected a global window in the plan"
+
+
+def test_minhash_signature_agg_is_hash_based(spark):
+    """The signature groupBy(doc) must plan as HashAggregate, never
+    SortAggregate: min(string) buffers are not UnsafeRow-mutable, so the
+    hex-string form silently sorted the WHOLE exploded shingle stream
+    (n x 16-slice rows through the sorter, n log n + spill) — measured 4.7x
+    wall at 3x data on the sf3->sf9 probe before the long-slice rewrite
+    (SCALE.md §48).  Every minhash consumer (lsh/scored/containment, CC
+    clusters, pagerank, survivorship, cluster weights) rides this plan."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "SortAggregate" not in plan, "signature agg degraded to sort-based"
+    assert "HashAggregate" in plan
