@@ -1,0 +1,89 @@
+"""Scalable lexicographic argmax: latest-row-per-group without sorting the
+corpus (reference semantics: latestObservation, services/api-query/src/
+handler.ts:110-139, generalized per SURVEY §2.8 Q3 / §2.4 G6).
+
+Why not ``max_by(struct(payload), struct(order, tie))``: MaxBy/MinBy are
+declarative aggregates whose buffer holds the ordering AND the value
+expression.  A struct buffer is not UnsafeRow-mutable, so
+``HashAggregateExec.supportsAggregate`` rejects the plan and Spark falls
+back to SortAggregate — a per-partition SORT of the full corpus on the
+group keys, partial and final, with spill.  The sf3→sf9 probe campaign
+measured this exact plan class at 4.70× wall per 3× data on the minhash
+signature aggregation before its fixed-width rewrite (SCALE.md §48); the
+latest-per-group family has the same shape and inherits the same fate at
+100 TB.
+
+The recipe here is a TWO-PHASE argmax per order column, all hash, no sort:
+
+  phase k over order column ``o_k``:
+    m  = cur.groupBy(g).agg(max(o_k))          -- HashAggregate: the buffer
+                                                  is one fixed-width value,
+                                                  partial map-side combine,
+                                                  shuffle is groups-sized
+    cur = cur ⋈ m on (g, o_k == max)           -- shuffled-hash equi-join
+                                                  (hinted: never SortMerge,
+                                                  AQE upgrades to broadcast
+                                                  when m is small)
+
+  After phase 1, ``cur`` holds only rows achieving their group's max order
+  value — at most (ties) rows per group, i.e. groups-sized, so every later
+  phase aggregates and joins bounded frames.  Iterating over
+  ``[order, tie1, tie2, …]`` computes the exact lexicographic argmax.
+
+Cost at scale: phase 1 is one corpus-wide HASH exchange (the join probe
+side) + a groups-sized aggregate — O(n) shuffle, zero sorts, zero spill of
+sorted runs.  The SortAggregate alternative sorts every corpus partition
+(O(n log n) + sorter spill) before the same groups-sized shuffle.
+
+Determinism contract: the LAST order column must be unique within
+(group, preceding order columns) for a single-row-per-group result — the
+callers here use event/observation ids, unique by construction.  With
+duplicates, all maximal rows are returned (the row_number-over-desc oracle
+would pick one arbitrarily, so callers must supply a true tiebreak anyway).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def argmax_rows(df: DataFrame, group_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """All columns of the row maximizing ``order_cols`` lexicographically,
+    one row per group (see module docstring for the plan-shape argument).
+
+    Every order column must be a fixed-width orderable type (numeric,
+    timestamp, date, boolean) so each phase's ``max`` buffer is
+    UnsafeRow-mutable; this is asserted eagerly rather than silently
+    degrading to a sort-based plan.
+    """
+    _FIXED = ("int", "bigint", "smallint", "tinyint", "double", "float",
+              "date", "boolean")
+    dtypes = dict(df.dtypes)
+    for oc in order_cols:
+        t = dtypes[oc]
+        if not (t in _FIXED or t.startswith("decimal") or t.startswith("timestamp")):
+            raise ValueError(
+                f"argmax_rows order column {oc!r} has non-fixed-width type {t};"
+                " a hash-aggregable max needs a fixed-width buffer — encode it"
+                " (order-isomorphic) first"
+            )
+    cur = df
+    for i, oc in enumerate(order_cols):
+        g_alias = [F.col(c).alias(f"__g{i}_{c}") for c in group_cols]
+        m = (
+            cur.groupBy(*group_cols)
+            .agg(F.max(oc).alias(f"__m{i}"))
+            .select(*g_alias, f"__m{i}")
+        )
+        cond: Column = reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.col(f"__g{i}_{c}") for c in group_cols]
+            + [F.col(oc) == F.col(f"__m{i}")],
+        )
+        cur = cur.join(m.hint("shuffle_hash"), on=cond, how="inner").drop(
+            f"__m{i}", *[f"__g{i}_{c}" for c in group_cols]
+        )
+    return cur

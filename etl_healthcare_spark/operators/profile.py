@@ -24,16 +24,42 @@ from pyspark.sql import functions as F
 
 
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Long-format profile: (column, n_rows, n_null, n_distinct, min_s, max_s)."""
+    """Long-format profile: (column, n_rows, n_null, n_distinct, min_s, max_s).
+
+    Plan shape (round-9 fix): min/max over STRING columns have non-mutable
+    aggregation buffers, and the multi-count_distinct Expand gives the
+    partial aggregate GROUPING KEYS — together the single wide aggregate
+    planned SortAggregate over a Sort of the k×-expanded corpus (measured
+    super-linear class, SCALE.md §48).  Split: branch A keeps the counts,
+    distincts, and numeric min/max (all fixed-width buffers → HashAggregate
+    even under the Expand — string columns appear only as grouping keys,
+    which hash fine); branch B computes the string min/max in a GLOBAL
+    aggregate with no grouping keys, where SortAggregate degenerates to a
+    sort-free per-partition fold (requiredChildOrdering is empty) over a
+    scan pruned to just the string columns.  The two 1-row frames broadcast-
+    cross-join back together.  Zero Sort nodes anywhere (plan-pinned).
+    """
+    str_cols = [c for c, t in df.dtypes if c in cols and t == "string"]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
             F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
+        if c not in str_cols:
+            aggs += [
+                F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+            ]
     wide = df.agg(*aggs)
+    if str_cols:
+        str_aggs = []
+        for c in str_cols:
+            str_aggs += [
+                F.min(F.col(c)).alias(f"_min_{c}"),
+                F.max(F.col(c)).alias(f"_max_{c}"),
+            ]
+        wide = wide.crossJoin(F.broadcast(df.select(*str_cols).agg(*str_aggs)))
     stack_args = []
     for c in cols:
         stack_args += [f"'{c}'", f"_null_{c}", f"_nd_{c}", f"_min_{c}", f"_max_{c}"]

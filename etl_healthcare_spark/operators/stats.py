@@ -380,17 +380,24 @@ def weighted_median(
         ),
         F.sum("binw").over(wg).alias("total_weight"),
     )
+    # first crossing bin per group: scalar min/min_by aggregates only —
+    # min_by(struct, bin) buffers a struct (not UnsafeRow-mutable) and
+    # planned SortAggregate; min_by(long, long) buffers two longs and stays
+    # HashAggregate (bin is unique per grp in the histogram, so the three
+    # scalar picks land on the same row — no tie ambiguity).
     crossing = (
         cum.where(2 * F.col("cum_end") >= F.col("total_weight"))
         .groupBy("grp")
         .agg(
-            F.min_by(F.struct("bin", "cum_end", "binw"), "bin").alias("c"),
+            F.min("bin").alias("c_bin"),
+            F.min_by("cum_end", "bin").alias("c_cum_end"),
+            F.min_by("binw", "bin").alias("c_binw"),
             F.max("total_weight").alias("total_weight"),
         )
         .select(
             F.col("grp").alias("xgrp"),
-            F.col("c.bin").alias("xbin"),
-            (F.col("c.cum_end") - F.col("c.binw")).alias("cum_before"),
+            F.col("c_bin").alias("xbin"),
+            (F.col("c_cum_end") - F.col("c_binw")).alias("cum_before"),
             "total_weight",
         )
     )

@@ -75,11 +75,25 @@ def latest_per_group(
     order_col: str = "effectiveDateTime",
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """G6 generalized: newest full row per group via max_by (beats the
-    row_number window at scale — partial aggregation map-side, no sort).
-    Pass ``tiebreak`` columns to make the pick total under order-col ties
-    (max_by alone is free to return any tied row)."""
+    """G6 generalized: newest full row per group.  Pass ``tiebreak`` columns
+    to make the pick total under order-col ties (otherwise any tied row may
+    be returned).
+
+    Plan shape: the two-phase hash argmax (operators/argmax.py) when every
+    order column is fixed-width — HashAggregate + shuffled-hash join-back,
+    never a corpus sort.  The max_by(struct, struct) form this replaces has
+    non-mutable buffers and silently planned SortAggregate, the plan class
+    the sf3→sf9 probe measured super-linear (SCALE.md §48); it remains only
+    as the fallback for non-fixed-width (e.g. string) order columns, where
+    the hash buffer is structurally unavailable."""
+    from ..operators.argmax import argmax_rows
+
     cols = obs.columns
+    if tiebreak:  # argmax returns ALL maximal rows; only total orders qualify
+        try:
+            return argmax_rows(obs, list(group_cols), [order_col, *tiebreak]).select(*cols)
+        except ValueError:
+            pass  # non-fixed-width order column: fall through to max_by
     key = F.struct(F.col(order_col), *[F.col(c) for c in (tiebreak or [])])
     return (
         obs.groupBy(*group_cols)

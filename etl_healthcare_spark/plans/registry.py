@@ -185,23 +185,31 @@ def q2_partitioned_store(spark, sf_dir):
     """,
     doc="Q3 latestObservation, true latest per (patient, code) — implements the "
     "intended semantics, not the reference's 50-row scan-window bug "
-    "(api-query/src/handler.ts:110-139; SURVEY §2.8).",
+    "(api-query/src/handler.ts:110-139; SURVEY §2.8).  Plan shape: two-phase "
+    "hash argmax (operators/argmax.py) — the prior max_by(struct, struct) "
+    "form planned SortAggregate (struct buffers are not UnsafeRow-mutable) "
+    "and sorted the full tenant stream per group key, the plan class the "
+    "sf3→sf9 probe measured at 4.70× per 3× data on minhash before its "
+    "fixed-width fix (SCALE.md §48).  Now: HashAggregate max(ts) + "
+    "shuffled-hash join-back, then groups-sized tiebreak on obsId — zero "
+    "sorts anywhere (plan-pinned in test_plans.py).",
 )
 def q3_latest_observation(spark, sf_dir):
+    from ..operators.argmax import argmax_rows
+
     o = observations(spark, sf_dir).where(F.col("tenantId") == "t1")
-    cols = ["tenantId", "patientId", "code", "value", "effectiveDateTime", "obsId"]
-    # max_by on (ts, obsId) tiebreak: single partial-aggregable shuffle, no sort
-    return (
-        o.groupBy("tenantId", "patientId", "code")
-        .agg(F.max_by(F.struct(*cols), F.struct(F.col("effectiveDateTime"), F.col("obsId"))).alias("r"))
-        .select(
-            "r.tenantId",
-            "r.patientId",
-            "r.code",
-            "r.value",
-            F.unix_micros("r.effectiveDateTime").alias("eff_us"),
-            "r.obsId",
-        )
+    win = argmax_rows(
+        o.select("tenantId", "patientId", "code", "value", "effectiveDateTime", "obsId"),
+        ["tenantId", "patientId", "code"],
+        ["effectiveDateTime", "obsId"],
+    )
+    return win.select(
+        "tenantId",
+        "patientId",
+        "code",
+        "value",
+        F.unix_micros("effectiveDateTime").alias("eff_us"),
+        "obsId",
     )
 
 
@@ -397,15 +405,25 @@ def g5_percentiles(spark, sf_dir):
                                        ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
     """,
-    doc="G6 latest-per-group via max_by — the latestObservation core "
-    "(api-query/src/handler.ts:110-139) generalized.",
+    doc="G6 latest-per-group — the latestObservation core "
+    "(api-query/src/handler.ts:110-139) generalized.  Two-phase hash argmax "
+    "(operators/argmax.py): max_by with a struct(ts, event_id) ordering key "
+    "planned SortAggregate (non-mutable buffer → per-partition sort of the "
+    "full event stream, the SCALE.md §48 super-linear class); the argmax "
+    "form is HashAggregate + shuffled-hash join-back, sort-free end to end.",
 )
 def g6_max_by_latest(spark, sf_dir):
+    from ..operators.argmax import argmax_rows
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event_id"),
-        F.unix_micros(F.max("ts")).alias("last_ts_us"),
-    )  # Spark side stays max_by: partial-aggregable, no per-group sort
+    win = argmax_rows(
+        ev.select("user_id", "ts", "event_id"), ["user_id"], ["ts", "event_id"]
+    )
+    return win.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+    )
 
 
 @register(

@@ -850,6 +850,44 @@ def test_global_windows_run_over_bounded_frames_only(spark):
             assert n_global >= 1, f"{name}: expected a global window in the plan"
 
 
+def test_latest_per_group_argmax_is_hash_and_sort_free(spark):
+    """q3 (the flagship) and g6 must never sort the corpus: the old
+    max_by(struct, struct) form had non-UnsafeRow-mutable buffers and planned
+    SortAggregate over a per-partition Sort of the full stream — the plan
+    class the sf3→sf9 probe measured at 4.70× wall per 3× data on minhash
+    (SCALE.md §48).  The two-phase hash argmax (operators/argmax.py) must
+    plan HashAggregate + shuffled-hash (or broadcast) join-back: zero Sort
+    nodes, zero SortAggregate, zero SortMergeJoin."""
+    for name in ("q3_latest_observation", "g6_max_by_latest"):
+        plan = _plan(spark, name)
+        assert "SortAggregate" not in plan, f"{name}: argmax degraded to sort-based agg"
+        assert "Sort (" not in plan, f"{name}: a Sort node crept into the argmax plan"
+        assert "SortMergeJoin" not in plan, f"{name}: join-back must hash, not sort-merge"
+        assert "HashAggregate" in plan
+
+
+def test_weighted_median_crossing_pick_is_hash(spark):
+    """g25's crossing-bin pick must stay scalar min/min_by (fixed-width
+    buffers → HashAggregate); the min_by(struct, bin) form planned
+    SortAggregate.  The only remaining sorts are the bin-level windows over
+    the histogram (bins-per-group rows, never the corpus)."""
+    plan = _plan(spark, "g25_weighted_median")
+    assert "SortAggregate" not in plan, "crossing pick degraded to sort-based agg"
+    assert "HashAggregate" in plan
+
+
+def test_profile_table_never_sorts(spark):
+    """profile_table's single wide aggregate used to plan SortAggregate over
+    a Sort of the k×-expanded corpus (string min/max buffers + Expand
+    grouping keys).  After the two-branch split the plan may keep a
+    SortAggregate NODE — the global string-min/max fold, which with no
+    grouping keys requires no child ordering and inserts no sort — but must
+    contain zero Sort operators, and the distinct/counts branch must hash."""
+    plan = _plan(spark, "profile_table")
+    assert "Sort (" not in plan, "profile aggregate sorts the (expanded) corpus"
+    assert "HashAggregate" in plan
+
+
 def test_minhash_signature_agg_is_hash_based(spark):
     """The signature groupBy(doc) must plan as HashAggregate, never
     SortAggregate: min(string) buffers are not UnsafeRow-mutable, so the
