@@ -50,6 +50,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _arg_rows(
+    df: DataFrame, group_cols: list[str], order_cols: list[str], agg_fn
+) -> DataFrame:
+    _FIXED = ("int", "bigint", "smallint", "tinyint", "double", "float",
+              "date", "boolean")
+    dtypes = dict(df.dtypes)
+    for oc in order_cols:
+        t = dtypes[oc]
+        if not (t in _FIXED or t.startswith("decimal") or t.startswith("timestamp")):
+            raise ValueError(
+                f"arg-extreme order column {oc!r} has non-fixed-width type {t};"
+                " a hash-aggregable max/min needs a fixed-width buffer — encode"
+                " it (order-isomorphic) first"
+            )
+    cur = df
+    for i, oc in enumerate(order_cols):
+        g_alias = [F.col(c).alias(f"__g{i}_{c}") for c in group_cols]
+        m = (
+            cur.groupBy(*group_cols)
+            .agg(agg_fn(oc).alias(f"__m{i}"))
+            .select(*g_alias, f"__m{i}")
+        )
+        cond: Column = reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.col(f"__g{i}_{c}") for c in group_cols]
+            + [F.col(oc) == F.col(f"__m{i}")],
+        ) if group_cols else (F.col(oc) == F.col(f"__m{i}"))
+        cur = cur.join(m.hint("shuffle_hash"), on=cond, how="inner").drop(
+            f"__m{i}", *[f"__g{i}_{c}" for c in group_cols]
+        )
+    return cur
+
+
 def argmax_rows(df: DataFrame, group_cols: list[str], order_cols: list[str]) -> DataFrame:
     """All columns of the row maximizing ``order_cols`` lexicographically,
     one row per group (see module docstring for the plan-shape argument).
@@ -59,31 +92,11 @@ def argmax_rows(df: DataFrame, group_cols: list[str], order_cols: list[str]) -> 
     UnsafeRow-mutable; this is asserted eagerly rather than silently
     degrading to a sort-based plan.
     """
-    _FIXED = ("int", "bigint", "smallint", "tinyint", "double", "float",
-              "date", "boolean")
-    dtypes = dict(df.dtypes)
-    for oc in order_cols:
-        t = dtypes[oc]
-        if not (t in _FIXED or t.startswith("decimal") or t.startswith("timestamp")):
-            raise ValueError(
-                f"argmax_rows order column {oc!r} has non-fixed-width type {t};"
-                " a hash-aggregable max needs a fixed-width buffer — encode it"
-                " (order-isomorphic) first"
-            )
-    cur = df
-    for i, oc in enumerate(order_cols):
-        g_alias = [F.col(c).alias(f"__g{i}_{c}") for c in group_cols]
-        m = (
-            cur.groupBy(*group_cols)
-            .agg(F.max(oc).alias(f"__m{i}"))
-            .select(*g_alias, f"__m{i}")
-        )
-        cond: Column = reduce(
-            lambda a, b: a & b,
-            [F.col(c) == F.col(f"__g{i}_{c}") for c in group_cols]
-            + [F.col(oc) == F.col(f"__m{i}")],
-        )
-        cur = cur.join(m.hint("shuffle_hash"), on=cond, how="inner").drop(
-            f"__m{i}", *[f"__g{i}_{c}" for c in group_cols]
-        )
-    return cur
+    return _arg_rows(df, group_cols, order_cols, F.max)
+
+
+def argmin_rows(df: DataFrame, group_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Mirror of :func:`argmax_rows` for the lexicographic MINIMUM — the
+    best-candidate-by-ascending-score pick (fuzzy match distance, first
+    segment index, nearest neighbour)."""
+    return _arg_rows(df, group_cols, order_cols, F.min)

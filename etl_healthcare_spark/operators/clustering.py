@@ -70,13 +70,47 @@ def _dist2(a, b):
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """argmin_c dist2(qv, cv), ties to the smallest centroid id — via an
-    order-free exact MIN over (dist2, cid) structs, no window needed."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "id", "qv", F.struct(_dist2(F.col("qv"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")).alias("dc")
+    """argmin_c dist2(qv, cv), ties to the smallest centroid id.
+
+    Plan shape (round-9 fix): the (d2, cid) pick is a single ``min`` over a
+    PACKED BIGINT ``d2 * 2^32 + cid`` — order-isomorphic with the (d2, cid)
+    struct because both components are non-negative and cid < 2^32 (guarded
+    below on the k-row centroid side; d2 over 64-dim centered int8 codes is
+    ≤ 64·256² = 2^22, so the product stays < 2^54).  The struct form's
+    buffer is not UnsafeRow-mutable and silently planned SORTAGGREGATE — a
+    per-partition sort of the n×k scored stream, the plan class the sf3→sf9
+    probe measured at 4.70× wall per 3× data (SCALE.md §48).  ``qv`` rides
+    as a grouping key (grouping keys may be any type; only aggregation
+    BUFFERS must be fixed-width — the previous ``first(qv)`` array buffer
+    also broke hash aggregation), so the whole reduce is one HashAggregate
+    with map-side combine."""
+    guarded = centroids.withColumn(
+        "cid",
+        F.when(
+            (F.col("cid") < 0) | (F.col("cid") > F.lit((1 << 32) - 1)),
+            F.raise_error(F.lit("_assign: cid outside [0, 2^32) breaks the d2*2^32+cid packing")),
+        ).otherwise(F.col("cid")),
     )
-    best = scored.groupBy("id").agg(F.min("dc").alias("dc"), F.first("qv").alias("qv"))
-    return best.select("id", "qv", F.col("dc.cid").alias("cluster"), F.col("dc.d2").alias("dist2"))
+    d2 = _dist2(F.col("qv"), F.col("cv"))
+    scored = vecs.crossJoin(F.broadcast(guarded)).select(
+        "id",
+        "qv",
+        (
+            F.when(
+                d2 > F.lit((1 << 31) - 1),
+                F.raise_error(F.lit("_assign: d2 ≥ 2^31 overflows the d2*2^32+cid packing")),
+            ).otherwise(d2)
+            * F.lit(1 << 32).cast("long")
+            + F.col("cid")
+        ).alias("packed"),
+    )
+    best = scored.groupBy("id", "qv").agg(F.min("packed").alias("packed"))
+    return best.select(
+        "id",
+        "qv",
+        (F.col("packed") % F.lit(1 << 32).cast("long")).alias("cluster"),
+        F.expr(f"packed div {1 << 32}").alias("dist2"),  # integer div: exact past 2^53
+    )
 
 
 def _assign_arrow(vecs: DataFrame, centroid_rows, id_t: str, block: int = 8192) -> DataFrame:
@@ -545,19 +579,29 @@ def kcenter_assign(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> Data
             "qv",
             F.least(F.col("mind2"), _dist2(F.col("qv"), lit_qv(cqv))).alias("mind2"),
         )
+    if not all(0 <= cid < (1 << 32) for cid, _ in centers):  # packing domain
+        raise ValueError("kcenter_assign: center id outside [0, 2^32) breaks d2*2^32+cid packing")
     cdf = df.sparkSession.createDataFrame(
         [(cid, cqv) for cid, cqv in centers], "cid long, cv array<long>"
     )
+    # (d2, cid) pick as a packed-BIGINT min (same order-isomorphism argument
+    # as _assign: d2 ≤ 64·256² = 2^22, cid here is a vec id < 2^32 at any
+    # realistic corpus since k centers were just collected) — the struct-min
+    # form planned SortAggregate over the n×k scored stream (SCALE.md §48).
     scored = vecs.crossJoin(F.broadcast(cdf)).select(
         "id",
-        F.struct(_dist2(F.col("qv"), F.col("cv")).alias("d2"), F.col("cid").alias("cid")).alias(
-            "dc"
-        ),
+        (
+            _dist2(F.col("qv"), F.col("cv")) * F.lit(1 << 32).cast("long") + F.col("cid")
+        ).alias("packed"),
     )
     return (
         scored.groupBy("id")
-        .agg(F.min("dc").alias("dc"))
-        .select(F.col("id").alias(id_col), F.col("dc.cid").alias("center_id"), F.col("dc.d2").alias("d2"))
+        .agg(F.min("packed").alias("packed"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("packed") % F.lit(1 << 32).cast("long")).alias("center_id"),
+            F.expr(f"packed div {1 << 32}").alias("d2"),
+        )
     )
 
 

@@ -18,7 +18,8 @@ Pipeline (all key-grained shuffles, no window over the full corpus):
   3. candidates = distinct (dirty, clean) pairs sharing a rare gram;
   4. verify: levenshtein(dirty, clean) <= k — integer metric, identical in
      Java and DuckDB (spot-verified incl. the substitution/deletion mix);
-  5. best match per dirty row = exact MIN over (distance, clean_id) structs.
+  5. best match per dirty row = exact lexicographic argmin on
+     (distance, clean_id) — two-phase hash argmax (operators/argmax.py).
 
 Recall bound: a true match is found iff the pair shares >= 1 rare gram;
 with mutations bounded by k and ``max_gram_df`` sized above the expected
@@ -79,16 +80,34 @@ def fuzzy_match_join(
     scored = cand.withColumn(
         "distance", F.levenshtein(F.col("dname"), F.col("cname"), max_dist)
     ).where(F.col("distance") >= 0)
-    best = scored.groupBy("did", "dname").agg(
-        F.min(F.struct(F.col("distance"), F.col("cid"), F.col("cname"))).alias("b")
-    )
-    return best.select(
-        F.col("did").alias(dirty_id),
-        F.col("dname").alias(dirty_name),
-        F.col("b.cid").alias("match_id"),
-        F.col("b.cname").alias("match_name"),
-        F.col("b.distance").alias("distance"),
-    )
+    # best candidate per dirty row = two-phase hash argmin on
+    # (distance, cid) — operators/argmax.py; cid is unique per candidate
+    # pair (cand is distinct), so the order is total and cname rides the
+    # winning row for free.  The min(struct(distance, cid, cname)) form had
+    # a non-UnsafeRow-mutable buffer and planned SORTAGGREGATE over the
+    # rare-gram candidate stream (the SCALE.md §48 super-linear class).
+    from .argmax import argmin_rows
+
+    try:
+        best = argmin_rows(scored, ["did", "dname"], ["distance", "cid"])
+        return best.select(
+            F.col("did").alias(dirty_id),
+            F.col("dname").alias(dirty_name),
+            F.col("cid").alias("match_id"),
+            F.col("cname").alias("match_name"),
+            F.col("distance"),
+        )
+    except ValueError:  # non-fixed-width clean ids: struct-min fallback
+        best = scored.groupBy("did", "dname").agg(
+            F.min(F.struct(F.col("distance"), F.col("cid"), F.col("cname"))).alias("b")
+        )
+        return best.select(
+            F.col("did").alias(dirty_id),
+            F.col("dname").alias(dirty_name),
+            F.col("b.cid").alias("match_id"),
+            F.col("b.cname").alias("match_name"),
+            F.col("b.distance").alias("distance"),
+        )
 
 
 def survivorship(
@@ -111,26 +130,72 @@ def survivorship(
     the cluster's minimum id; n_members counts the cluster.
 
     Scale: one left join records->clusters on the record id (unclustered
-    rows form singleton clusters via coalesce) + ONE partial-aggregable
-    groupBy(cluster).  Every rule is an ordinary aggregate — no window, no
-    per-cluster collect."""
+    rows form singleton clusters via coalesce), then per-rule aggregation
+    branches joined back on the clusters-sized key — no window, no
+    per-cluster collect.
+
+    Plan shape (round-9 fix): the previous single groupBy mixed
+    max-over-(length, value) STRUCTS and min/max over STRINGS into one
+    aggregate; those buffers are not UnsafeRow-mutable, so the whole node
+    planned SORTAGGREGATE over the records⋈clusters stream — the plan class
+    the sf3→sf9 probe measured at 4.70× per 3× data (SCALE.md §48).  Now:
+    (a) every fixed-width rule (counts, canonical min-id, numeric
+    min/max, the per-``longest``-column max length) rides ONE HashAggregate
+    over the corpus; (b) each ``longest`` column resolves via the two-phase
+    argmax join-back (operators/argmax.py) — the residual
+    lexicographic-largest pick sorts only the TIES-AT-MAX-LENGTH frame,
+    ≈ 1 row per cluster, never the corpus; (c) string-typed ``maxs/mins``
+    pre-collapse to the DISTINCT (cluster, value) frame with a hash
+    aggregate (strings are fine as GROUPING keys), so the closing
+    min/max(string) sorts |clusters × field domain| rows, not the corpus.
+    Branch joins are shuffle-hash on the cluster key."""
+    dtypes = dict(records.dtypes)
+    _FIXED = ("int", "bigint", "smallint", "tinyint", "double", "float", "date", "boolean")
+
+    def _is_fixed(c: str) -> bool:
+        t = dtypes[c]
+        return t in _FIXED or t.startswith("decimal") or t.startswith("timestamp")
+
     sized = clusters.select(F.col(node_col).alias("__node"), F.col(cluster_col))
-    j = records.join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
+    j = records.join(
+        sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left"
+    ).withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
+
     aggs = [
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_members"),
     ]
-    for c in longest:
-        aggs.append(
-            F.max(F.struct(F.length(c).alias("l"), F.col(c).alias("v")))["v"].alias(
-                f"{c}_survived"
-            )
-        )
     for c in maxs:
-        aggs.append(F.max(c).alias(f"{c}_max"))
+        if _is_fixed(c):
+            aggs.append(F.max(c).alias(f"{c}_max"))
     for c in mins:
-        aggs.append(F.min(c).alias(f"{c}_min"))
-    return (
-        j.groupBy(F.coalesce(F.col(cluster_col), F.col(id_col)).alias("cluster_id"))
-        .agg(*aggs)
-    )
+        if _is_fixed(c):
+            aggs.append(F.min(c).alias(f"{c}_min"))
+    out = j.groupBy(F.col("__cl").alias("cluster_id")).agg(*aggs)
+
+    def _join_branch(acc: DataFrame, branch: DataFrame) -> DataFrame:
+        return acc.join(branch.hint("shuffle_hash"), "cluster_id", "left")
+
+    from .argmax import argmax_rows
+
+    for c in longest:
+        # ties at max length -> lexicographically largest: the max(string)
+        # runs over the argmax-tied frame only (≈ |clusters| rows)
+        tied = argmax_rows(
+            j.select("__cl", F.length(c).alias("__len"), F.col(c)), ["__cl"], ["__len"]
+        )
+        pick = tied.groupBy(F.col("__cl").alias("cluster_id")).agg(
+            F.max(c).alias(f"{c}_survived")
+        )
+        out = _join_branch(out, pick)
+    for c in maxs:
+        if not _is_fixed(c):
+            d = j.select("__cl", c).distinct()
+            pick = d.groupBy(F.col("__cl").alias("cluster_id")).agg(F.max(c).alias(f"{c}_max"))
+            out = _join_branch(out, pick)
+    for c in mins:
+        if not _is_fixed(c):
+            d = j.select("__cl", c).distinct()
+            pick = d.groupBy(F.col("__cl").alias("cluster_id")).agg(F.min(c).alias(f"{c}_min"))
+            out = _join_branch(out, pick)
+    return out

@@ -421,27 +421,39 @@ def apply_cdc(
     snapshot — the lakehouse ``MERGE ... WHEN MATCHED DELETE/UPDATE WHEN NOT
     MATCHED INSERT`` semantic, as pure DataFrame ops.
 
-    Latest-op-per-key is an exact MAX over (seq, op, payload...) structs —
-    one partial-aggregable groupBy of the (small) change batch, never a
-    window over the snapshot; the apply is ONE key-grained full-outer join.
-    Keys without changes pass through; 'D' keys drop; 'I'/'U' keys take the
-    latest payload.  (seq, op) must be unique per key — the upstream log's
-    ordering contract.  At 100 TB the base side stays partition-pruned
-    exactly like ParquetStateStore.merge (only touched partitions rewrite);
-    this function is the resolution kernel of that write path.
+    Latest-op-per-key is the two-phase hash argmax on ``seq_col``
+    (operators/argmax.py) — the previous MAX over (seq, op, payload...)
+    structs had a non-UnsafeRow-mutable buffer and silently planned
+    SORTAGGREGATE over the change stream (the SCALE.md §48 super-linear
+    class).  ``seq_col`` must TOTALLY order each key's changes — the
+    standard CDC LSN/commit-sequence contract; a duplicated (key, seq)
+    pair is upstream log corruption and surfaces as a duplicated output
+    key rather than an arbitrary pick.  The apply is ONE key-grained
+    full-outer join, hinted shuffle-hash so neither the snapshot nor the
+    resolved batch is sorted.  Keys without changes pass through; 'D' keys
+    drop; 'I'/'U' keys take the latest payload.  At 100 TB the base side
+    stays partition-pruned exactly like ParquetStateStore.merge (only
+    touched partitions rewrite); this function is the resolution kernel of
+    that write path.
     """
-    latest = changes.groupBy(key).agg(
-        F.max(F.struct(F.col(seq_col), F.col(op_col), *[F.col(c) for c in payload_cols])).alias(
-            "__ch"
-        )
+    from .argmax import argmax_rows
+
+    latest = argmax_rows(
+        changes.select(key, seq_col, op_col, *payload_cols), [key], [seq_col]
+    ).select(
+        F.col(key).alias("__k"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__ch_{c}") for c in payload_cols],
     )
-    j = base.join(latest, key, "full_outer")
-    no_change = F.col("__ch").isNull()
+    j = base.join(
+        latest.hint("shuffle_hash"), F.col(key) == F.col("__k"), "full_outer"
+    )
+    no_change = F.col("__k").isNull()
     out_cols = [
-        F.when(no_change, F.col(c)).otherwise(F.col(f"__ch.{c}")).alias(c)
+        F.when(no_change, F.col(c)).otherwise(F.col(f"__ch_{c}")).alias(c)
         for c in payload_cols
     ]
     return (
-        j.where(no_change | (F.col(f"__ch.{op_col}") != F.lit("D")))
-        .select(F.col(key), *out_cols)
+        j.where(no_change | (F.col("__op") != F.lit("D")))
+        .select(F.coalesce(F.col(key), F.col("__k")).alias(key), *out_cols)
     )

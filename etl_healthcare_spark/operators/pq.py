@@ -57,14 +57,34 @@ def pq_codebook_and_codes(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # guard the packing domain on the K×M-row centroid side (free), so
+        # the (d2, cid) argmin can run as min over ONE packed BIGINT —
+        # min(struct(d2, cid)) has a non-UnsafeRow-mutable buffer and planned
+        # SORTAGGREGATE over the n×M×K distance stream (the SCALE.md §48
+        # super-linear class); d2 ≤ sub_dims·255² < 2^20, so the packed
+        # order is isomorphic with (d2, cid) and the agg hashes.
+        guarded = centroids.withColumn(
+            "cid",
+            F.when(
+                (F.col("cid") < 0) | (F.col("cid") > F.lit((1 << 32) - 1)),
+                F.raise_error(F.lit("pq assign: cid outside [0, 2^32) breaks d2*2^32+cid packing")),
+            ).otherwise(F.col("cid")),
+        )
         d = (
             sub.alias("s")
-            .join(F.broadcast(centroids).alias("c"), (F.col("s.m") == F.col("c.m")) & (F.col("s.pos") == F.col("c.pos")))
+            .join(F.broadcast(guarded).alias("c"), (F.col("s.m") == F.col("c.m")) & (F.col("s.pos") == F.col("c.pos")))
             .groupBy(F.col("s.id").alias("id"), F.col("s.m").alias("m"), F.col("c.cid").alias("cid"))
             .agg(F.sum((F.col("s.q") - F.col("c.c")) * (F.col("s.q") - F.col("c.c"))).alias("d2"))
         )
-        best = d.groupBy("id", "m").agg(F.min(F.struct("d2", "cid")).alias("dc"))
-        return best.select("id", "m", F.col("dc.cid").alias("cid"), F.col("dc.d2").alias("d2"))
+        best = d.groupBy("id", "m").agg(
+            F.min(F.col("d2") * F.lit(1 << 32).cast("long") + F.col("cid")).alias("packed")
+        )
+        return best.select(
+            "id",
+            "m",
+            (F.col("packed") % F.lit(1 << 32).cast("long")).alias("cid"),
+            F.expr(f"packed div {1 << 32}").alias("d2"),
+        )
 
     a1 = assign(c0)
     c1 = (
@@ -108,7 +128,9 @@ def pq_adc_topk(
         .agg(F.sum((F.col("q") - F.col("qq")) * (F.col("q") - F.col("qq"))).alias("exact_d2"))
     )
     return (
-        adc.join(exact, "id")
+        # shuffle-hash, not sort-merge: both sides are n-row aggregated
+        # frames; an SMJ would sort the corpus-sized frames just to join ids
+        adc.join(exact.hint("shuffle_hash"), "id")
         .where(F.col("id") != query_id)
         .orderBy("adc_d2", "id")
         .limit(k_top)

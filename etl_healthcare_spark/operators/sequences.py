@@ -63,24 +63,41 @@ def m4_downsample(
     value plus the row count — the minimal aggregate set that renders the
     same polyline as the raw data at one bucket per pixel.
 
-    ``val_cents`` is a SQL expression producing an exact int64 value.
-    First/last are argmin/argmax by (ts, id) via struct min/max — a total
-    order, so ties cannot make the result partitioning-dependent, and the
-    whole thing stays partial-aggregable (no window, no join).
+    ``val_cents`` is a SQL expression producing an exact int64 value with
+    |value| < 5·10^12 (runtime-guarded).  First/last are argmin/argmax by
+    (ts, value) — a total order on what M4 renders (two ticks in the same
+    microsecond with the same value are interchangeable), so ties cannot
+    make the result partitioning-dependent, and the whole thing stays
+    partial-aggregable (no window, no join).
+
+    Plan shape (round-9 fix): the argmin/argmax is min/max over ONE
+    DECIMAL(38,0) packing ``tus·10^13 + (vc + 5·10^12)`` — order-isomorphic
+    with (tus, vc) because the offset value term is non-negative and below
+    the multiplier.  The struct min/max form this replaces has a
+    non-UnsafeRow-mutable buffer and silently planned SORTAGGREGATE — a
+    per-partition sort of the full telemetry stream, the plan class the
+    sf3→sf9 probe measured super-linear (SCALE.md §48); decimals are
+    UnsafeRow-mutable, so the packed form is one HashAggregate with
+    map-side combine.  (``id_col`` is retained for API stability; the
+    (ts, value) order no longer needs a row-id tiebreak.)
     """
+    OFF = 5_000_000_000_000  # value offset: vc ∈ (-5e12, 5e12) → term ∈ [0, 1e13)
+    K = 10_000_000_000_000
     b = df.select(
         F.col(series_col).alias("series"),
         (F.unix_micros(F.col(ts_col))).alias("tus"),
-        F.col(id_col).alias("rid"),
         F.expr(val_cents).alias("vc"),
     ).withColumn("bucket", F.expr(f"tus div {bucket_us}"))
-    first_s = F.min(F.struct("tus", "rid", "vc")).alias("fs")
-    last_s = F.max(F.struct("tus", "rid", "vc")).alias("ls")
+    packed = F.expr(
+        f"CAST(tus AS DECIMAL(38,0)) * {K} + (CASE WHEN abs(vc) >= {OFF} THEN "
+        f"raise_error('m4_downsample: |value| >= 5e12 overflows the ts*1e13+value packing') "
+        f"ELSE vc END + {OFF})"
+    )
     return (
         b.groupBy("series", "bucket")
         .agg(
-            first_s,
-            last_s,
+            F.min(packed).alias("pf"),
+            F.max(packed).alias("pl"),
             F.min("vc").alias("v_min_c"),
             F.max("vc").alias("v_max_c"),
             F.count(F.lit(1)).alias("n"),
@@ -88,10 +105,10 @@ def m4_downsample(
         .select(
             "series",
             "bucket",
-            F.col("fs.tus").alias("t_first_us"),
-            F.col("fs.vc").alias("v_first_c"),
-            F.col("ls.tus").alias("t_last_us"),
-            F.col("ls.vc").alias("v_last_c"),
+            F.expr(f"CAST(pf div {K} AS BIGINT)").alias("t_first_us"),
+            F.expr(f"CAST(pf % {K} AS BIGINT) - {OFF}").alias("v_first_c"),
+            F.expr(f"CAST(pl div {K} AS BIGINT)").alias("t_last_us"),
+            F.expr(f"CAST(pl % {K} AS BIGINT) - {OFF}").alias("v_last_c"),
             "v_min_c",
             "v_max_c",
             "n",
@@ -104,11 +121,11 @@ def m4_oracle_sql(events_cte: str, bucket_us: int) -> str:
     return f"""
     WITH {events_cte},
     r AS (
-      SELECT series, tus // {bucket_us} AS bucket, tus, rid, vc,
+      SELECT series, tus // {bucket_us} AS bucket, tus, vc,
              row_number() OVER (PARTITION BY series, tus // {bucket_us}
-                                ORDER BY tus, rid) AS rn_a,
+                                ORDER BY tus, vc) AS rn_a,
              row_number() OVER (PARTITION BY series, tus // {bucket_us}
-                                ORDER BY tus DESC, rid DESC) AS rn_d
+                                ORDER BY tus DESC, vc DESC) AS rn_d
       FROM b
     )
     SELECT series, bucket,

@@ -921,15 +921,28 @@ def sketch_source_similarity(spark, sf_dir):
         g: F.sha2(F.concat(F.lit(f"{g}:"), F.col("s")), 256)
         for g in range((n + slices - 1) // slices)
     }
+    # aggregate the 48-bit slices as BIGINTs, not hex strings — the exact
+    # minhash recipe from operators/dedup.py:minhash_signatures: min(string)
+    # buffers are not UnsafeRow-mutable, so the hex form silently planned
+    # SORTAGGREGATE over the exploded shingle stream (the SCALE.md §48
+    # super-linear class); numeric min picks the same winner (lexicographic
+    # == numeric on fixed-length lowercase hex) and the post-agg re-format
+    # emits identical hex, so the pair Jaccard and oracle hashes are
+    # unchanged while the agg hash-combines map-side.
     hashed = sh.select(
         "source",
         *[
-            F.substring(digests[i // slices], 1 + width * (i % slices), width).alias(f"h{i}")
+            F.conv(F.substring(digests[i // slices], 1 + width * (i % slices), width), 16, 10)
+            .cast("long")
+            .alias(f"h{i}")
             for i in range(n)
         ],
     )
     sig = hashed.groupBy("source").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n)]
+        *[
+            F.lower(F.lpad(F.hex(F.min(f"h{i}")), width, "0")).alias(f"mh{i}")
+            for i in range(n)
+        ]
     )
     a = sig.select(F.col("source").alias("source_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)])
     b = sig.select(F.col("source").alias("source_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)])

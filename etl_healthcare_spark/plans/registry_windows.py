@@ -461,13 +461,14 @@ def u5_incremental_agg(spark, sf_dir):
     WITH base AS (
       SELECT event_type,
              epoch_us(date_trunc('hour', ts)) AS bar_us,
-             epoch_us(ts) AS us, event_id,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000000000
+               + (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) + 5000000000000) AS packed,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       FROM events
     )
     SELECT event_type, bar_us,
-           min(struct_pack(us := us, eid := event_id, c := cents)).c AS open_cents,
-           max(struct_pack(us := us, eid := event_id, c := cents)).c AS close_cents,
+           CAST(min(packed) % 10000000000000 AS BIGINT) - 5000000000000 AS open_cents,
+           CAST(max(packed) % 10000000000000 AS BIGINT) - 5000000000000 AS close_cents,
            max(cents) AS high_cents,
            min(cents) AS low_cents,
            CAST(count(*) AS BIGINT) AS n_ticks,
@@ -479,28 +480,47 @@ def u5_incremental_agg(spark, sf_dir):
     doc="G19 OHLC time bars — the first/last-by-timestamp rollup every "
     "time-series store ships: per (metric, hour) open/high/low/close in "
     "exact int64 cents, tick count, and a single-division average.  "
-    "First/last are exact MIN/MAX over (ts, event_id, cents) structs "
-    "(total order — event_id breaks ts ties identically in both engines; "
-    "no window function, so the whole bar is ONE partial-aggregable "
-    "groupBy that map-side combines at any volume).",
+    "First/last are exact MIN/MAX over the DECIMAL(38,0)/HUGEINT packing "
+    "us·10^13 + (cents + 5·10^12), order-isomorphic with (ts, cents) — a "
+    "total order on what the bar reports (same-µs same-cents ticks are "
+    "interchangeable) that both engines replay identically.  The packing "
+    "replaces struct min/max, whose non-UnsafeRow-mutable buffer silently "
+    "planned SORTAGGREGATE — a per-partition sort of the full tick stream "
+    "(the SCALE.md §48 super-linear class); decimal buffers hash, so the "
+    "whole bar is ONE partial-aggregable HashAggregate that map-side "
+    "combines at any volume (plan-pinned in test_plans.py).",
 )
 def g19_ohlc_bars(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    OFF, K = 5_000_000_000_000, 10_000_000_000_000
     cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
     base = ev.select(
         "event_type",
         F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bar_us"),
         F.unix_micros(F.col("ts")).alias("us"),
-        "event_id",
         cents.alias("cents"),
     )
-    tick = F.struct(F.col("us"), F.col("event_id").alias("eid"), F.col("cents").alias("c"))
+    packed = F.expr(
+        f"CAST(us AS DECIMAL(38,0)) * {K} + (CASE WHEN abs(cents) >= {OFF} THEN "
+        f"raise_error('g19: |cents| >= 5e12 overflows the ts*1e13+cents packing') "
+        f"ELSE cents END + {OFF})"
+    )
     return base.groupBy("event_type", "bar_us").agg(
-        F.min(tick)["c"].alias("open_cents"),
-        F.max(tick)["c"].alias("close_cents"),
+        (F.min(packed) % F.lit(K)).cast("long").alias("__open_raw"),
+        (F.max(packed) % F.lit(K)).cast("long").alias("__close_raw"),
         F.max("cents").alias("high_cents"),
         F.min("cents").alias("low_cents"),
         F.count(F.lit(1)).alias("n_ticks"),
         F.sum("cents").alias("sum_cents"),
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("avg_cents"),
+    ).select(
+        "event_type",
+        "bar_us",
+        (F.col("__open_raw") - F.lit(OFF)).alias("open_cents"),
+        (F.col("__close_raw") - F.lit(OFF)).alias("close_cents"),
+        "high_cents",
+        "low_cents",
+        "n_ticks",
+        "sum_cents",
+        "avg_cents",
     )

@@ -57,14 +57,23 @@ def parse_hl7_messages(msgs: DataFrame, batch_time: dt.datetime | None = None) -
     batch_time = batch_time or DEFAULT_BATCH_TIME
     segs = messages_to_segments(msgs)
 
-    pid = (
-        segs.where(H.seg_id(F.col("segment")) == "PID")
-        .select(
+    # FIRST PID wins, matching the reference's single-pass loop — as a
+    # two-phase hash argmin on segIndex (operators/argmax.py).  The previous
+    # dropDuplicates planned SortAggregate (its first(string) buffer is not
+    # UnsafeRow-mutable — a per-partition sort of the PID stream, the
+    # SCALE.md §48 super-linear class) AND picked an arbitrary row per
+    # message rather than the first; argmin by segIndex is deterministic.
+    from ..operators.argmax import argmin_rows
+
+    pid = argmin_rows(
+        segs.where(H.seg_id(F.col("segment")) == "PID").select(
             "messageId",
+            "segIndex",
             H.pid3_patient_id(H.field(F.col("segment"), 3)).alias("patientId"),
-        )
-        .dropDuplicates(["messageId"])  # first PID wins, matching the single-pass loop
-    )
+        ),
+        ["messageId"],
+        ["segIndex"],
+    ).select("messageId", "patientId")
 
     obx = segs.where(H.seg_id(F.col("segment")) == "OBX")
     f = F.col("segment")
