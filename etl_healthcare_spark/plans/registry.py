@@ -52,6 +52,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _wipe_stale_store_keys(root: str, cur_key_dir: str, sf_dir_abs: str) -> None:
+    """Remove stale generations of a derived local store for ONE source
+    dataset: sibling key dirs under ``root`` whose ``_SF_DIR`` marker names
+    the same source ``sf_dir`` (an older size/mtime generation), plus the
+    current (incomplete) key dir itself.  Keys owned by OTHER sf_dirs are
+    untouched — a blanket rmtree(root) made alternating bench/probe runs
+    rewrite every store per alternation and could delete a concurrent
+    session's store between its _SUCCESS check and read (round-8 ADVICE).
+    Marker-less dirs are also left alone: they may be an in-progress write.
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(root):
+        for k in os.listdir(root):
+            kd = os.path.join(root, k)
+            if kd == cur_key_dir or not os.path.isdir(kd):
+                continue
+            try:
+                with open(os.path.join(kd, "_SF_DIR")) as fh:
+                    owner = fh.read()
+            except OSError:
+                continue
+            if owner == sf_dir_abs:
+                shutil.rmtree(kd, ignore_errors=True)
+    shutil.rmtree(cur_key_dir, ignore_errors=True)
+
+
 WITH_OBS = "WITH " + OBSERVATIONS_ORACLE_CTE
 
 
@@ -135,8 +163,10 @@ def q2_observations_by_patient(spark, sf_dir):
     "identical to q2_observations_by_patient: the layout must not change "
     "the answer.  The store is WRITE-ONCE per source dataset: its path is "
     "keyed on (sf_dir, events.parquet size+mtime), a complete store "
-    "(_SUCCESS present) is reused, and stale keys are wiped before a new "
-    "write — repeated bench/correctness runs leave exactly one store.",
+    "(_SUCCESS present) is reused, and stale generations OF THE SAME "
+    "sf_dir are wiped before a new write (other sources' stores are "
+    "untouched) — repeated bench/correctness runs leave exactly one store "
+    "per source dataset.",
 )
 def q2_partitioned_store(spark, sf_dir):
     import hashlib
@@ -151,8 +181,11 @@ def q2_partitioned_store(spark, sf_dir):
     root = os.path.join(tempfile.gettempdir(), "etl_spark_q2_store")
     d = os.path.join(root, key)
     if not os.path.exists(os.path.join(d, "obs_store", "_SUCCESS")):
-        if os.path.isdir(root):  # stale keys (older generations) die here
-            shutil.rmtree(root, ignore_errors=True)
+        # stale generations of THIS source only (see _wipe_stale_store_keys)
+        _wipe_stale_store_keys(root, d, os.path.abspath(sf_dir))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_SF_DIR"), "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
         observations(spark, sf_dir).write.mode("overwrite").partitionBy("tenantId").parquet(
             f"{d}/obs_store"
         )

@@ -21,7 +21,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .registry import _t, register
+from .registry import _t, _wipe_stale_store_keys, register
 
 # ---------------------------------------------------------------------------
 # corpus: per-document n-gram novelty vs first occurrence
@@ -586,9 +586,19 @@ def j11_bucketed_join(spark, sf_dir):
         if not spark.catalog.tableExists(tb):
             _register(tb, li, f"{d}/lineitem", "l_orderkey")
     else:
-        shutil.rmtree(root, ignore_errors=True)  # stale keys die here
+        # wipe ONLY stale generations of THIS source (keys whose marker
+        # names the same sf_dir): a blanket rmtree(root) deleted every
+        # other source's store too, so alternating bench/probe sf_dirs
+        # rewrote both multi-GB stores per alternation, and a concurrent
+        # session on another sf_dir could lose its store mid-job.  Dirs
+        # without a marker are left alone — they may be a concurrent
+        # session's in-progress write.
+        _wipe_stale_store_keys(root, d, os.path.abspath(sf_dir))
         for t in (ta, tb):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "_SF_DIR"), "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
         (
             o.write.mode("overwrite")
             .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

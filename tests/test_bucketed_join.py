@@ -38,6 +38,8 @@ def test_j11_store_is_write_once(spark):
     per probe run at sf9).  Same discipline as q2_partitioned_store: one
     content-keyed dir, reused across calls, stale keys wiped."""
     import glob
+    import os
+    import tempfile
 
     from etl_healthcare_spark.plans.registry import REGISTRY
 
@@ -45,4 +47,16 @@ def test_j11_store_is_write_once(spark):
     r1 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
     r2 = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
     assert r1 == r2 and len(r1) > 0
-    assert len(glob.glob("/tmp/etl_spark_bucketed_join/*")) == 1
+    # derive the root exactly as the product code does (a hardcoded /tmp
+    # diverges whenever TMPDIR points elsewhere — round-8 ADVICE), and count
+    # only THIS source's keys: other sf_dirs' stores legitimately coexist
+    root = os.path.join(tempfile.gettempdir(), "etl_spark_bucketed_join")
+    owned = []
+    for kd in glob.glob(os.path.join(root, "*")):
+        try:
+            with open(os.path.join(kd, "_SF_DIR")) as fh:
+                if fh.read() == os.path.abspath("/root/testdata/sf0.001"):
+                    owned.append(kd)
+        except OSError:
+            pass
+    assert len(owned) == 1
