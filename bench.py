@@ -151,19 +151,29 @@ CORE_12 = HEADLINE[:12]
 
 def _round_number(repo: Path) -> int:
     """Current build round: $BENCH_ROUND if set, else the `round` field of
-    the last PROGRESS.jsonl line, else (latest driver CORRECTNESS round)+1.
+    the last PROGRESS.jsonl heartbeat — trusted only while FRESH — else
+    (latest driver CORRECTNESS round)+1.
 
-    PROGRESS.jsonl is the driver's own heartbeat and carries the authoritative
-    in-progress round number, so it stays correct both mid-round AND when the
-    driver benches at end-of-round after CORRECTNESS_r{N}.json has landed —
-    the case the old `max(CORRECTNESS_r*)+1` inference mislabeled twice
-    (round-7 verdict item 2).  $BENCH_ROUND remains the explicit override.
-    Used to stamp a per-round copy of the full bench map (round-5 verdict:
-    overwriting BENCH_local_sf{sf}.json in place destroyed the raw data
-    cross-round per-query forensics need)."""
+    PROGRESS.jsonl is the driver's heartbeat (every ~900 s while a round is
+    active) and carries the authoritative in-progress round number, so it
+    stays correct both mid-round AND when the driver benches at end-of-round
+    after CORRECTNESS_r{N}.json has landed — the case the old
+    `max(CORRECTNESS_r*)+1` inference mislabeled twice (round-7 verdict
+    item 2).  But between rounds the heartbeat goes SILENT (observed 77-min
+    gap while the judge runs), so a bench at the START of round N+1, before
+    the first new heartbeat, would be stamped N by a naive read — the
+    mirror-image mislabel (round-8 ADVICE).  Discriminator: heartbeat age.
+    A fresh heartbeat (< 2 missed intervals) means the driver is mid-round
+    and its number wins; a stale one means we are in the between-rounds gap
+    or later, so take max(heartbeat round, latest CORRECTNESS round + 1) —
+    CORRECTNESS_rN landing always closes round N.  $BENCH_ROUND remains the
+    explicit override.  Used to stamp a per-round copy of the full bench map
+    (round-5 verdict: overwriting BENCH_local_sf{sf}.json in place destroyed
+    the raw data cross-round per-query forensics need)."""
     explicit = os.environ.get("BENCH_ROUND", "")
     if explicit.isdigit():
         return int(explicit)
+    heartbeat_round, heartbeat_ts = 0, 0.0
     progress = repo / "PROGRESS.jsonl"
     if progress.exists():
         for line in reversed(progress.read_text().splitlines()):
@@ -171,18 +181,22 @@ def _round_number(repo: Path) -> int:
             if not line:
                 continue
             try:
-                rnd = json.loads(line).get("round")
+                d = json.loads(line)
+                rnd, ts = d.get("round"), d.get("ts")
             except (json.JSONDecodeError, AttributeError):
                 break
             if isinstance(rnd, int) and rnd > 0:
-                return rnd
+                heartbeat_round = rnd
+                heartbeat_ts = ts if isinstance(ts, (int, float)) else 0.0
             break
+    if heartbeat_round and time.time() - heartbeat_ts < 1800:  # fresh: mid-round
+        return heartbeat_round
     rounds = [0]
     for f in repo.glob("CORRECTNESS_r*.json"):
         digits = f.stem.split("_r")[-1]
         if digits.isdigit():
             rounds.append(int(digits))
-    return max(rounds) + 1
+    return max(heartbeat_round, max(rounds) + 1)
 
 
 def _stamped_path(repo: Path, sf: str) -> Path:

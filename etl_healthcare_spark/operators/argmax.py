@@ -30,10 +30,28 @@ The recipe here is a TWO-PHASE argmax per order column, all hash, no sort:
   phase aggregates and joins bounded frames.  Iterating over
   ``[order, tie1, tie2, …]`` computes the exact lexicographic argmax.
 
-Cost at scale: phase 1 is one corpus-wide HASH exchange (the join probe
-side) + a groups-sized aggregate — O(n) shuffle, zero sorts, zero spill of
-sorted runs.  The SortAggregate alternative sorts every corpus partition
-(O(n log n) + sorter spill) before the same groups-sized shuffle.
+Cost at scale — WHEN TO USE WHICH (measured, SCALE.md §49): the two-phase
+argmax pays one corpus-wide hash exchange (the join probe side).  The
+SortAggregate alternative pays a map-side sort per partition plus a shuffle
+of the PARTIAL aggregates.  So the crossover is the partial-aggregation
+collapse ratio:
+
+* HIGH collapse (many rows per group — latest-observation shapes): the
+  partial shuffle is tiny, and the map-side sort runs over size-BOUNDED
+  scan partitions (maxPartitionBytes), i.e. linear with a log(partition)
+  constant — SortAggregate beats this operator (measured 1.8–2.3× at sf9
+  on q3/g6).  There, if every ordering column packs into one fixed-width
+  atom (BIGINT or DECIMAL(38,0) — see q3/g6's us·10^19 + id packing),
+  prefer the ONE-PASS max(packed)/max_by(value, packed) HashAggregate:
+  it keeps the tiny partial shuffle AND drops the sort — strictly best.
+* LOW collapse (≈1–2 rows per group — CDC batches, per-message picks,
+  match candidates): partials barely shrink, the exchange carries the
+  full stream either way, and the post-shuffle sort runs on FIXED-count
+  shuffle partitions whose per-task size grows with the corpus — the
+  super-linear spill class (minhash, 4.70× per 3× data).  THIS operator
+  is the right shape there, and the only exact option when the ordering
+  involves non-packable (string) columns or the payload must ride whole
+  rows.
 
 Determinism contract: the LAST order column must be unique within
 (group, preceding order columns) for a single-row-per-group result — the

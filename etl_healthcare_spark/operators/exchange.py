@@ -47,13 +47,28 @@ def sized_shuffle_partitions(
     df: DataFrame,
     target_stats_bytes: int = TARGET_STATS_BYTES,
     cap: int = MAX_SHUFFLE_PARTITIONS,
+    upper_bound_bytes: int | None = None,
 ) -> int:
     """Reduce-task count for a near-unique-key exact aggregation over
     ``df``: each task sees ~``target_stats_bytes`` of optimizer-stats input,
     never fewer tasks than the session's ``spark.sql.shuffle.partitions``.
 
     Plan-time only — reads the optimized plan's size estimate (file sizes x
-    column pruning for parquet scans); triggers no job."""
-    stats_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    column pruning for parquet scans); triggers no job.  The stats pass
+    still costs an analyze+optimize round-trip per call (~0.3 s driver-side
+    — the whole r8 profile_candidate_keys regression at sf0.1, where the
+    answer is always the session default anyway).  Callers that know a
+    cheap UPPER BOUND on the input (e.g. the source parquet's file size,
+    one os.stat) pass it as ``upper_bound_bytes``: when the bound already
+    cannot exceed ``target × session_default`` the sizing answer is the
+    session default regardless of exact stats, so the pass is skipped —
+    zero plan-time cost at toy scale, full sizing once the data is big
+    enough for the pass to matter (round-8 verdict item 6)."""
     session_default = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if (
+        upper_bound_bytes is not None
+        and upper_bound_bytes <= target_stats_bytes * session_default
+    ):
+        return session_default
+    stats_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     return max(session_default, min(cap, -(-stats_bytes // target_stats_bytes)))

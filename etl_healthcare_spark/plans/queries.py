@@ -81,11 +81,15 @@ def latest_per_group(
 
     Plan shape: the two-phase hash argmax (operators/argmax.py) when every
     order column is fixed-width — HashAggregate + shuffled-hash join-back,
-    never a corpus sort.  The max_by(struct, struct) form this replaces has
-    non-mutable buffers and silently planned SortAggregate, the plan class
-    the sf3→sf9 probe measured super-linear (SCALE.md §48); it remains only
-    as the fallback for non-fixed-width (e.g. string) order columns, where
-    the hash buffer is structurally unavailable."""
+    never a post-shuffle sort; the max_by(struct, struct) fallback (used
+    for non-fixed-width order columns) plans SortAggregate.  Cost model
+    per the argmax module docstring: the argmax join wins on LOW
+    partial-collapse streams; for HIGH-collapse latest-per-group over a
+    packable (timestamp, numeric-id) order with scalar payloads, the
+    registry's q3/g6 DECIMAL(38,0)-packed one-pass max is strictly better
+    than both — this generic whole-row helper can't pack arbitrary
+    payloads, so callers on that fast path should use the packed recipe
+    directly (SCALE.md §49)."""
     from ..operators.argmax import argmax_rows
 
     cols = obs.columns

@@ -218,31 +218,38 @@ def q2_partitioned_store(spark, sf_dir):
     """,
     doc="Q3 latestObservation, true latest per (patient, code) — implements the "
     "intended semantics, not the reference's 50-row scan-window bug "
-    "(api-query/src/handler.ts:110-139; SURVEY §2.8).  Plan shape: two-phase "
-    "hash argmax (operators/argmax.py) — the prior max_by(struct, struct) "
-    "form planned SortAggregate (struct buffers are not UnsafeRow-mutable) "
-    "and sorted the full tenant stream per group key, the plan class the "
-    "sf3→sf9 probe measured at 4.70× per 3× data on minhash before its "
-    "fixed-width fix (SCALE.md §48).  Now: HashAggregate max(ts) + "
-    "shuffled-hash join-back, then groups-sized tiebreak on obsId — zero "
-    "sorts anywhere (plan-pinned in test_plans.py).",
+    "(api-query/src/handler.ts:110-139; SURVEY §2.8).  Plan shape (round-9, "
+    "third iteration — the probe numbers are in SCALE.md §49): the "
+    "(effectiveDateTime, obsId) ordering packs into ONE DECIMAL(38,0) atom "
+    "us·10^19 + obsId (order-isomorphic: obsId is a non-negative int64 "
+    "< 10^19 by type), so the winner is max(packed) and the payload rides "
+    "max_by(value, packed) — both buffers UnsafeRow-mutable, so the whole "
+    "query is ONE HashAggregate with map-side combine: no sort (the "
+    "max_by-over-struct form planned SortAggregate), no join-back (the "
+    "two-phase argmax alternative paid a full corpus shuffle and measured "
+    "1.8× slower at sf9).",
 )
 def q3_latest_observation(spark, sf_dir):
-    from ..operators.argmax import argmax_rows
-
     o = observations(spark, sf_dir).where(F.col("tenantId") == "t1")
-    win = argmax_rows(
-        o.select("tenantId", "patientId", "code", "value", "effectiveDateTime", "obsId"),
-        ["tenantId", "patientId", "code"],
-        ["effectiveDateTime", "obsId"],
+    packed = F.expr(
+        "CAST(unix_micros(effectiveDateTime) AS DECIMAL(38,0)) * 10000000000000000000 "
+        "+ CASE WHEN obsId < 0 THEN raise_error('q3: negative obsId breaks packing') "
+        "ELSE obsId END"
     )
-    return win.select(
-        "tenantId",
-        "patientId",
-        "code",
-        "value",
-        F.unix_micros("effectiveDateTime").alias("eff_us"),
-        "obsId",
+    return (
+        o.groupBy("tenantId", "patientId", "code")
+        .agg(
+            F.max(packed).alias("__p"),
+            F.max_by("value", packed).alias("value"),
+        )
+        .select(
+            "tenantId",
+            "patientId",
+            "code",
+            "value",
+            F.expr("CAST(__p div 10000000000000000000 AS BIGINT)").alias("eff_us"),
+            F.expr("CAST(__p % 10000000000000000000 AS BIGINT)").alias("obsId"),
+        )
     )
 
 
@@ -439,23 +446,29 @@ def g5_percentiles(spark, sf_dir):
           FROM events) WHERE rn = 1
     """,
     doc="G6 latest-per-group — the latestObservation core "
-    "(api-query/src/handler.ts:110-139) generalized.  Two-phase hash argmax "
-    "(operators/argmax.py): max_by with a struct(ts, event_id) ordering key "
-    "planned SortAggregate (non-mutable buffer → per-partition sort of the "
-    "full event stream, the SCALE.md §48 super-linear class); the argmax "
-    "form is HashAggregate + shuffled-hash join-back, sort-free end to end.",
+    "(api-query/src/handler.ts:110-139) generalized.  The (ts, event_id) "
+    "ordering packs into ONE DECIMAL(38,0) atom us·10^19 + event_id "
+    "(order-isomorphic; event_id is a non-negative int64 < 10^19 by type), "
+    "so latest-per-user is a single max(packed) HashAggregate with "
+    "map-side combine — no sort (max_by over a struct key planned "
+    "SortAggregate), no join-back (the two-phase argmax alternative paid a "
+    "full corpus shuffle and measured 2.3× slower at sf9; SCALE.md §49).",
 )
 def g6_max_by_latest(spark, sf_dir):
-    from ..operators.argmax import argmax_rows
-
     ev = _t(spark, sf_dir, "events")
-    win = argmax_rows(
-        ev.select("user_id", "ts", "event_id"), ["user_id"], ["ts", "event_id"]
+    packed = F.expr(
+        "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000000000000000 "
+        "+ CASE WHEN event_id < 0 THEN raise_error('g6: negative event_id breaks packing') "
+        "ELSE event_id END"
     )
-    return win.select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("last_ts_us"),
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(packed).alias("__p"))
+        .select(
+            "user_id",
+            F.expr("CAST(__p % 10000000000000000000 AS BIGINT)").alias("last_event_id"),
+            F.expr("CAST(__p div 10000000000000000000 AS BIGINT)").alias("last_ts_us"),
+        )
     )
 
 
@@ -771,61 +784,56 @@ from . import registry_opsdiag  # noqa: E402,F401
 # driver's own DuckDB).  33 first-time-in-driver names this window; backlog
 # after it: 17.  COVERAGE.md keeps the ledger.
 DRIVER_WINDOW: list[str] = [
-    # --- pinned family representatives (sole member of a required family) ---
-    "q2_observations_by_patient",  # serving
-    "g1_minute_counters",          # aggregation
-    "g7_tpch_q1",                  # TPC-H anchor
-    "j6_star_join",                # joins
-    "w3_moving_avg",               # window functions (§2.9)
-    "set_ops",                     # set operations (§2.10)
-    "o2_topk",                     # sort/limit
-    "p1_csv_to_dto",               # parsing
-    "v2_dto_validation",           # validation
-    "u1_idempotent_merge",         # upsert
-    "g10_pivot",                   # pivot
-    "sq_subqueries",               # subqueries
-    "scalar_functions",            # scalar surface (§2.11)
-    "cluster_kmeans",              # corpus clustering
-    # --- family probes (plan suite requires one member of each in-window;
-    #     never-driver-confirmed members where the family still has any) ---
+    "q2_observations_by_patient",
+    "g1_minute_counters",
+    "g7_tpch_q1",
+    "j6_star_join",
+    "w3_moving_avg",
+    "set_ops",
+    "o2_topk",
+    "p1_csv_to_dto",
+    "v2_dto_validation",
+    "u1_idempotent_merge",
+    "g10_pivot",
+    "sq_subqueries",
+    "scalar_functions",
+    "cluster_kmeans",
     "curation_quality_funnel",
-    "anomaly_iqr",
-    "sketch_histogram_quantiles",
+    "anomaly_seasonal",
+    "sketch_join_size",
     "search_eval_mrr",
     "stream_g1_windowed",
-    "mm_audio_windows",
-    "dedup_span_overlap",
-    "sim_l2_normalize",
-    "text_rare_tokens",
-    "sample_shard_export",
-    "eval_lift_deciles",
+    "mm_avi_info",
+    "dedup_longest_run",
+    "sim_pq_topk",
+    "text_classifier_score",
+    "sample_weighted",
+    "eval_pinball_loss",
     "maint_encoding_advisor",
     "privacy_l_diversity",
-    # --- round-8 first-time-in-driver rotation: judge-r7-audited names get
-    #     driver-grade confirmation (fresh process, driver's own DuckDB) ---
-    "p10_fanout",
-    "pack_sequences",
-    "text_normalize",
-    "corpus_stats",
-    "text_token_topk",
-    "text_quality_gate",
-    "text_url_extract",
-    "mm_gif_frames",
-    "w9_autocov",
-    "g21_cross_covariance",
-    "corpus_chi2_keyness",
-    "mm_audio_autocorr",
-    "g22_mode",
-    "sim_recall_report",
-    "sample_mixture_plan",
-    "g24_trimmed_mean",
-    "sim_hard_negatives",
-    "sql_topn_hours",
-    "sample_prototype_prune",
-    "sample_interleave_order",
-    "sim_mrl_rerank",
-    "training_prep_e2e",
-    "sample_token_shards",
+    "io_csv_roundtrip",
+    "profile_json_types",
+    "profile_benford",
+    "profile_candidate_keys",
+    "layout_zonemap_prune",
+    "layout_dpp_join",
+    "g13_sliding_window",
+    "u5_incremental_agg",
+    "u7_cdc_apply",
+    "v1_envelope_gate",
+    "v3_fhir_gate",
+    "p8_format_routing",
+    "u3_commit_log",
+    "o5_newest_partition",
+    "g8b_cube",
+    "w8_ewma",
+    "decontam_bloom",
+    "g15_funnel",
+    "g16_retention_cohorts",
+    "j7_fuzzy_match_join",
+    "text_bpe_apply",
+    "g20_sliding_distinct",
+    "sim_multiprobe",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -474,17 +474,28 @@ def profile_candidate_keys(spark, sf_dir):
     # as exact groups — under the fixed session partition count the hash map
     # outgrows execution memory and the sf3->sf9 probe measured a 4.78x
     # compounding spill cascade; sized tasks re-measured 3.2x (SCALE.md §48)
+    import os
+
     from ..operators.exchange import sized_shuffle_partitions
 
+    # one os.stat upper-bounds the stats pass away at toy scale (the pass
+    # itself cost +0.6 s at sf0.1 while always answering "session default")
+    src_bytes = os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
     ok2 = li.select("l_orderkey", "l_linenumber")
     pk2 = li.select("l_partkey", "l_suppkey")
     okln = (
-        ok2.repartition(sized_shuffle_partitions(ok2), F.col("l_orderkey"))
+        ok2.repartition(
+            sized_shuffle_partitions(ok2, upper_bound_bytes=src_bytes),
+            F.col("l_orderkey"),
+        )
         .groupBy("l_orderkey", "l_linenumber")
         .agg(cnt)
     )
     pksk = (
-        pk2.repartition(sized_shuffle_partitions(pk2), F.col("l_suppkey"))
+        pk2.repartition(
+            sized_shuffle_partitions(pk2, upper_bound_bytes=src_bytes),
+            F.col("l_suppkey"),
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(cnt)
     )

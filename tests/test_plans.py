@@ -745,35 +745,45 @@ def test_window_rotation_proposer_emits_a_valid_window():
     import importlib
 
     rotate_window = importlib.import_module("tools.rotate_window")
-    window, backlog = rotate_window.propose()
+    window, driver_backlog, external_backlog = rotate_window.propose()
     assert len(window) == 50 and len(set(window)) == 50
     assert all(REGISTRY[n].sql is not None for n in window)
     for probe in rotate_window.ROTATING_FAMILY_PROBES:
         assert any(n.startswith(probe) for n in window), probe
     for n in rotate_window.PINNED:
         assert n in window
-    # the proposal actually advances coverage: while a never-confirmed
+    # the proposal actually advances coverage: while a never-DRIVER-confirmed
     # backlog exists, every rotating slot must go to a first-time name —
     # EXCEPT the family-probe fallbacks, which are forced to re-use a
     # confirmed member when the family has no never-confirmed member left.
     # (A fixed ">= 30 fresh" floor broke as the backlog drained: late in the
     # rotation most probed families are fully confirmed, so fallbacks
     # legitimately occupy more of the 36 rotating slots.)
-    seen = rotate_window.confirmed_names(rotate_window.REPO_ROOT)
-    seen |= rotate_window.JUDGE_AUDITED
     from etl_healthcare_spark.plans.registry import DRIVER_WINDOW
 
-    seen |= set(DRIVER_WINDOW)
-    fresh_pool = {n for n in REGISTRY if n not in seen and REGISTRY[n].sql is not None}
-    if backlog:
-        stale = [n for n in window if n not in rotate_window.PINNED and n in seen]
+    driver_seen = rotate_window.confirmed_names(rotate_window.REPO_ROOT)
+    driver_seen |= set(DRIVER_WINDOW)
+    fresh_pool = {
+        n for n in REGISTRY if n not in driver_seen and REGISTRY[n].sql is not None
+    }
+    if driver_backlog:
+        stale = [n for n in window if n not in rotate_window.PINNED and n in driver_seen]
         for n in stale:
             assert any(
                 n.startswith(p) and not any(f.startswith(p) for f in fresh_pool)
                 for p in rotate_window.ROTATING_FAMILY_PROBES
-            ), f"{n} wastes a rotating slot while {len(backlog)} names are unconfirmed"
-    # bookkeeping identity: fresh names are either in the window or the backlog
-    assert fresh_pool == {n for n in window if n in fresh_pool} | set(backlog)
+            ), f"{n} wastes a rotating slot while {len(driver_backlog)} names lack a driver row"
+    # bookkeeping identities (round-8 verdict item 2: report BOTH grades and
+    # keep them consistent with the CORRECTNESS_r* artifacts):
+    # (a) never-driver-confirmed names are either in the window or the backlog
+    assert fresh_pool == {n for n in window if n in fresh_pool} | set(driver_backlog)
+    # (b) the external backlog is the driver backlog minus judge-audited names
+    judge = rotate_window.JUDGE_AUDITED | rotate_window.judge_audited_r8(
+        rotate_window.REPO_ROOT
+    )
+    assert set(external_backlog) == {n for n in driver_backlog if n not in judge}
+    # (c) after the r7+r8 blanket audits, nothing is externally unconfirmed
+    assert external_backlog == []
 
 
 # --- global (unpartitioned) windows -----------------------------------------
@@ -850,19 +860,19 @@ def test_global_windows_run_over_bounded_frames_only(spark):
             assert n_global >= 1, f"{name}: expected a global window in the plan"
 
 
-def test_latest_per_group_argmax_is_hash_and_sort_free(spark):
-    """q3 (the flagship) and g6 must never sort the corpus: the old
-    max_by(struct, struct) form had non-UnsafeRow-mutable buffers and planned
-    SortAggregate over a per-partition Sort of the full stream — the plan
-    class the sf3→sf9 probe measured at 4.70× wall per 3× data on minhash
-    (SCALE.md §48).  The two-phase hash argmax (operators/argmax.py) must
-    plan HashAggregate + shuffled-hash (or broadcast) join-back: zero Sort
-    nodes, zero SortAggregate, zero SortMergeJoin."""
+def test_latest_per_group_is_one_pass_hash_and_sort_free(spark):
+    """q3 (the flagship) and g6 must stay a SINGLE HashAggregate: the
+    (ts, id) ordering packs into one DECIMAL(38,0) atom, so max(packed) /
+    max_by(value, packed) have UnsafeRow-mutable buffers.  The max_by-over-
+    struct form silently planned SortAggregate; the two-phase argmax
+    join-back measured 1.8–2.3× slower at sf9 (one full corpus shuffle vs
+    a tiny partial-aggregate shuffle — SCALE.md §49).  Zero Sort nodes,
+    zero SortAggregate, zero joins of any kind."""
     for name in ("q3_latest_observation", "g6_max_by_latest"):
         plan = _plan(spark, name)
-        assert "SortAggregate" not in plan, f"{name}: argmax degraded to sort-based agg"
-        assert "Sort (" not in plan, f"{name}: a Sort node crept into the argmax plan"
-        assert "SortMergeJoin" not in plan, f"{name}: join-back must hash, not sort-merge"
+        assert "SortAggregate" not in plan, f"{name}: degraded to sort-based agg"
+        assert "Sort (" not in plan, f"{name}: a Sort node crept into the plan"
+        assert "Join" not in plan, f"{name}: the one-pass packed form needs no join"
         assert "HashAggregate" in plan
 
 

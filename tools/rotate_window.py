@@ -119,7 +119,50 @@ JUDGE_AUDITED = {
     "j10_spatial_pairs", "w8_ewma", "g15_funnel", "v1_envelope_gate",
     "v3_fhir_gate", "p8_format_routing", "u3_commit_log",
     "o5_newest_partition", "sketch_join_size",
+    # round 7 (VERDICT r7: 45 never-externally-checked names, all green at
+    # sf0.01, plus the 6 changed-code re-audits at sf0.1)
+    "corpus_chi2_keyness", "corpus_stats", "g21_cross_covariance", "g22_mode",
+    "g24_trimmed_mean", "g26_median_interp", "g30_topk_other_rollup",
+    "g35_share_of_parent", "graph_common_neighbors", "graph_degree_hist",
+    "j5c_asof_tolerance", "ml_gini_feature_rank", "mm_audio_autocorr",
+    "mm_audio_windows", "mm_gif_frames", "p10_fanout", "pack_sequences",
+    "sample_cluster_weighted", "sample_interleave_order", "sample_mixture_plan",
+    "sample_prototype_prune", "sample_shard_export", "sample_token_shards",
+    "search_eval_mrr", "seq_markov_transitions", "sim_hard_negatives",
+    "sim_l2_normalize", "sim_mrl_rerank", "sim_recall_report",
+    "sql_pivot_daily", "sql_topn_hours", "stat_chi2_independence",
+    "stat_corr_matrix", "text_doc_keywords", "text_langid_confusion",
+    "text_normalize", "text_quality_gate", "text_rare_tokens",
+    "text_token_topk", "text_url_extract", "training_prep_e2e",
+    "ts_event_debounce", "ts_seasonality_profile", "u8_snapshot_diff",
+    "w9_autocov",
+    # round 8 (VERDICT r8: the 12 engine-rewrite riders re-checked at sf0.1;
+    # the same audit also re-checked EVERY never-driver-confirmed oracle name
+    # at sf0.01 — that set is computed, not listed, in judge_audited_r8())
+    "dedup_minhash_lsh", "dedup_minhash_scored", "dedup_cross_corpus",
+    "dedup_cc_clusters",
 }
+
+
+def judge_audited_r8(repo_root: Path) -> set[str]:
+    """VERDICT r8's blanket audit: every oracle-backed name with no green
+    driver row in CORRECTNESS_r01..r08 was re-checked by the judge at
+    sf0.01 (71 hash-green + g5b rows-only).  The set is exactly 'oracle
+    names minus driver-confirmed-through-r8', so compute it from the same
+    artifacts rather than hand-listing 72 names."""
+    driver_seen: set[str] = set()
+    for f in glob.glob(str(repo_root / "CORRECTNESS_r0[1-8].json")):
+        for name, entry in json.load(open(f)).items():
+            if (
+                entry.get("rows_match")
+                and entry.get("schema_match")
+                and entry.get("hash_match")
+                and entry.get("err") is None
+            ):
+                driver_seen.add(name)
+    return {
+        n for n in REGISTRY if REGISTRY[n].sql is not None and n not in driver_seen
+    }
 
 
 def confirmed_names(repo_root: Path) -> set[str]:
@@ -144,53 +187,73 @@ def confirmed_names(repo_root: Path) -> set[str]:
     return seen
 
 
-def propose(repo_root: Path | None = None) -> tuple[list[str], list[str]]:
-    """Return (window, backlog): a 50-name window satisfying the plan-suite
-    invariants, and the never-confirmed names that did not fit this round."""
+def propose(repo_root: Path | None = None) -> tuple[list[str], list[str], list[str]]:
+    """Return (window, driver_backlog, external_backlog).
+
+    Two distinct evidence grades (round-8 verdict item 2 — conflating them
+    under-counted the backlog as 17 when 72 names had never had a DRIVER
+    row):
+
+    * *driver-confirmed* — green in some CORRECTNESS_r*.json window; the
+      ``driver_backlog`` is every oracle name still missing that, and is
+      what the rotation drains.
+    * *externally confirmed* — driver-confirmed OR judge-audited
+      (JUDGE_AUDITED + the computed r8 blanket audit); the
+      ``external_backlog`` is names with NO external hash-match anywhere
+      and takes absolute priority if ever non-empty.
+    """
     root = repo_root or REPO_ROOT
-    seen = confirmed_names(root) | JUDGE_AUDITED
     # treat the current window as about-to-be-confirmed: a rotation proposal
     # is for NEXT round, after the harness has run on today's window
-    seen |= set(DRIVER_WINDOW)
-    fresh = [n for n in REGISTRY if n not in seen and REGISTRY[n].sql is not None]
-    # stable sort: priority families first, registration order within a tier
-    fresh.sort(key=_priority_rank)
+    driver_seen = confirmed_names(root) | set(DRIVER_WINDOW)
+    external_seen = driver_seen | JUDGE_AUDITED | judge_audited_r8(root)
+    oracle = [n for n in REGISTRY if REGISTRY[n].sql is not None]
+    fresh_external = [n for n in oracle if n not in external_seen]
+    fresh_driver = [n for n in oracle if n not in driver_seen]
+    # queue: never-externally-confirmed first, then never-driver-confirmed;
+    # priority families first within each grade, registration order within
+    queue = fresh_external + [n for n in fresh_driver if n not in fresh_external]
+    queue.sort(key=lambda n: (n not in fresh_external, _priority_rank(n)))
 
     window = list(PINNED)
-    # first, cover every rotating family probe with a fresh name if one
+    # first, cover every rotating family probe with a queued name if one
     # exists, else fall back to the youngest already-confirmed member
     for probe in ROTATING_FAMILY_PROBES:
         if any(n.startswith(probe) for n in window):
             continue
-        pool = [n for n in fresh if n.startswith(probe)] or [
-            n for n in REGISTRY if n.startswith(probe) and REGISTRY[n].sql is not None
+        pool = [n for n in queue if n.startswith(probe)] or [
+            n for n in oracle if n.startswith(probe)
         ]
         if pool:
             window.append(pool[0])
-    # then fill remaining slots with fresh names (priority tiers first)
-    for n in fresh:
+    # then fill remaining slots from the queue
+    for n in queue:
         if len(window) >= 50:
             break
         if n not in window:
             window.append(n)
-    # if the backlog ran dry, pad with the oldest-confirmed names (re-verify)
+    # if both backlogs ran dry, pad with the oldest-confirmed names (re-verify)
     if len(window) < 50:
-        for n in REGISTRY:
+        for n in oracle:
             if len(window) >= 50:
                 break
-            if n not in window and REGISTRY[n].sql is not None:
+            if n not in window:
                 window.append(n)
-    backlog = [n for n in fresh if n not in window]
-    return window, backlog
+    driver_backlog = [n for n in fresh_driver if n not in window]
+    external_backlog = [n for n in fresh_external if n not in window]
+    return window, driver_backlog, external_backlog
 
 
 def main() -> None:
-    window, backlog = propose()
+    window, driver_backlog, external_backlog = propose()
     print(f"# proposed next DRIVER_WINDOW ({len(window)} names, pinned first)")
     for n in window:
         print(f'    "{n}",')
-    print(f"# never-confirmed backlog after this rotation: {len(backlog)}")
-    for n in backlog:
+    print(f"# never-DRIVER-confirmed backlog after this rotation: {len(driver_backlog)}")
+    for n in driver_backlog:
+        print(f"#   {n}")
+    print(f"# never-EXTERNALLY-confirmed backlog (driver or judge): {len(external_backlog)}")
+    for n in external_backlog:
         print(f"#   {n}")
 
 

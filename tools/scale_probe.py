@@ -73,6 +73,33 @@ def _release_lingering_blocks(spark) -> None:
     time.sleep(1.0)  # cleaner runs async; give it a beat before the next run
 
 
+# Families whose probe workload is the documents corpus: probe them on the
+# HEAPS-LAW vocabulary variant by default (gen_testdata GEN_HEAPS_VOCAB=1,
+# conventionally written next to the base dir with an "hv" suffix).  The
+# bounded 28-word default vocabulary manufactures super-linear candidate
+# density (4.17× LSH pairs at 3× docs, SCALE.md §48) and twice mis-attributed
+# workload shape to the engine (dedup_longest_run 2.49×→1.44×, round 7–8);
+# oracle FIXTURES keep the bounded vocab for byte-compatibility — only the
+# probe harness redirects.  Disable with SCALE_PROBE_HEAPS=0.
+HEAPS_FAMILIES = (
+    "dedup_", "text_", "link_", "search_", "decontam_", "graph_",
+    "mine_", "corpus_", "sketch_source", "curation_", "training_prep",
+)
+
+
+def _heaps_dir(sf_dir: str) -> str:
+    """Return the Heaps-vocab sibling of ``sf_dir`` if one exists, completed
+    with symlinks for any table the variant doesn't carry (the hv generator
+    only rewrites documents.parquet)."""
+    hv = sf_dir.rstrip("/") + "hv"
+    if not os.path.isdir(hv):
+        return sf_dir
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and not os.path.exists(os.path.join(hv, f)):
+            os.symlink(os.path.join(os.path.abspath(sf_dir), f), os.path.join(hv, f))
+    return hv
+
+
 def main() -> None:
     small_dir, big_dir, *names = sys.argv[1:]
     unknown = [n for n in names if n not in REGISTRY]
@@ -84,10 +111,16 @@ def main() -> None:
 
     measured = int(os.environ.get("SCALE_PROBE_MEASURED", "2"))
     assert measured >= 1, "SCALE_PROBE_MEASURED must be >= 1 (0 yields inf ratios)"
+    use_heaps = os.environ.get("SCALE_PROBE_HEAPS", "1") != "0"
     rows = []
     for name in names:
-        small = time_query(spark, name, small_dir, measured)
-        big = time_query(spark, name, big_dir, measured)
+        sd, bd = small_dir, big_dir
+        if use_heaps and name.startswith(HEAPS_FAMILIES):
+            sd, bd = _heaps_dir(small_dir), _heaps_dir(big_dir)
+            if sd != small_dir:
+                print(f"# {name}: probing Heaps-law corpus ({sd} -> {bd})", flush=True)
+        small = time_query(spark, name, sd, measured)
+        big = time_query(spark, name, bd, measured)
         row = {
             "query": name,
             "small_sec": round(small, 2),
