@@ -1,16 +1,21 @@
-"""Round-stamp inference for bench side files (round-7 verdict item 2).
+"""Round-stamp inference for bench side files (round-7 verdict item 2 +
+round-8 ADVICE).
 
 The driver benches at END of round N, after CORRECTNESS_r{N}.json has
 landed, so `max(CORRECTNESS_r*)+1` mislabeled driver runs twice (r6→_r07,
 r7→_r08).  PROGRESS.jsonl's `round` field is the driver's own heartbeat and
-is correct in both the mid-round and end-of-round cases; these tests pin the
-precedence chain $BENCH_ROUND > PROGRESS.jsonl > CORRECTNESS+1.
+is correct in both the mid-round and end-of-round cases — but it goes
+SILENT in the between-rounds judging gap (observed 77 min), where trusting
+it unconditionally produces the mirror-image mislabel (a bench at the start
+of round N+1 stamped N).  These tests pin the precedence chain
+$BENCH_ROUND > fresh PROGRESS heartbeat > max(heartbeat, CORRECTNESS+1).
 """
 
 from __future__ import annotations
 
 import importlib.util
 import json
+import time
 from pathlib import Path
 
 import pytest
@@ -26,14 +31,38 @@ def bench():
     return mod
 
 
-def test_round_from_progress_heartbeat(bench, tmp_path, monkeypatch):
+def test_round_from_fresh_progress_heartbeat(bench, tmp_path, monkeypatch):
     monkeypatch.delenv("BENCH_ROUND", raising=False)
-    # end-of-round case: CORRECTNESS_r7 already on disk, heartbeat says 7
+    # end-of-round case: CORRECTNESS_r7 already on disk, FRESH heartbeat
+    # says 7 (driver still mid-round-7 while it benches) -> 7, not 8
     (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    now = time.time()
     (tmp_path / "PROGRESS.jsonl").write_text(
-        '{"round": 6, "turns": 1}\n{"round": 7, "turns": 150}\n'
+        f'{{"round": 6, "ts": {now - 3600}}}\n{{"round": 7, "ts": {now - 60}}}\n'
     )
     assert bench._round_number(tmp_path) == 7
+
+
+def test_round_stale_heartbeat_defers_to_correctness(bench, tmp_path, monkeypatch):
+    monkeypatch.delenv("BENCH_ROUND", raising=False)
+    # between-rounds gap (round-8 ADVICE): CORRECTNESS_r07 landed, the last
+    # heartbeat (round 7) is >30 min old -> a bench here belongs to round 8
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    (tmp_path / "PROGRESS.jsonl").write_text(
+        f'{{"round": 7, "ts": {time.time() - 4000}}}\n'
+    )
+    assert bench._round_number(tmp_path) == 8
+
+
+def test_round_ts_less_heartbeat_treated_stale_but_floors(bench, tmp_path, monkeypatch):
+    monkeypatch.delenv("BENCH_ROUND", raising=False)
+    # a heartbeat without ts can't prove freshness, but its round is still a
+    # floor: with no CORRECTNESS files, max(9, 0+1) = 9
+    (tmp_path / "PROGRESS.jsonl").write_text('{"round": 9}\n')
+    assert bench._round_number(tmp_path) == 9
+    # ...and never undercuts a landed CORRECTNESS round
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    assert bench._round_number(tmp_path) == 10
 
 
 def test_round_env_override_wins(bench, tmp_path, monkeypatch):
