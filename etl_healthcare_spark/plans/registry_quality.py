@@ -674,11 +674,11 @@ def mm_avi_info(spark, sf_dir):
       FROM events
     ),
     r AS (
-      SELECT series, tus // 21600000000 AS bucket, tus, rid, vc,
+      SELECT series, tus // 21600000000 AS bucket, tus, vc,
              row_number() OVER (PARTITION BY series, tus // 21600000000
-                                ORDER BY tus, rid) AS rn_a,
+                                ORDER BY tus, vc) AS rn_a,
              row_number() OVER (PARTITION BY series, tus // 21600000000
-                                ORDER BY tus DESC, rid DESC) AS rn_d
+                                ORDER BY tus DESC, vc DESC) AS rn_d
       FROM b
     )
     SELECT series, bucket,
@@ -692,7 +692,9 @@ def mm_avi_info(spark, sf_dir):
     """,
     doc="§2.12 streaming M4: the ts_m4_downsample aggregate executed as a "
     "Structured Streaming job (file source, availableNow, complete mode) — "
-    "struct min/max first/last survive streaming state because they are "
+    "the DECIMAL(38,0)-packed first/last (same ts·10^13+value atom and "
+    "(ts, value) tie order as the batch operator, operators/sequences.py) "
+    "survive streaming state because min/max over one fixed-width atom are "
     "ordinary mergeable aggregates, so the live dashboard M4 equals the "
     "batch M4 bit-for-bit (the oracle is the batch derivation).  The "
     "telemetry pipeline's read path and its backfill provably agree.",
@@ -705,15 +707,16 @@ def stream_m4_windowed(spark, sf_dir):
     d = _tf.mkdtemp(prefix="stream_m4_")
     ev.write.mode("overwrite").parquet(f"{d}/src")
     stream = spark.readStream.schema(ev.schema).parquet(f"{d}/src")
+    OFF, K = 5_000_000_000_000, 10_000_000_000_000
     b = stream.select(
         F.col("event_type").alias("series"),
         F.unix_micros(F.col("ts")).alias("tus"),
-        F.col("event_id").alias("rid"),
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
     ).withColumn("bucket", F.expr("tus div 21600000000"))
+    packed = F.expr(f"CAST(tus AS DECIMAL(38,0)) * {K} + (vc + {OFF})")
     agg = b.groupBy("series", "bucket").agg(
-        F.min(F.struct("tus", "rid", "vc")).alias("fs"),
-        F.max(F.struct("tus", "rid", "vc")).alias("ls"),
+        F.min(packed).alias("pf"),
+        F.max(packed).alias("pl"),
         F.min("vc").alias("v_min_c"),
         F.max("vc").alias("v_max_c"),
         F.count(F.lit(1)).alias("n"),
@@ -730,10 +733,10 @@ def stream_m4_windowed(spark, sf_dir):
     return spark.table(name).select(
         "series",
         "bucket",
-        F.col("fs.tus").alias("t_first_us"),
-        F.col("fs.vc").alias("v_first_c"),
-        F.col("ls.tus").alias("t_last_us"),
-        F.col("ls.vc").alias("v_last_c"),
+        F.expr(f"CAST(pf div {K} AS BIGINT)").alias("t_first_us"),
+        F.expr(f"CAST(pf % {K} AS BIGINT) - {OFF}").alias("v_first_c"),
+        F.expr(f"CAST(pl div {K} AS BIGINT)").alias("t_last_us"),
+        F.expr(f"CAST(pl % {K} AS BIGINT) - {OFF}").alias("v_last_c"),
         "v_min_c",
         "v_max_c",
         "n",
