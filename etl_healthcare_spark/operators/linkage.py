@@ -25,6 +25,14 @@ Recall bound: a true match is found iff the pair shares >= 1 rare gram;
 with mutations bounded by k and ``max_gram_df`` sized above the expected
 duplicate-group size, misses require k edits to land on ALL distinctive
 grams — the verify step then reports distance but never fabricates a match.
+
+Parameter scaling: ``max_gram_df`` is an ABSOLUTE clean-side cap, so it
+must be sized for the corpus — gram document frequencies grow linearly
+with the clean side, and a cap tuned at small scale silently empties the
+rare set (the sf9 synthetic customer table has ZERO grams under df 64:
+every candidate vanishes and recall is 0, measured round 9).  At 100 TB
+size it from the df distribution (e.g. a low quantile of gram df, or
+expected-duplicates-per-entity × safety factor), not a constant.
 """
 
 from __future__ import annotations
@@ -55,21 +63,43 @@ def fuzzy_match_join(
     """Best fuzzy match per dirty row.  Output (dirty_id, dirty_name,
     match_id, match_name, distance) — unmatched dirty rows are absent
     (left-anti recoverable by the caller)."""
-    dg = dirty.select(
-        F.col(dirty_id).alias("did"), F.col(dirty_name).alias("dname")
-    ).withColumn("gram", F.explode(_grams(F.col("dname"), q)))
-    cg = clean.select(
-        F.col(clean_id).alias("cid"), F.col(clean_name).alias("cname")
-    ).withColumn("gram", F.explode(_grams(F.col("cname"), q)))
+    # repartition BEFORE the explode: a single-file side arrives as 1-2 scan
+    # partitions (maxPartitionBytes), so the gram explode + df count + joins
+    # all ran on 1-2 of 32 cores — measured 11.3× wall at 3× names on the
+    # sf3→sf9 probe purely from lost parallelism (SCALE.md §49; same defect
+    # class as minhash_signatures' pre-explode repartition, operators/
+    # dedup.py).  Explicit count: AQE would coalesce by pre-explode BYTES
+    # and serialize the CPU-bound gram stage.
+    npart = dirty.sparkSession.sparkContext.defaultParallelism
+    dg = (
+        dirty.select(F.col(dirty_id).alias("did"), F.col(dirty_name).alias("dname"))
+        .repartition(npart, F.col("did"))
+        .withColumn("gram", F.explode(_grams(F.col("dname"), q)))
+    )
+    cg = (
+        clean.select(F.col(clean_id).alias("cid"), F.col(clean_name).alias("cname"))
+        .repartition(npart, F.col("cid"))
+        .withColumn("gram", F.explode(_grams(F.col("cname"), q)))
+    )
     rare = (
         cg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_gram_df)
         .select("gram")
     )
+    # BROADCAST the rare-gram set: joined by shuffle, BOTH exploded gram
+    # streams (names × grams rows) would be shuffle-written in full before
+    # the rarity filter ever ran — measured as the whole 11× sf3→sf9 wall
+    # on the synthetic corpus where the filter keeps zero rows (SCALE.md
+    # §49).  Broadcast turns the rarity gate into a map-side filter, so the
+    # only corpus-scale shuffle left is the candidate gram join over rows
+    # that SURVIVE it (≤ max_gram_df per gram on the clean side).  The
+    # rare set is df-capped per gram but unbounded in gram count — callers
+    # with pathological gram diversity should raise the driver's broadcast
+    # threshold or pre-prune, documented above.
     cand = (
-        dg.join(rare, "gram")
-        .join(cg.join(rare, "gram"), "gram")
+        dg.join(F.broadcast(rare), "gram")
+        .join(cg.join(F.broadcast(rare), "gram"), "gram")
         .select("did", "dname", "cid", "cname")
         .distinct()
     )

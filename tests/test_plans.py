@@ -876,6 +876,18 @@ def test_latest_per_group_is_one_pass_hash_and_sort_free(spark):
         assert "HashAggregate" in plan
 
 
+def test_fuzzy_match_rare_gram_gate_broadcasts(spark):
+    """j7's rarity gate must broadcast: joined by shuffle, both exploded
+    gram streams (names × grams rows) are shuffle-written IN FULL before
+    the df ≤ cap filter runs — measured as an 11.3× sf3→sf9 wall (2.01×
+    after the broadcast + pre-explode repartition, SCALE.md §49).  The
+    only full-width shuffles allowed are the gram-df aggregate and the
+    surviving-candidate join."""
+    plan = _plan(spark, "j7_fuzzy_match_join")
+    assert plan.count("BroadcastHashJoin") >= 2, "rare-gram gate must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
 def test_weighted_median_crossing_pick_is_hash(spark):
     """g25's crossing-bin pick must stay scalar min/min_by (fixed-width
     buffers → HashAggregate); the min_by(struct, bin) form planned
