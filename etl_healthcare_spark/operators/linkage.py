@@ -191,6 +191,19 @@ def survivorship(
         sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left"
     ).withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
 
+    # branch joins are records-cardinality on BOTH sides (singletons make
+    # cluster_id ≈ one per record), so their shuffled-hash build side must
+    # be task-size-bounded explicitly: AQE coalesces toward the 64 MB
+    # advisory, whose ~5-7× in-memory hash relation outruns a 32-way
+    # local executor's per-task budget — measured at sf27 as "Can't acquire
+    # 134217728 bytes memory to build hash relation" (SCALE.md §49).  Size
+    # the branch exchanges from the records stats (one plan-time pass,
+    # shared by every branch); explicit repartition counts are preserved
+    # by AQE, so per-task build memory stays constant at any corpus size.
+    from .exchange import sized_shuffle_partitions
+
+    nx = sized_shuffle_partitions(records)
+
     aggs = [
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_members"),
@@ -204,7 +217,11 @@ def survivorship(
     out = j.groupBy(F.col("__cl").alias("cluster_id")).agg(*aggs)
 
     def _join_branch(acc: DataFrame, branch: DataFrame) -> DataFrame:
-        return acc.join(branch.hint("shuffle_hash"), "cluster_id", "left")
+        return acc.repartition(nx, "cluster_id").join(
+            branch.repartition(nx, "cluster_id").hint("shuffle_hash"),
+            "cluster_id",
+            "left",
+        )
 
     from .argmax import argmax_rows
 

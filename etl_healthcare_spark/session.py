@@ -28,6 +28,22 @@ def get_spark(app_name: str = "etl-healthcare-spark", shuffle_partitions: int | 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # START exchanges wide and let AQE coalesce DOWN by bytes: under the
+        # session's fixed 32 partitions, per-task state grows with the corpus
+        # until it outruns execution memory — measured at sf27 as a
+        # ShuffledHashJoin build-side failure ("Can't acquire 134217728
+        # bytes", link_survivorship's 13.5M-row branch join; SCALE.md §49).
+        # AQE only ever coalesces down, so the initial number is the
+        # CEILING on per-task size safety; 8× cores keeps small workloads
+        # coalesced back to a handful of tasks while giving corpus-scale
+        # exchanges room to stay within ~advisory-size per task.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(max(256, 8 * (int(cpus) if str(cpus).isdigit() else 32))),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
