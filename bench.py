@@ -162,14 +162,23 @@ def _round_number(repo: Path) -> int:
     item 2).  But between rounds the heartbeat goes SILENT (observed 77-min
     gap while the judge runs), so a bench at the START of round N+1, before
     the first new heartbeat, would be stamped N by a naive read — the
-    mirror-image mislabel (round-8 ADVICE).  Discriminator: heartbeat age.
-    A fresh heartbeat (< 2 missed intervals) means the driver is mid-round
-    and its number wins; a stale one means we are in the between-rounds gap
-    or later, so take max(heartbeat round, latest CORRECTNESS round + 1) —
-    CORRECTNESS_rN landing always closes round N.  $BENCH_ROUND remains the
-    explicit override.  Used to stamp a per-round copy of the full bench map
-    (round-5 verdict: overwriting BENCH_local_sf{sf}.json in place destroyed
-    the raw data cross-round per-query forensics need)."""
+    mirror-image mislabel (round-8 ADVICE).  Discriminators, in order:
+
+    1. heartbeat age — a fresh heartbeat (< 2 missed intervals) means the
+       driver is mid-round and its number wins;
+    2. CORRECTNESS mtime (round-9 verdict item 5 — the heartbeat-age check
+       alone mislabeled the driver's r9 bench as r10): the driver benches
+       MINUTES after its correctness sweep, with the heartbeat already
+       stale, so a stale heartbeat while CORRECTNESS_rN is younger than a
+       45-min grace window is still the END of round N — stamp N.  Past
+       the grace window we are in (or beyond) the between-rounds judging
+       gap, so CORRECTNESS_rN landing closes round N: stamp
+       max(heartbeat round, N + 1).
+
+    $BENCH_ROUND remains the explicit override.  Used to stamp a per-round
+    copy of the full bench map (round-5 verdict: overwriting
+    BENCH_local_sf{sf}.json in place destroyed the raw data cross-round
+    per-query forensics need)."""
     explicit = os.environ.get("BENCH_ROUND", "")
     if explicit.isdigit():
         return int(explicit)
@@ -191,12 +200,21 @@ def _round_number(repo: Path) -> int:
             break
     if heartbeat_round and time.time() - heartbeat_ts < 1800:  # fresh: mid-round
         return heartbeat_round
-    rounds = [0]
+    latest_n, latest_mtime = 0, 0.0
     for f in repo.glob("CORRECTNESS_r*.json"):
         digits = f.stem.split("_r")[-1]
-        if digits.isdigit():
-            rounds.append(int(digits))
-    return max(heartbeat_round, max(rounds) + 1)
+        if digits.isdigit() and int(digits) >= latest_n:
+            latest_n = int(digits)
+            try:
+                latest_mtime = f.stat().st_mtime
+            except OSError:
+                latest_mtime = 0.0
+    if latest_n and time.time() - latest_mtime < 2700:
+        # CORRECTNESS_rN just landed: the driver's own end-of-round bench,
+        # fired minutes after its sweep with the heartbeat already stale —
+        # round N, not N+1 (round-9 verdict item 5)
+        return max(heartbeat_round, latest_n)
+    return max(heartbeat_round, latest_n + 1)
 
 
 def _stamped_path(repo: Path, sf: str) -> Path:

@@ -58,6 +58,23 @@ Determinism contract: the LAST order column must be unique within
 callers here use event/observation ids, unique by construction.  With
 duplicates, all maximal rows are returned (the row_number-over-desc oracle
 would pick one arbitrarily, so callers must supply a true tiebreak anyway).
+
+NULL contract (round-9 ADVICE — a plain equality join-back silently DROPPED
+rows): every phase's join uses null-safe equality (``<=>``), so
+
+* a NULL group key forms its own group and is returned like any other
+  (groupBy already buckets NULLs; ``<=>`` keeps the join-back from
+  discarding them);
+* NULL order values always LOSE to non-NULL ones (max/min ignore NULLs, and
+  a NULL order value never null-safe-equals a non-NULL max) — i.e. NULL
+  sorts first for argmax and last for argmin, matching SQL ``NULLS LAST``
+  under ``ORDER BY ... DESC``;
+* a group whose order values are ALL NULL keeps its rows (max = NULL and
+  ``NULL <=> NULL`` is true) and tiebreaks on the remaining phases, rather
+  than vanishing from the result.
+
+``<=>`` is an equi-join predicate, so the join-back still plans as the
+hinted shuffled-hash join — the null contract costs no plan shape.
 """
 
 from __future__ import annotations
@@ -90,11 +107,13 @@ def _arg_rows(
             .agg(agg_fn(oc).alias(f"__m{i}"))
             .select(*g_alias, f"__m{i}")
         )
+        # null-safe equality: NULL group keys keep their group, and all-NULL
+        # order groups keep their rows (module docstring NULL contract)
         cond: Column = reduce(
             lambda a, b: a & b,
-            [F.col(c) == F.col(f"__g{i}_{c}") for c in group_cols]
-            + [F.col(oc) == F.col(f"__m{i}")],
-        ) if group_cols else (F.col(oc) == F.col(f"__m{i}"))
+            [F.col(c).eqNullSafe(F.col(f"__g{i}_{c}")) for c in group_cols]
+            + [F.col(oc).eqNullSafe(F.col(f"__m{i}"))],
+        ) if group_cols else F.col(oc).eqNullSafe(F.col(f"__m{i}"))
         cur = cur.join(m.hint("shuffle_hash"), on=cond, how="inner").drop(
             f"__m{i}", *[f"__g{i}_{c}" for c in group_cols]
         )

@@ -22,17 +22,38 @@ Pipeline (all key-grained shuffles, no window over the full corpus):
      (distance, clean_id) — two-phase hash argmax (operators/argmax.py).
 
 Recall bound: a true match is found iff the pair shares >= 1 rare gram;
-with mutations bounded by k and ``max_gram_df`` sized above the expected
+with mutations bounded by k and the rarity cap sized above the expected
 duplicate-group size, misses require k edits to land on ALL distinctive
 grams — the verify step then reports distance but never fabricates a match.
 
-Parameter scaling: ``max_gram_df`` is an ABSOLUTE clean-side cap, so it
-must be sized for the corpus — gram document frequencies grow linearly
-with the clean side, and a cap tuned at small scale silently empties the
-rare set (the sf9 synthetic customer table has ZERO grams under df 64:
-every candidate vanishes and recall is 0, measured round 9).  At 100 TB
-size it from the df distribution (e.g. a low quantile of gram df, or
-expected-duplicates-per-entity × safety factor), not a constant.
+Rarity-cap scaling (round-10, closing the round-9 "known weak" item): an
+ABSOLUTE df cap silently zeroes recall as the corpus grows — gram document
+frequencies grow linearly with the clean side, and the sf9 synthetic
+customer table measured ZERO grams under df 64: every candidate vanished.
+The cap is therefore DERIVED FROM THE GRAM-DF DISTRIBUTION by default:
+
+    effective_cap = max(max_gram_df,  df at the ``rare_df_pct``-th
+                                      percentile of gram-TYPE df)
+
+computed with exact integer arithmetic (min df whose cumulative type count
+satisfies ``100*cum >= pct*total`` — identical in the DuckDB oracle, so
+capped semantics stay the verified semantics).  Guarantees: at least
+``rare_df_pct`` percent of clean-side gram types always survive the gate,
+so recall can never silently collapse to 0; on natural (Heaps-law) corpora
+the low percentile sits at df 1-4, far under the floor, so the floor
+dominates and candidate volume is unchanged.  On TEMPLATED corpora (every
+gram frequent — e.g. 'Customer#%09d' synthetics) the cap rises with the
+corpus and candidate volume approaches sum(df^2) over the rarest decile:
+that is the unavoidable price of non-zero recall when no distinctive grams
+exist, and is a property of the corpus, not the plan (same class as the
+bounded-vocab LSH density of SCALE.md §48 — the probe harness measures
+linkage on Heaps-law names for exactly this reason).  ``rare_df_pct=None``
+restores the absolute-cap behavior.
+
+The quantile costs no extra corpus-scale pass: the gram-df table (vocab-
+sized) is localCheckpoint-ed once and feeds both the cap derivation (a
+tiny df-distribution aggregate + cumulative window over |distinct df|
+rows) and the rarity filter itself.
 """
 
 from __future__ import annotations
@@ -59,10 +80,17 @@ def fuzzy_match_join(
     max_dist: int = 2,
     q: int = 3,
     max_gram_df: int = 64,
+    rare_df_pct: int | None = 10,
 ) -> DataFrame:
     """Best fuzzy match per dirty row.  Output (dirty_id, dirty_name,
     match_id, match_name, distance) — unmatched dirty rows are absent
-    (left-anti recoverable by the caller)."""
+    (left-anti recoverable by the caller).
+
+    ``max_gram_df`` is the rarity-cap FLOOR; the effective cap is
+    ``max(max_gram_df, df at the rare_df_pct-th percentile of gram-type
+    df)``, derived from the clean side's gram-df distribution so recall
+    survives corpus growth (module docstring).  ``rare_df_pct=None``
+    restores the absolute cap."""
     # repartition BEFORE the explode: a single-file side arrives as 1-2 scan
     # partitions (maxPartitionBytes), so the gram explode + df count + joins
     # all ran on 1-2 of 32 cores — measured 11.3× wall at 3× names on the
@@ -81,12 +109,40 @@ def fuzzy_match_join(
         .repartition(npart, F.col("cid"))
         .withColumn("gram", F.explode(_grams(F.col("cname"), q)))
     )
-    rare = (
-        cg.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_gram_df)
-        .select("gram")
-    )
+    dfreq = cg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    if rare_df_pct is None:
+        rare = dfreq.where(F.col("df") <= max_gram_df).select("gram")
+    else:
+        # vocab-sized; checkpointed once, consumed by BOTH the cap branch
+        # and the rarity filter, so the corpus-scale gram explode + partial
+        # aggregation runs exactly once (not re-derived per consumer)
+        dfreq = dfreq.localCheckpoint(eager=True)
+        dist = dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
+        total = dist.agg(F.sum("c").alias("total"))
+        from pyspark.sql import Window
+
+        # exact discrete percentile: min df whose cumulative gram-type count
+        # reaches pct% — `100*cum >= pct*total` is the integer form of
+        # cum >= ceil(pct*total/100), replayed verbatim in the oracle.  The
+        # cumulative window sorts |distinct df values| rows (a bounded,
+        # aggregate-derived frame), never the corpus.
+        wcum = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
+        cap_row = (
+            dist.crossJoin(F.broadcast(total))
+            .withColumn("cum", F.sum("c").over(wcum))
+            .where(F.col("cum") * 100 >= F.col("total") * rare_df_pct)
+            .agg(F.min("df").alias("qdf"))
+        )
+        rare = (
+            dfreq.crossJoin(F.broadcast(cap_row))
+            .where(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(max_gram_df).cast("long"), F.coalesce(F.col("qdf"), F.lit(0))
+                )
+            )
+            .select("gram")
+        )
     # BROADCAST the rare-gram set: joined by shuffle, BOTH exploded gram
     # streams (names × grams rows) would be shuffle-written in full before
     # the rarity filter ever ran — measured as the whole 11× sf3→sf9 wall
@@ -97,9 +153,14 @@ def fuzzy_match_join(
     # rare set is df-capped per gram but unbounded in gram count — callers
     # with pathological gram diversity should raise the driver's broadcast
     # threshold or pre-prune, documented above.
+    # the candidate join is hinted shuffle_hash: with the checkpointed
+    # gram-df table feeding `rare`, Catalyst loses the stats that used to
+    # pick a hash join and falls back to SortMergeJoin — a SORT of both
+    # surviving gram streams, the banned corpus-sort class (plan-pinned in
+    # test_plans.py::test_fuzzy_match_rare_gram_gate_broadcasts)
     cand = (
         dg.join(F.broadcast(rare), "gram")
-        .join(cg.join(F.broadcast(rare), "gram"), "gram")
+        .join(cg.join(F.broadcast(rare), "gram").hint("shuffle_hash"), "gram")
         .select("did", "dname", "cid", "cname")
         .distinct()
     )

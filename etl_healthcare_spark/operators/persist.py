@@ -428,7 +428,12 @@ def apply_cdc(
     class).  ``seq_col`` must TOTALLY order each key's changes — the
     standard CDC LSN/commit-sequence contract; a duplicated (key, seq)
     pair is upstream log corruption and surfaces as a duplicated output
-    key rather than an arbitrary pick.  The apply is ONE key-grained
+    key rather than an arbitrary pick.  NULL handling (the argmax NULL
+    contract, operators/argmax.py): a NULL ``seq_col`` loses to any
+    non-NULL sequence (treated as oldest); a key whose changes are ALL
+    NULL-sequenced keeps its change rows (surfacing as duplicates if >1,
+    like corrupt duplicated sequences); a NULL change key forms its own
+    key group rather than being silently dropped.  The apply is ONE key-grained
     full-outer join, hinted shuffle-hash so neither the snapshot nor the
     resolved batch is sorted.  Keys without changes pass through; 'D' keys
     drop; 'I'/'U' keys take the latest payload.  At 100 TB the base side

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.packing import unpack_hi, unpack_lo
+
 PPM = 1_000_000
 PPB = 1_000_000_000
 
@@ -80,6 +82,13 @@ def m4_downsample(
     UnsafeRow-mutable, so the packed form is one HashAggregate with
     map-side combine.  (``id_col`` is retained for API stability; the
     (ts, value) order no longer needs a row-id tiebreak.)
+
+    Negative (pre-1970) timestamps: the packed first/last DECODE uses
+    pmod/exact-division (functions/packing.py), so they round-trip exactly.
+    Bucket ASSIGNMENT stays truncating ``div`` — the same semantics as the
+    DuckDB oracle's ``//`` (both truncate toward zero, verified), so both
+    engines agree on all inputs; bucket 0 spans (-bucket_us, bucket_us) in
+    that regime, a documented boundary convention, not a decode error.
     """
     OFF = 5_000_000_000_000  # value offset: vc ∈ (-5e12, 5e12) → term ∈ [0, 1e13)
     K = 10_000_000_000_000
@@ -105,10 +114,11 @@ def m4_downsample(
         .select(
             "series",
             "bucket",
-            F.expr(f"CAST(pf div {K} AS BIGINT)").alias("t_first_us"),
-            F.expr(f"CAST(pf % {K} AS BIGINT) - {OFF}").alias("v_first_c"),
-            F.expr(f"CAST(pl div {K} AS BIGINT)").alias("t_last_us"),
-            F.expr(f"CAST(pl % {K} AS BIGINT) - {OFF}").alias("v_last_c"),
+            # pmod/exact-div decode: negative-timestamp-safe (functions/packing.py)
+            unpack_hi("pf", K).alias("t_first_us"),
+            (unpack_lo("pf", K) - F.lit(OFF)).alias("v_first_c"),
+            unpack_hi("pl", K).alias("t_last_us"),
+            (unpack_lo("pl", K) - F.lit(OFF)).alias("v_last_c"),
             "v_min_c",
             "v_max_c",
             "n",

@@ -79,6 +79,15 @@ def latest_per_group(
     to make the pick total under order-col ties (otherwise any tied row may
     be returned).
 
+    UNIQUENESS REQUIREMENT (public contract): with ``tiebreak``, the LAST
+    tiebreak column must be unique within (group, order_col, preceding
+    tiebreaks) — e.g. an event/observation id.  If it is not, this returns
+    ALL maximal rows (argmax semantics — possibly >1 row per group), where
+    the struct-max fallback returns an arbitrary single one; callers that
+    need exactly one row per group must supply a true tiebreak.  Groups
+    whose ``order_col`` is all-NULL are returned (NULLs always lose to
+    non-NULL order values); see the NULL contract in operators/argmax.py.
+
     Plan shape: the two-phase hash argmax (operators/argmax.py) when every
     order column is fixed-width — HashAggregate + shuffled-hash join-back,
     never a post-shuffle sort; the max_by(struct, struct) fallback (used

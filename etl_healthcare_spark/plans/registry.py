@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..datasets import OBSERVATIONS_ORACLE_CTE, load_table, observations
+from ..functions.packing import unpack_hi, unpack_lo
 
 
 @dataclass
@@ -52,7 +53,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _wipe_stale_store_keys(root: str, cur_key_dir: str, sf_dir_abs: str) -> None:
+def _wipe_stale_store_keys(
+    root: str, cur_key_dir: str, sf_dir_abs: str, markerless_max_age_s: float = 21600.0
+) -> None:
     """Remove stale generations of a derived local store for ONE source
     dataset: sibling key dirs under ``root`` whose ``_SF_DIR`` marker names
     the same source ``sf_dir`` (an older size/mtime generation), plus the
@@ -60,12 +63,19 @@ def _wipe_stale_store_keys(root: str, cur_key_dir: str, sf_dir_abs: str) -> None
     untouched — a blanket rmtree(root) made alternating bench/probe runs
     rewrite every store per alternation and could delete a concurrent
     session's store between its _SUCCESS check and read (round-8 ADVICE).
-    Marker-less dirs are also left alone: they may be an in-progress write.
+
+    Marker-less dirs (an in-progress concurrent write, or a pre-marker-era
+    generation) are left alone while YOUNG, but reclaimed once older than
+    ``markerless_max_age_s`` (default 6 h — far beyond any store write):
+    without the age cut, pre-marker generations accumulated under the
+    tempdir forever across data regenerations (round-9 ADVICE).
     """
     import os
     import shutil
+    import time as _time
 
     if os.path.isdir(root):
+        now = _time.time()
         for k in os.listdir(root):
             kd = os.path.join(root, k)
             if kd == cur_key_dir or not os.path.isdir(kd):
@@ -74,6 +84,11 @@ def _wipe_stale_store_keys(root: str, cur_key_dir: str, sf_dir_abs: str) -> None
                 with open(os.path.join(kd, "_SF_DIR")) as fh:
                     owner = fh.read()
             except OSError:
+                try:
+                    if now - os.path.getmtime(kd) > markerless_max_age_s:
+                        shutil.rmtree(kd, ignore_errors=True)
+                except OSError:
+                    pass
                 continue
             if owner == sf_dir_abs:
                 shutil.rmtree(kd, ignore_errors=True)
@@ -247,8 +262,10 @@ def q3_latest_observation(spark, sf_dir):
             "patientId",
             "code",
             "value",
-            F.expr("CAST(__p div 10000000000000000000 AS BIGINT)").alias("eff_us"),
-            F.expr("CAST(__p % 10000000000000000000 AS BIGINT)").alias("obsId"),
+            # pmod/exact-div decode: truncating div/% mis-decode negative
+            # (pre-1970) packed timestamps (functions/packing.py)
+            unpack_hi("__p", 10**19).alias("eff_us"),
+            unpack_lo("__p", 10**19).alias("obsId"),
         )
     )
 
@@ -466,8 +483,9 @@ def g6_max_by_latest(spark, sf_dir):
         .agg(F.max(packed).alias("__p"))
         .select(
             "user_id",
-            F.expr("CAST(__p % 10000000000000000000 AS BIGINT)").alias("last_event_id"),
-            F.expr("CAST(__p div 10000000000000000000 AS BIGINT)").alias("last_ts_us"),
+            # pmod/exact-div decode: negative-timestamp-safe (functions/packing.py)
+            unpack_lo("__p", 10**19).alias("last_event_id"),
+            unpack_hi("__p", 10**19).alias("last_ts_us"),
         )
     )
 

@@ -730,13 +730,16 @@ def stream_m4_windowed(spark, sf_dir):
         .start()
     )
     q.awaitTermination(300)
+    from ..functions.packing import unpack_hi, unpack_lo
+
     return spark.table(name).select(
         "series",
         "bucket",
-        F.expr(f"CAST(pf div {K} AS BIGINT)").alias("t_first_us"),
-        F.expr(f"CAST(pf % {K} AS BIGINT) - {OFF}").alias("v_first_c"),
-        F.expr(f"CAST(pl div {K} AS BIGINT)").alias("t_last_us"),
-        F.expr(f"CAST(pl % {K} AS BIGINT) - {OFF}").alias("v_last_c"),
+        # pmod/exact-div decode: negative-timestamp-safe (functions/packing.py)
+        unpack_hi("pf", K).alias("t_first_us"),
+        (unpack_lo("pf", K) - F.lit(OFF)).alias("v_first_c"),
+        unpack_hi("pl", K).alias("t_last_us"),
+        (unpack_lo("pl", K) - F.lit(OFF)).alias("v_last_c"),
         "v_min_c",
         "v_max_c",
         "n",

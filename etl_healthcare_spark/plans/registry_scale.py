@@ -842,9 +842,25 @@ def sketch_hll_merge(spark, sf_dir):
                i -> substr(lower(dname), CAST(i AS INTEGER), 4)))) AS gram
       FROM dirty
     ),
+    dfreq AS (
+      SELECT gram, count(*) AS df FROM cg GROUP BY 1
+    ),
+    dist AS (
+      SELECT df, count(*) AS c FROM dfreq GROUP BY 1
+    ),
+    capq AS (
+      -- df at the 10th percentile of gram-TYPE df, exact integer
+      -- arithmetic (100*cum >= pct*total == cum >= ceil(pct*total/100)),
+      -- identical to the engine's derivation (operators/linkage.py)
+      SELECT min(df) AS qdf FROM (
+        SELECT df, sum(c) OVER (ORDER BY df) AS cum,
+               sum(c) OVER () AS total
+        FROM dist
+      ) WHERE cum * 100 >= total * 10
+    ),
     rare AS (
-      SELECT gram FROM (SELECT gram, count(*) AS c FROM cg GROUP BY 1)
-      WHERE c <= 32
+      SELECT gram FROM dfreq, capq
+      WHERE df <= greatest(CAST(32 AS BIGINT), coalesce(qdf, 0))
     ),
     cand AS (
       SELECT DISTINCT d.did, d.dname, c.cid, c.cname
@@ -866,11 +882,13 @@ def sketch_hll_merge(spark, sf_dir):
     """,
     doc="J7 fuzzy entity-match join: every 3rd customer name gets a planted "
     "substitution, then dirty names re-link to the catalog by edit distance "
-    "<= 2 with RARE-4-gram blocking (grams above clean-side df 32 dropped "
-    "from both sides — the all-pairs guard, mirrored in the oracle so the "
-    "capped semantics are what is verified).  Best match = exact MIN over "
-    "(distance, id) structs.  All shuffles are gram-/pair-grained; "
-    "levenshtein is integer and engine-identical "
+    "<= 2 with RARE-4-gram blocking.  The rarity cap is DERIVED: "
+    "max(floor 32, df at the 10th percentile of gram-type df) — mirrored "
+    "exactly in the oracle, so the capped semantics are what is verified, "
+    "and recall cannot silently zero as gram dfs grow with the corpus "
+    "(round-9 weak item; operators/linkage.py module docstring).  Best "
+    "match = exact MIN over (distance, id) structs.  All shuffles are "
+    "gram-/pair-grained; levenshtein is integer and engine-identical "
     "(operators/linkage.fuzzy_match_join).",
 )
 def j7_fuzzy_match_join(spark, sf_dir):
@@ -890,5 +908,6 @@ def j7_fuzzy_match_join(spark, sf_dir):
         .alias("dname"),
     )
     return fuzzy_match_join(
-        dirty, cust, "did", "dname", "c_custkey", "c_name", max_dist=2, q=4, max_gram_df=32
+        dirty, cust, "did", "dname", "c_custkey", "c_name",
+        max_dist=2, q=4, max_gram_df=32, rare_df_pct=10,
     )

@@ -467,8 +467,12 @@ def u5_incremental_agg(spark, sf_dir):
       FROM events
     )
     SELECT event_type, bar_us,
-           CAST(min(packed) % 10000000000000 AS BIGINT) - 5000000000000 AS open_cents,
-           CAST(max(packed) % 10000000000000 AS BIGINT) - 5000000000000 AS close_cents,
+           -- positive-modulus decode: negative-timestamp-safe, in lockstep
+           -- with the engine's pmod decode (functions/packing.py)
+           CAST(((min(packed) % 10000000000000) + 10000000000000) % 10000000000000
+                AS BIGINT) - 5000000000000 AS open_cents,
+           CAST(((max(packed) % 10000000000000) + 10000000000000) % 10000000000000
+                AS BIGINT) - 5000000000000 AS close_cents,
            max(cents) AS high_cents,
            min(cents) AS low_cents,
            CAST(count(*) AS BIGINT) AS n_ticks,
@@ -506,8 +510,9 @@ def g19_ohlc_bars(spark, sf_dir):
         f"ELSE cents END + {OFF})"
     )
     return base.groupBy("event_type", "bar_us").agg(
-        (F.min(packed) % F.lit(K)).cast("long").alias("__open_raw"),
-        (F.max(packed) % F.lit(K)).cast("long").alias("__close_raw"),
+        # pmod decode: negative-timestamp-safe (functions/packing.py)
+        F.pmod(F.min(packed), F.lit(K)).cast("long").alias("__open_raw"),
+        F.pmod(F.max(packed), F.lit(K)).cast("long").alias("__close_raw"),
         F.max("cents").alias("high_cents"),
         F.min("cents").alias("low_cents"),
         F.count(F.lit(1)).alias("n_ticks"),

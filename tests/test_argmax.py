@@ -53,3 +53,43 @@ def test_argmax_global_no_group_cols(spark):
 def test_argmax_rejects_non_fixed_width_order(spark):
     with pytest.raises(ValueError, match="non-fixed-width"):
         argmax_rows(_df(spark), ["grp"], ["payload"])
+
+
+def _null_df(spark):
+    rows = [
+        # group "n": NULL order values lose to the non-NULL max
+        ("n", 5, 1, "n-5"),
+        ("n", None, 2, "n-null"),
+        # group "allnull": every order value NULL -> rows KEPT, o2 tiebreaks
+        ("allnull", None, 1, "an-1"),
+        ("allnull", None, 9, "an-9"),
+        # NULL group key: forms its own group, not dropped
+        (None, 3, 1, "g-null-3"),
+        (None, 8, 1, "g-null-8"),
+    ]
+    return spark.createDataFrame(rows, "grp string, o1 int, o2 int, payload string")
+
+
+def test_argmax_null_order_loses_to_non_null(spark):
+    got = [r.payload for r in argmax_rows(_null_df(spark), ["grp"], ["o1", "o2"]).where(F.col("grp") == "n").collect()]
+    assert got == ["n-5"]
+
+
+def test_argmax_all_null_order_group_kept_and_tiebroken(spark):
+    # round-9 ADVICE: a plain equality join-back silently dropped these groups
+    got = [
+        r.payload
+        for r in argmax_rows(_null_df(spark), ["grp"], ["o1", "o2"]).where(F.col("grp") == "allnull").collect()
+    ]
+    assert got == ["an-9"]
+
+
+def test_argmax_null_group_key_kept(spark):
+    got = [r.payload for r in argmax_rows(_null_df(spark), ["grp"], ["o1", "o2"]).where(F.col("grp").isNull()).collect()]
+    assert got == ["g-null-8"]
+
+
+def test_argmin_null_order_loses_to_non_null(spark):
+    # for argmin the NULLs also lose: min ignores NULLs, so NULL sorts LAST
+    got = [r.payload for r in argmin_rows(_null_df(spark), ["grp"], ["o1", "o2"]).where(F.col("grp") == "n").collect()]
+    assert got == ["n-5"]

@@ -44,24 +44,45 @@ def test_round_from_fresh_progress_heartbeat(bench, tmp_path, monkeypatch):
 
 
 def test_round_stale_heartbeat_defers_to_correctness(bench, tmp_path, monkeypatch):
+    import os
+
     monkeypatch.delenv("BENCH_ROUND", raising=False)
-    # between-rounds gap (round-8 ADVICE): CORRECTNESS_r07 landed, the last
-    # heartbeat (round 7) is >30 min old -> a bench here belongs to round 8
-    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    # between-rounds gap (round-8 ADVICE): CORRECTNESS_r07 landed >45 min
+    # ago, the last heartbeat (round 7) is >30 min old -> a bench here is
+    # past the end-of-round grace window and belongs to round 8
+    c = tmp_path / "CORRECTNESS_r07.json"
+    c.write_text("{}")
+    os.utime(c, (time.time() - 7200, time.time() - 7200))
     (tmp_path / "PROGRESS.jsonl").write_text(
         f'{{"round": 7, "ts": {time.time() - 4000}}}\n'
     )
     assert bench._round_number(tmp_path) == 8
 
 
+def test_round_stale_heartbeat_fresh_correctness_is_driver_end_of_round(bench, tmp_path, monkeypatch):
+    monkeypatch.delenv("BENCH_ROUND", raising=False)
+    # round-9 verdict item 5 — the exact mislabel case: the driver benches
+    # minutes after its correctness sweep, so the heartbeat is stale AND
+    # CORRECTNESS_r09 has just landed.  The stamp must read 9, not 10.
+    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")  # mtime = now
+    (tmp_path / "PROGRESS.jsonl").write_text(
+        f'{{"round": 9, "ts": {time.time() - 4000}}}\n'
+    )
+    assert bench._round_number(tmp_path) == 9
+
+
 def test_round_ts_less_heartbeat_treated_stale_but_floors(bench, tmp_path, monkeypatch):
     monkeypatch.delenv("BENCH_ROUND", raising=False)
     # a heartbeat without ts can't prove freshness, but its round is still a
     # floor: with no CORRECTNESS files, max(9, 0+1) = 9
+    import os
+
     (tmp_path / "PROGRESS.jsonl").write_text('{"round": 9}\n')
     assert bench._round_number(tmp_path) == 9
-    # ...and never undercuts a landed CORRECTNESS round
-    (tmp_path / "CORRECTNESS_r09.json").write_text("{}")
+    # ...and never undercuts a CORRECTNESS round landed past the grace window
+    c = tmp_path / "CORRECTNESS_r09.json"
+    c.write_text("{}")
+    os.utime(c, (time.time() - 7200, time.time() - 7200))
     assert bench._round_number(tmp_path) == 10
 
 
@@ -72,9 +93,15 @@ def test_round_env_override_wins(bench, tmp_path, monkeypatch):
 
 
 def test_round_fallback_to_correctness(bench, tmp_path, monkeypatch):
+    import os
+
     monkeypatch.delenv("BENCH_ROUND", raising=False)
-    # no heartbeat -> latest CORRECTNESS + 1; junk heartbeat -> same
-    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+    # no heartbeat -> latest aged CORRECTNESS + 1; junk heartbeat -> same
+    # (a FRESH CORRECTNESS file would instead mean the driver's own
+    # end-of-round bench — covered by the grace-window test above)
+    c = tmp_path / "CORRECTNESS_r03.json"
+    c.write_text("{}")
+    os.utime(c, (time.time() - 7200, time.time() - 7200))
     assert bench._round_number(tmp_path) == 4
     (tmp_path / "PROGRESS.jsonl").write_text("not json\n")
     assert bench._round_number(tmp_path) == 4

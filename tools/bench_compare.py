@@ -20,11 +20,23 @@ def load(path: str) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --top BEFORE collecting positionals so `--top 5 a.json b.json`
+    # doesn't load '5' as a bench file (round-9 ADVICE)
+    argv = list(sys.argv[1:])
     top = 8
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok.startswith("--top"):
+            if "=" in tok:
+                top = int(tok.split("=", 1)[1])
+            else:
+                top = int(argv[i + 1])
+                i += 1
+        elif not tok.startswith("--"):
+            args.append(tok)
+        i += 1
     a, b = load(args[0]), load(args[1])
     common = sorted(set(a) & set(b))
     if not common:
