@@ -164,14 +164,35 @@ def test_knn_join_broadcasts_queries_and_limits_window_partially(spark):
 
 def test_driver_window_spans_every_family_and_is_oracle_backed():
     """External harnesses score REGISTRY insertion order with a bounded window;
-    the head must be the curated DRIVER_WINDOW — every family represented and
-    every entry carrying a DuckDB oracle (no rows-only checks in the window)."""
+    the head must be the curated DRIVER_WINDOW — every entry carrying a DuckDB
+    oracle (no rows-only checks in the window), and every family carrying
+    driver-grade evidence NO OLDER THAN ONE ROUND: an in-window member, or a
+    member hash-green in the latest CORRECTNESS_r*.json (the one-round
+    carry-over policy, round-9 verdict item 2 — re-verifying a name one round
+    after it passed wastes a slot while any name still lacks a driver row)."""
+    import glob as _glob
+    import json as _json
+    from pathlib import Path as _Path
+
     from etl_healthcare_spark.plans.registry import DRIVER_WINDOW
 
     names = list(REGISTRY)
     assert names[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
     assert len(DRIVER_WINDOW) == 50
     assert all(REGISTRY[n].sql is not None for n in DRIVER_WINDOW)
+    repo = _Path(__file__).resolve().parents[1]
+    latest, latest_green = 0, set()
+    for f in _glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        digits = _Path(f).stem.split("_r")[-1]
+        if digits.isdigit() and int(digits) >= latest:
+            latest = int(digits)
+            latest_green = {
+                n
+                for n, e in _json.load(open(f)).items()
+                if e.get("rows_match") and e.get("schema_match")
+                and e.get("hash_match") and e.get("err") is None
+            }
+    covered = set(DRIVER_WINDOW) | latest_green
     # one representative from each major family must sit inside the window
     for probe in (
         "q2_",  # serving
@@ -202,7 +223,7 @@ def test_driver_window_spans_every_family_and_is_oracle_backed():
         "maint_",  # table maintenance / layout analytics
         "privacy_",  # disclosure-risk audits
     ):
-        assert any(n.startswith(probe) for n in DRIVER_WINDOW), probe
+        assert any(n.startswith(probe) for n in covered), probe
 
 
 def test_doc_counts_match_live_registry():

@@ -2,14 +2,16 @@
 
 The external harness confirms only the first 50 registry entries per round
 (CORRECTNESS_r{N}.json), so external evidence accumulates one window at a
-time.  Policy (SCALE.md §38 era):
+time.  Policy (round-10, the one-round carry-over era):
 
-* 14 slots are PINNED — each is the sole oracle-backed representative of a
-  family `tests/test_plans.py::test_driver_window_spans_every_family…`
-  requires inside the window.
-* the remaining 36 slots rotate, preferring queries that have NEVER appeared
-  in any round's CORRECTNESS file, while keeping every probed family
-  represented.
+* 9 core slots are PINNED (cheap every-round anchors).
+* family coverage uses ONE-ROUND CARRY-OVER: a family probe is satisfied by
+  an in-window member OR a member hash-green in the LATEST round's
+  CORRECTNESS file, so already-fresh families don't burn slots while any
+  name still lacks a driver row (the r9 policy of forcing every family
+  in-window left a 13-name residue the r10 window could have drained).
+* the remaining slots rotate, preferring queries that have NEVER appeared
+  green in any round's CORRECTNESS file.
 
 Usage: python tools/rotate_window.py
 Prints the proposed 50-name window (pinned first) plus the remaining
@@ -30,26 +32,29 @@ from etl_healthcare_spark.plans.registry import DRIVER_WINDOW, REGISTRY  # noqa:
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
-# sole oracle-backed member of a family the plan suite requires in-window
+# core every-round anchors (cheap; serving/agg/tpch/join/window/sort/
+# parse/validate/upsert)
 PINNED = [
     "q2_observations_by_patient",
     "g1_minute_counters",
     "g7_tpch_q1",
     "j6_star_join",
     "w3_moving_avg",
-    "set_ops",
     "o2_topk",
     "p1_csv_to_dto",
     "v2_dto_validation",
     "u1_idempotent_merge",
-    "g10_pivot",
-    "sq_subqueries",
-    "scalar_functions",
-    "cluster_kmeans",
 ]
 
-# family probes the plan test asserts (beyond those satisfied by PINNED)
+# family probes the plan test asserts (beyond those satisfied by PINNED);
+# under carry-over a probe only consumes a slot when the family was NOT
+# green in the latest round's CORRECTNESS file
 ROTATING_FAMILY_PROBES = [
+    "set_ops",
+    "g10_",
+    "sq_",
+    "scalar_",
+    "cluster_",
     "curation_",
     "anomaly_",
     "sketch_",
@@ -215,11 +220,29 @@ def propose(repo_root: Path | None = None) -> tuple[list[str], list[str], list[s
     queue = fresh_external + [n for n in fresh_driver if n not in fresh_external]
     queue.sort(key=lambda n: (n not in fresh_external, _priority_rank(n)))
 
+    # carry-over: families green in the LATEST round's CORRECTNESS file are
+    # fresh for one round and need no in-window slot (plan-suite policy)
+    latest, latest_green = 0, set()
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        digits = Path(f).stem.split("_r")[-1]
+        if digits.isdigit() and int(digits) >= latest:
+            latest = int(digits)
+            latest_green = {
+                n
+                for n, e in json.load(open(f)).items()
+                if e.get("rows_match")
+                and e.get("schema_match")
+                and e.get("hash_match")
+                and e.get("err") is None
+            }
+
     window = list(PINNED)
-    # first, cover every rotating family probe with a queued name if one
-    # exists, else fall back to the youngest already-confirmed member
+    # cover every rotating family probe NOT fresh from the latest round:
+    # with a queued name if one exists, else the youngest confirmed member
     for probe in ROTATING_FAMILY_PROBES:
-        if any(n.startswith(probe) for n in window):
+        if any(n.startswith(probe) for n in window) or any(
+            n.startswith(probe) for n in latest_green
+        ):
             continue
         pool = [n for n in queue if n.startswith(probe)] or [
             n for n in oracle if n.startswith(probe)
