@@ -769,8 +769,30 @@ def test_window_rotation_proposer_emits_a_valid_window():
     window, driver_backlog, external_backlog = rotate_window.propose()
     assert len(window) == 50 and len(set(window)) == 50
     assert all(REGISTRY[n].sql is not None for n in window)
+    # family probes follow the one-round carry-over policy propose()
+    # implements (and the live-window test asserts): a probe is satisfied by
+    # an in-window member OR a member hash-green in the latest CORRECTNESS
+    # round — only then may it skip consuming a rotating slot.
+    import glob as _glob
+    import json as _json
+    from pathlib import Path as _Path
+
+    repo = _Path(__file__).resolve().parents[1]
+    latest, latest_green = 0, set()
+    for f in _glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        digits = _Path(f).stem.split("_r")[-1]
+        if digits.isdigit() and int(digits) >= latest:
+            latest = int(digits)
+            latest_green = {
+                n
+                for n, e in _json.load(open(f)).items()
+                if e.get("rows_match") and e.get("schema_match")
+                and e.get("hash_match") and e.get("err") is None
+            }
     for probe in rotate_window.ROTATING_FAMILY_PROBES:
-        assert any(n.startswith(probe) for n in window), probe
+        assert any(
+            n.startswith(probe) for n in list(window) + sorted(latest_green)
+        ), probe
     for n in rotate_window.PINNED:
         assert n in window
     # the proposal actually advances coverage: while a never-DRIVER-confirmed
