@@ -843,6 +843,10 @@ GLOBAL_WINDOW_SITES = {
     "operators/stats.py": ["stat_ks_two_sample", "stat_mann_whitney"],
     "operators/bucketing.py": ["layout_range_bounds"],
     "operators/similarity.py": ["sim_mrl_rerank"],
+    # rarity-cap percentile: cumulative window over the gram-df DISTRIBUTION
+    # (groupBy("df") aggregate output, |distinct df values| rows), never the
+    # corpus — added with the quantile-derived cap (operators/linkage.py)
+    "operators/linkage.py": ["j7_fuzzy_match_join"],
 }
 
 
