@@ -70,7 +70,7 @@ def _grams(col, q: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, q)))
 
 
-def fuzzy_match_join(
+def _scored_candidates(
     dirty: DataFrame,
     clean: DataFrame,
     dirty_id: str,
@@ -82,15 +82,11 @@ def fuzzy_match_join(
     max_gram_df: int = 64,
     rare_df_pct: int | None = 10,
 ) -> DataFrame:
-    """Best fuzzy match per dirty row.  Output (dirty_id, dirty_name,
-    match_id, match_name, distance) — unmatched dirty rows are absent
-    (left-anti recoverable by the caller).
-
-    ``max_gram_df`` is the rarity-cap FLOOR; the effective cap is
-    ``max(max_gram_df, df at the rare_df_pct-th percentile of gram-type
-    df)``, derived from the clean side's gram-df distribution so recall
-    survives corpus growth (module docstring).  ``rare_df_pct=None``
-    restores the absolute cap."""
+    """The candidate pipeline of :func:`fuzzy_match_join` up to the scored
+    frame (did, dname, cid, cname, distance), UN-checkpointed — split out so
+    plan tests can assert the rarity-gate shape (broadcast gate, hinted
+    shuffle-hash candidate join) that fuzzy_match_join's checkpoint hides
+    from the final consumer plan."""
     # repartition BEFORE the explode: a single-file side arrives as 1-2 scan
     # partitions (maxPartitionBytes), so the gram explode + df count + joins
     # all ran on 1-2 of 32 cores — measured 11.3× wall at 3× names on the
@@ -168,19 +164,71 @@ def fuzzy_match_join(
     # running distance exceeds max_dist (O(k*n) per pair instead of O(n^2))
     # and returns -1 above the bound — semantics identical to computing the
     # full distance and filtering <= max_dist
-    scored = cand.withColumn(
+    return cand.withColumn(
         "distance", F.levenshtein(F.col("dname"), F.col("cname"), max_dist)
     ).where(F.col("distance") >= 0)
-    # best candidate per dirty row = two-phase hash argmin on
+
+
+def fuzzy_match_join(
+    dirty: DataFrame,
+    clean: DataFrame,
+    dirty_id: str,
+    dirty_name: str,
+    clean_id: str,
+    clean_name: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_df: int = 64,
+    rare_df_pct: int | None = 10,
+) -> DataFrame:
+    """Best fuzzy match per dirty row.  Output (dirty_id, dirty_name,
+    match_id, match_name, distance) — unmatched dirty rows are absent
+    (left-anti recoverable by the caller).
+
+    ``max_gram_df`` is the rarity-cap FLOOR; the effective cap is
+    ``max(max_gram_df, df at the rare_df_pct-th percentile of gram-type
+    df)``, derived from the clean side's gram-df distribution so recall
+    survives corpus growth (module docstring).  ``rare_df_pct=None``
+    restores the absolute cap."""
+    # CHECKPOINTED (round-10): the argmin join-back consumes this frame from
+    # BOTH sides of its join, and un-materialized lineage re-ran the whole
+    # gram explode + rarity gate + candidate join + levenshtein once per
+    # reference — the round-10 plan showed the pipeline FOUR times (16
+    # parquet scans, 8 gram explodes in one plan; 59 exchanges -> 3 after).
+    # The checkpointed frame is the capped candidate stream — the same rows
+    # the argmin shuffles anyway.
+    scored = _scored_candidates(
+        dirty, clean, dirty_id, dirty_name, clean_id, clean_name,
+        max_dist, q, max_gram_df, rare_df_pct,
+    ).localCheckpoint(eager=True)
+    # best candidate per dirty row = exact lexicographic argmin on
     # (distance, cid) — operators/argmax.py; cid is unique per candidate
     # pair (cand is distinct), so the order is total and cname rides the
     # winning row for free.  The min(struct(distance, cid, cname)) form had
     # a non-UnsafeRow-mutable buffer and planned SORTAGGREGATE over the
     # rare-gram candidate stream (the SCALE.md §48 super-linear class).
+    # When cid is a non-negative int64 under 2^40 (the id domain every
+    # caller here has; distance <= max_dist << 2^23), the pair packs
+    # order-isomorphically into ONE BIGINT — distance * 2^40 + cid — so a
+    # SINGLE argmin phase (one groups-sized HashAggregate + one join-back)
+    # replaces the two-phase cascade; the domain is guarded with
+    # raise_error, and non-integer cid falls back to the unpacked phases.
     from .argmax import argmin_rows
 
     try:
-        best = argmin_rows(scored, ["did", "dname"], ["distance", "cid"])
+        cid_type = dict(scored.dtypes)["cid"]
+        if cid_type in ("int", "bigint", "smallint", "tinyint"):
+            packed = scored.withColumn(
+                "__packed",
+                F.expr(
+                    f"CAST(distance AS BIGINT) * {1 << 40} + CASE WHEN cid < 0 OR "
+                    f"cid >= {1 << 40} THEN raise_error('fuzzy_match_join: cid outside "
+                    "[0, 2^40) breaks (distance, cid) packing') ELSE CAST(cid AS BIGINT) END"
+                ),
+            )
+            best = argmin_rows(packed, ["did", "dname"], ["__packed"]).drop("__packed")
+        else:
+            best = argmin_rows(scored, ["did", "dname"], ["distance", "cid"])
         return best.select(
             F.col("did").alias(dirty_id),
             F.col("dname").alias(dirty_name),
@@ -229,17 +277,26 @@ def survivorship(
     max-over-(length, value) STRUCTS and min/max over STRINGS into one
     aggregate; those buffers are not UnsafeRow-mutable, so the whole node
     planned SORTAGGREGATE over the records⋈clusters stream — the plan class
-    the sf3→sf9 probe measured at 4.70× per 3× data (SCALE.md §48).  Now:
-    (a) every fixed-width rule (counts, canonical min-id, numeric
-    min/max, the per-``longest``-column max length) rides ONE HashAggregate
-    over the corpus; (b) each ``longest`` column resolves via the two-phase
-    argmax join-back (operators/argmax.py) — the residual
-    lexicographic-largest pick sorts only the TIES-AT-MAX-LENGTH frame,
-    ≈ 1 row per cluster, never the corpus; (c) string-typed ``maxs/mins``
-    pre-collapse to the DISTINCT (cluster, value) frame with a hash
-    aggregate (strings are fine as GROUPING keys), so the closing
-    min/max(string) sorts |clusters × field domain| rows, not the corpus.
-    Branch joins are shuffle-hash on the cluster key."""
+    the sf3→sf9 probe measured at 4.70× per 3× data (SCALE.md §48).
+
+    Round-10 pass structure (guide §8: decide on small rows, move big rows
+    once): the old shape re-derived the records⋈clusters join from scratch
+    for every consumer — the main aggregate, each ``longest`` argmax phase,
+    and each string-rule distinct — i.e. ~4 corpus scans and 4 id-keyed
+    shuffles per run, each dragging the payload columns along.  Now:
+    (a) ONE NARROW decision frame (id, cluster, fixed-width rule columns,
+    string rule columns, length-of-``longest`` columns — never the payload)
+    is joined and checkpointed once; (b) every fixed-width rule AND each
+    ``longest`` column's max length ride ONE HashAggregate over that frame
+    (the argmax's phase-1 aggregate folded into the main pass); (c) each
+    ``longest`` column then needs exactly ONE payload-carrying pass: the
+    records column joins its cluster id and the (cluster, max-length) frame,
+    and the lexicographic-largest pick aggregates the TIES-AT-MAX-LENGTH
+    frame, ≈ 1 row per cluster, never the corpus; (d) string-typed
+    ``maxs/mins`` pre-collapse to the DISTINCT (cluster, value) frame off
+    the checkpointed narrow frame, so the closing min/max(string) sorts
+    |clusters × field domain| rows, not the corpus.  Branch joins are
+    shuffle-hash on the cluster key."""
     dtypes = dict(records.dtypes)
     _FIXED = ("int", "bigint", "smallint", "tinyint", "double", "float", "date", "boolean")
 
@@ -248,9 +305,15 @@ def survivorship(
         return t in _FIXED or t.startswith("decimal") or t.startswith("timestamp")
 
     sized = clusters.select(F.col(node_col).alias("__node"), F.col(cluster_col))
-    j = records.join(
-        sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left"
-    ).withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
+    narrow_cols = [F.col(id_col)]
+    narrow_cols += [F.col(c) for c in (*maxs, *mins) if c != id_col]
+    narrow_cols += [F.length(F.col(c)).alias(f"__len_{c}") for c in longest]
+    jn = (
+        records.select(*narrow_cols)
+        .join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
+        .withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
+        .localCheckpoint(eager=True)
+    )
 
     # branch joins are records-cardinality on BOTH sides (singletons make
     # cluster_id ≈ one per record), so their shuffled-hash build side must
@@ -275,22 +338,46 @@ def survivorship(
     for c in mins:
         if _is_fixed(c):
             aggs.append(F.min(c).alias(f"{c}_min"))
-    out = j.groupBy(F.col("__cl").alias("cluster_id")).agg(*aggs)
+    # the per-``longest`` max length rides the SAME aggregate (the argmax's
+    # phase-1 pass folded in — one HashAggregate instead of one per column)
+    for c in longest:
+        aggs.append(F.max(f"__len_{c}").alias(f"__maxlen_{c}"))
+    # pin the accumulator's partitioning ONCE: the shuffled-hash branch
+    # joins below preserve the probe side's hash(cluster_id, nx)
+    # partitioning, so only the first repartition materializes — the old
+    # per-branch acc.repartition paid a full golden-record exchange per rule
+    out = (
+        jn.groupBy(F.col("__cl").alias("cluster_id"))
+        .agg(*aggs)
+        .repartition(nx, "cluster_id")
+    )
 
     def _join_branch(acc: DataFrame, branch: DataFrame) -> DataFrame:
-        return acc.repartition(nx, "cluster_id").join(
+        return acc.join(
             branch.repartition(nx, "cluster_id").hint("shuffle_hash"),
             "cluster_id",
             "left",
         )
 
-    from .argmax import argmax_rows
-
     for c in longest:
-        # ties at max length -> lexicographically largest: the max(string)
-        # runs over the argmax-tied frame only (≈ |clusters| rows)
-        tied = argmax_rows(
-            j.select("__cl", F.length(c).alias("__len"), F.col(c)), ["__cl"], ["__len"]
+        # ONE payload-carrying pass per column: records ⋈ cluster id ⋈ the
+        # (cluster, max length) frame keeps only the ties-at-max-length rows
+        # (NULL lengths never equal the max, so NULL values lose and
+        # all-NULL clusters surface as NULL via the left branch join —
+        # identical to the old argmax semantics); ties -> lexicographically
+        # largest via max(string) over the ≈ 1-row-per-cluster tied frame
+        mx = out.select(
+            F.col("cluster_id").alias("__mxcl"), F.col(f"__maxlen_{c}")
+        )
+        tied = (
+            records.select(id_col, c, F.length(F.col(c)).alias("__len"))
+            .join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
+            .withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
+            .join(
+                mx.hint("shuffle_hash"),
+                (F.col("__cl") == F.col("__mxcl"))
+                & (F.col("__len") == F.col(f"__maxlen_{c}")),
+            )
         )
         pick = tied.groupBy(F.col("__cl").alias("cluster_id")).agg(
             F.max(c).alias(f"{c}_survived")
@@ -298,12 +385,12 @@ def survivorship(
         out = _join_branch(out, pick)
     for c in maxs:
         if not _is_fixed(c):
-            d = j.select("__cl", c).distinct()
+            d = jn.select("__cl", c).distinct()
             pick = d.groupBy(F.col("__cl").alias("cluster_id")).agg(F.max(c).alias(f"{c}_max"))
             out = _join_branch(out, pick)
     for c in mins:
         if not _is_fixed(c):
-            d = j.select("__cl", c).distinct()
+            d = jn.select("__cl", c).distinct()
             pick = d.groupBy(F.col("__cl").alias("cluster_id")).agg(F.min(c).alias(f"{c}_min"))
             out = _join_branch(out, pick)
-    return out
+    return out.drop(*[f"__maxlen_{c}" for c in longest])

@@ -724,10 +724,18 @@ def ahash_near_pairs(
     zero); it is off by default so the exactness contract holds.
 
     Shares _lsh_buckets/_pair_combos with operators/dedup.py — the identical
-    scale shape: one bucket shuffle, no self-join, bounded task fan-out."""
+    scale shape: one bucket shuffle, no self-join, bounded task fan-out.
+
+    The hash frame is checkpointed once: it feeds THREE consumers (the band
+    stack and both candidate join-backs), and when it descends from a Python
+    kernel (image_ahash's per-pixel aHash), an un-materialized lineage
+    re-runs the decode per consumer — the round-10 plan showed 3 MapInPandas
+    nodes for one kernel, i.e. every image decoded three times (guide §8:
+    decode once, move hashes).  The checkpointed frame is (id, 64-char hash)
+    — corpus-linear but payload-free."""
     from .dedup import _lsh_buckets, _pair_combos
 
-    h = hashes.where(F.col("ahash").isNotNull())
+    h = hashes.where(F.col("ahash").isNotNull()).localCheckpoint(eager=True)
     bands = h.selectExpr(
         "id AS doc",
         "stack(4, '0', substr(ahash, 1, 16), '1', substr(ahash, 17, 16), "

@@ -318,7 +318,7 @@ def related_docs(
         F.explode(
             F.transform(shingles_from_tokens(F.col("t"), shingle_k), h)
         ).alias("g"),
-    ).distinct()
+    )
     # pair generation is IN-BUCKET expansion (the dedup_minhash_lsh shape),
     # not a posting⋈df join followed by a posting⋈posting self-join: one
     # groupBy(g) collects each shingle's doc list, the df gate keeps only
@@ -326,9 +326,15 @@ def related_docs(
     # expand inside the task — the large posting list is shuffled ONCE
     # instead of three times (the join shape ran 58-64 s at sf1.0; this
     # shape measures ~41 s standalone at sf1.0, the pair shuffle dominating)
+    # collect_SET fuses the old explode->distinct->collect_list chain's two
+    # shuffles into one: the per-(doc, g) dedup happens inside the same
+    # aggregation that builds the posting list (partial sets merge map-side),
+    # so the exploded shingle stream crosses the network once (guide §2.4).
+    # Downstream is order-insensitive: size gates, pair expansion, and the
+    # closing (a, b) sum never read the array order.
     buckets = (
         postings.groupBy("g")
-        .agg(F.collect_list("doc").alias("ds"))
+        .agg(F.collect_set("doc").alias("ds"))
         .where((F.size("ds") >= 2) & (F.size("ds") <= max_df))
         .select(
             F.expr("1000000 DIV (1 + size(ds))").alias("w"),

@@ -369,7 +369,23 @@ def weighted_median(
         F.col(weight_col).cast("long").alias("wt"),
     ).select("grp", "v", "wt", F.expr(f"v div {bin_cents}").alias("bin"))
 
-    hist = src.groupBy("grp", "bin").agg(F.sum("wt").alias("binw"))
+    # ONE corpus scan (round-10): the VALUE-level histogram (grp, bin, v) ->
+    # sum(wt) is partial-aggregable and |distinct values|-sized, and it is
+    # sufficient for BOTH downstream needs — the bin histogram is a regroup
+    # of it, and the crossing-bin refine reads its rows directly instead of
+    # re-scanning the raw data (the old step 3 paid a second full corpus
+    # scan).  Checkpointed because the two consumers' subtrees canonicalize
+    # differently (the join branch infers an extra IsNotNull(bin) into the
+    # scan filter and prunes different columns), so AQE exchange reuse
+    # cannot dedupe them — measured: without the checkpoint the plan runs
+    # the scan+aggregate twice.  The checkpointed frame is domain-bounded
+    # (|distinct values|), never corpus-sized.
+    vhist = (
+        src.groupBy("grp", "bin", "v")
+        .agg(F.sum("wt").alias("vw"))
+        .localCheckpoint(eager=True)
+    )
+    hist = vhist.groupBy("grp", "bin").agg(F.sum("vw").alias("binw"))
     wg = Window.partitionBy("grp")
     cum = hist.select(
         "grp",
@@ -401,15 +417,10 @@ def weighted_median(
             "total_weight",
         )
     )
-    inbin = (
-        src.join(
-            F.broadcast(crossing),
-            (F.col("grp") == F.col("xgrp")) & (F.col("bin") == F.col("xbin")),
-        )
-        .select("grp", "v", "wt", "cum_before", "total_weight")
-        .groupBy("grp", "v", "cum_before", "total_weight")
-        .agg(F.sum("wt").alias("vw"))
-    )
+    inbin = vhist.join(
+        F.broadcast(crossing),
+        (F.col("grp") == F.col("xgrp")) & (F.col("bin") == F.col("xbin")),
+    ).select("grp", "v", "vw", "cum_before", "total_weight")
     wv = Window.partitionBy("grp")
     vcum = inbin.select(
         "grp",

@@ -506,14 +506,22 @@ def ml_winsorize_agg(spark, sf_dir):
         F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo"),
         F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi"),
     )
+    # clamp+sum off the HISTOGRAM, not the raw rows: sum(clamp(cents)) over
+    # rows == sum(cnt * clamp(cents)) over the (flag, cents) histogram, so
+    # the second corpus scan the row-level form paid (lineitem read twice;
+    # round-10 plan showed two parquet scans) collapses into the one
+    # histogram pass — the closing aggregate now runs over |distinct cents|
+    # rows and the shared hist subtree is exchange-reused (guide §2.4).
     return (
-        c.join(F.broadcast(bounds), "flag")
+        hist.join(F.broadcast(bounds), "flag")
         .groupBy("flag")
         .agg(
             F.max("n").alias("n"),
             F.max("lo").alias("lo_cents"),
             F.max("hi").alias("hi_cents"),
-            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))).alias("wsum_cents"),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")) * F.col("cnt")
+            ).alias("wsum_cents"),
         )
     )
 
