@@ -43,24 +43,40 @@ def quantized_vectors(df: DataFrame, vec_col: str, id_col: str, center: int = 0)
     the raw non-negative [0, 255] codes is compressed into [0.85, 1.0]
     (measured on testdata) and cannot separate near-dups from the bulk.
     """
-    ex = df.select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "xf"))
-    ex = ex.withColumn("x", F.col("xf").cast("double"))
-    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    q = ex.join(F.broadcast(stats), "pos").withColumn(
-        "q",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long")).otherwise(
+    # Round-10 shape: ONE stats pass + ONE map-only quantize pass.  The old
+    # form broadcast the per-dim stats back onto the 64x-exploded stream and
+    # re-assembled codes with a collect_list regroup — i.e. the whole
+    # exploded corpus crossed an exchange once per run (and the regroup's
+    # var-width buffer is the expensive aggregate class).  The stats frame
+    # is DIM-bounded (one row per dimension), so it is collected to the
+    # driver (same bounded-collect discipline as the IVF centroid loads) and
+    # re-enters as literal arrays; quantization is then a per-row
+    # ``transform`` with zero shuffles.  Per-element arithmetic is the
+    # identical IEEE parse tree ((x - mn) * 255.0 / (mx - mn)), so codes are
+    # bit-identical to the old form.
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    stats = {
+        r["pos"]: (r["mn"], r["mx"])
+        for r in ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx")).collect()
+    }
+    mns = F.array(*[F.lit(stats[p][0]) for p in sorted(stats)])
+    mxs = F.array(*[F.lit(stats[p][1]) for p in sorted(stats)])
+
+    def _code(x, i):
+        mn = F.element_at(mns, i + 1)
+        mx = F.element_at(mxs, i + 1)
+        q = F.when(mx == mn, F.lit(0).cast("long")).otherwise(
             F.least(
-                F.floor((F.col("x") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))),
+                F.floor((x.cast("double") - mn) * F.lit(255.0) / (mx - mn)),
                 F.lit(255).cast("long"),
             )
-        ),
-    )
-    if center:
-        q = q.withColumn("q", F.col("q") - F.lit(int(center)))
-    return q.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "q"))), lambda s: s["q"]
-        ).alias("qv")
+        )
+        return q - F.lit(int(center)) if center else q
+
+    return df.select(
+        F.col(id_col).alias("id"), F.transform(F.col(vec_col), _code).alias("qv")
     )
 
 

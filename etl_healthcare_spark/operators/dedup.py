@@ -475,10 +475,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # one full propagate round versus identity seeding.  Correctness is
     # unchanged: labels stay >= the min-reachable fixpoint and monotonically
     # non-increasing.
+    # eagerly checkpointed: the convergence-sum collect below AND round 1's
+    # propagate join both consume the seed — un-materialized, each re-ran
+    # the edges-wide seed aggregation (one redundant corpus-scale agg per
+    # run, round-10)
     labels = (
         edges.groupBy("a")
         .agg(F.min("b").alias("_mn"))
         .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     # labels are monotonically non-increasing, so sum(lbl) strictly decreases
     # until the fixpoint — an O(1)-output agg is the convergence test, no join.
@@ -622,11 +627,21 @@ def ngram_contamination(
 
     corpus_sh = distinct_shingles(corpus)
     eval_sh = distinct_shingles(eval_df).select("s").distinct()
-    total = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = corpus_sh.join(F.broadcast(eval_sh), "s").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    # ONE corpus pass (round-10): the old total/hits branches each re-ran
+    # the corpus tokenize + shingle explode (the regex-heavy stage) and then
+    # joined the two per-doc counts back together.  A broadcast LEFT join
+    # marks eval shingles in-stream, so one aggregate emits both counts —
+    # count(*) is the shingle total, count(marker) the non-null hits — and
+    # the total⋈hits join disappears with the second pass.
+    marked = corpus_sh.join(
+        F.broadcast(eval_sh.withColumn("__hit", F.lit(1))), "s", "left"
+    )
     return (
-        total.join(hits, id_col, "left")
-        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
         .withColumn("contam_ppm", F.expr("(1000000 * n_hits) div n_shingles"))
     )
 

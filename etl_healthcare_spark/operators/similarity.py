@@ -177,7 +177,11 @@ def ivf_build_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str, k:
     """
     from .clustering import _assign, _update, quantized_vectors
 
-    vecs = quantized_vectors(df, vec_col, id_col)
+    # checkpointed: seeds, both Lloyd assigns, and the index write all
+    # consume the quantized frame — un-materialized, each re-ran the
+    # posexplode + per-dim stats + regroup quantization pipeline (3 full
+    # passes; round-10).  Same discipline as kcenter_assign / knn_blocked.
+    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
     c0 = vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
     c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)  # reused by assign + written
     a2 = _assign(vecs, c1)
