@@ -181,10 +181,15 @@ def iqr_outlier_stats(
     """
     from pyspark.sql import Window
 
+    # checkpointed: the quartile path and the fence-count path both consume
+    # the histogram — un-materialized, each re-ran the corpus scan +
+    # aggregate (round-10; now exactly one raw pass).  |g x distinct
+    # v|-sized, never corpus-sized.
     hist = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     wg = Window.partitionBy("g")
     cum = hist.select(
@@ -449,7 +454,16 @@ def mad_flags(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Dat
     src = df.select(
         F.col(group_col).alias("grp"), F.col(id_col).alias("id"), v.alias("v_cents")
     )
-    hist = src.groupBy("grp", "v_cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # checkpointed: the value-median path, the deviation-histogram path, and
+    # (via dev_hist) the MAD path each re-derived this histogram from a
+    # fresh corpus scan (round-10 plan: 4 scans of the source; now 2 — the
+    # histogram pass + the unavoidable row-level flagging scan).  The frame
+    # is |grp x distinct value|-sized, never corpus-sized.
+    hist = (
+        src.groupBy("grp", "v_cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     wg = Window.partitionBy("grp")
 
     def lower_median(h: DataFrame, val: str, out: str) -> DataFrame:

@@ -500,7 +500,10 @@ def training_prep_e2e(spark, sf_dir):
         "doc_id", "text", "source", token_count_ws(F.col("text")).alias("n_tok")
     )
     g = quality_gate(docs, "text", "doc_id").where(F.col("kept")).select("doc_id")
-    q = base.join(g, "doc_id", "left_semi")
+    # persisted like curation_e2e's q: the quality count, the exact-dedup
+    # key derivation, and the survivor semi-join all consume q — without
+    # the barrier the regex-heavy gate chain ran three times per run
+    q = base.join(g, "doc_id", "left_semi").persist()
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

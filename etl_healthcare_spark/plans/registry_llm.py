@@ -797,7 +797,13 @@ def link_blocking_quality(spark, sf_dir):
     from ..functions.hashing import sha256_hex
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", sha256_hex(F.col("text")).alias("h"))
+    # checkpointed: the gold-pair count, BOTH coverage join sides, and the
+    # doc count all consume the (id, sha256) frame — un-materialized, each
+    # re-ran the corpus sha256 pass (round-10 plan: 5 scans of documents,
+    # 3 of them under sha256 projections; now 1 + the LSH pipeline's own)
+    hashed = docs.select("doc_id", sha256_hex(F.col("text")).alias("h")).localCheckpoint(
+        eager=True
+    )
     gold = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("k"))
@@ -816,7 +822,9 @@ def link_blocking_quality(spark, sf_dir):
             ),
         )
     )
-    nd = docs.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    # hashed is 1:1 with docs, so the doc count reads the checkpointed
+    # frame instead of re-scanning the corpus
+    nd = hashed.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
     out = gold.crossJoin(cand).crossJoin(nd)
     total = "CAST(n * (n - 1) div 2 AS BIGINT)"
     return out.select(
