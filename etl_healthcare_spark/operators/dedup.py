@@ -475,15 +475,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # one full propagate round versus identity seeding.  Correctness is
     # unchanged: labels stay >= the min-reachable fixpoint and monotonically
     # non-increasing.
-    # eagerly checkpointed: the convergence-sum collect below AND round 1's
+    # LAZY checkpoint: the convergence-sum collect below and round 1's
     # propagate join both consume the seed — un-materialized, each re-ran
     # the edges-wide seed aggregation (one redundant corpus-scale agg per
-    # run, round-10)
+    # run, round-10).  Lazy (not eager) because the prev_sum collect is the
+    # sole FIRST consumer and runs alone: it materializes the blocks
+    # without the extra blocking job an eager checkpoint launches, and no
+    # concurrent stage can race the persist.
     labels = (
         edges.groupBy("a")
         .agg(F.min("b").alias("_mn"))
         .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # labels are monotonically non-increasing, so sum(lbl) strictly decreases
     # until the fixpoint — an O(1)-output agg is the convergence test, no join.

@@ -44,7 +44,14 @@ def pagerank_ppm(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", iters
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpointed: the rank seed and every iteration's contribution join
+    # consume the degree table — un-materialized, each re-ran the edge-wide
+    # aggregation (3 redundant passes at iters=2; round-10).  Node-sized.
+    deg = (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = deg.select(F.col("a").alias("node"), F.lit(PPM).cast("long").alias("rank_ppm"))
     for _ in range(iters):
         contrib = (
@@ -326,10 +333,15 @@ def common_neighbors(
     groupBy, one pair groupBy, one left-anti join against the (canonical,
     distinct) edge list to keep only NON-adjacent pairs.  Exact integer
     counts, (u < v) canonical output."""
+    # checkpointed: both symmetrizing union branches AND the closing
+    # non-adjacency anti-join consume the canonical edge list —
+    # un-materialized, each re-ran the dedup shuffle (3 derivations;
+    # round-10).  Narrow (two ids per row), the same frame CC checkpoints.
     e = (
         edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))

@@ -32,10 +32,23 @@ from ..functions.text import tokens
 # (multiply through by 10*L; 22 = 10*(k1+1), 10*k1*(1-b) = 3, 10*k1*b = 9).
 
 
-def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    per_term: bool = False,
+) -> DataFrame:
     """Per-document BM25 score for a fixed bag of query terms.
 
     Returns (id, dl, tf_<term>..., score) — callers top-k or threshold it.
+
+    ``per_term=True`` additionally emits ``score<i>`` columns, each the
+    single-term BM25 of ``terms[i]`` alone.  Because n, l, df_i, tf_i and
+    the expression tree are identical to a single-term run over the same
+    corpus, ``score<i>`` is bit-identical to
+    ``bm25_scores(docs, [terms[i]]).score`` — the one-tf-scan sharing that
+    turns an N-query eval from N corpus tokenizations into one.
     """
     def eq_term(term: str):
         # single-parameter closure (a defaulted 2nd param would make Spark
@@ -77,7 +90,12 @@ def bm25_scores(docs: DataFrame, terms: list[str], text_col: str = "text", id_co
     score = term_score(0)
     for i in range(1, len(terms)):
         score = score + term_score(i)  # fixed left-associated sum order
-    return scored.select("id", "dl", *[f"tf{i}" for i in range(len(terms))], score.alias("score"))
+    extra = (
+        [term_score(i).alias(f"score{i}") for i in range(len(terms))] if per_term else []
+    )
+    return scored.select(
+        "id", "dl", *[f"tf{i}" for i in range(len(terms))], score.alias("score"), *extra
+    )
 
 
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10, **kw) -> DataFrame:
@@ -149,10 +167,16 @@ def index_build(
     vocabulary is."""
     from ..functions.text import tokens
 
+    # checkpointed: the df aggregation AND the denormalizing join both
+    # consume the (term, doc, tf) frame — un-materialized, each re-ran the
+    # corpus tokenize + explode + aggregate (2 full passes; round-10).  The
+    # frame is exactly the postings being written, so the materialization
+    # is output-sized, not an extra copy class.
     tf = (
         docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     bucket = F.pmod(

@@ -177,11 +177,13 @@ def ivf_build_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str, k:
     """
     from .clustering import _assign, _update, quantized_vectors
 
-    # checkpointed: seeds, both Lloyd assigns, and the index write all
+    # LAZY checkpoint: seeds, both Lloyd assigns, and the index write all
     # consume the quantized frame — un-materialized, each re-ran the
-    # posexplode + per-dim stats + regroup quantization pipeline (3 full
-    # passes; round-10).  Same discipline as kcenter_assign / knn_blocked.
-    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    # quantization pipeline (3 full passes; round-10).  Lazy because the c1
+    # centroid build below is an eager checkpoint whose single action fully
+    # materializes vecs first — no concurrent stage can race the persist,
+    # and no extra blocking job is launched.
+    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=False)
     c0 = vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
     c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)  # reused by assign + written
     a2 = _assign(vecs, c1)

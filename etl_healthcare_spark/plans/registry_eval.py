@@ -252,11 +252,23 @@ def _eval_oracle() -> str:
     "noted here, demonstrated at query-count 3 as separate runs.",
 )
 def search_eval_mrr(spark, sf_dir):
-    from ..operators.search import bm25_topk
+    from ..operators.search import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE tf scan for all three queries (round-10 — the sharing the doc
+    # below always promised): bm25_scores over the term union emits
+    # per-term score columns bit-identical to three single-term runs (same
+    # n, l, df_i, tf_i, same expression tree), so the corpus is tokenized
+    # once instead of once per query; each query's top-15 is then a heap
+    # over the shared scored frame.
+    s = bm25_scores(docs, list(_EVAL_QUERIES), per_term=True)
     parts = [
-        bm25_topk(docs, [q], k=15).withColumn("query", F.lit(q)) for q in _EVAL_QUERIES
+        s.where(F.col(f"score{i}") > 0)
+        .select("id", F.col(f"score{i}").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(15)
+        .withColumn("query", F.lit(q))
+        for i, q in enumerate(_EVAL_QUERIES)
     ]
     u = parts[0]
     for p in parts[1:]:

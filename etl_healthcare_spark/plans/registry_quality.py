@@ -236,7 +236,14 @@ def text_doc_keywords(spark, sf_dir):
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t")).where(
         F.length("t") >= 3
     )
-    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpointed: the df aggregation and the scoring join both consume tf
+    # — un-materialized, each re-ran the corpus tokenize + explode +
+    # aggregate (2 full passes; round-10, same fix as search.index_build)
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))
     # df is vocabulary-sized and aggregation-descended: Spark's static
