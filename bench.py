@@ -302,6 +302,15 @@ def main():
             # the cache is never shared across queries, so timings are
             # unaffected
             spark.catalog.clearCache()
+            # ALSO release RDD-level localCheckpoint blocks (round-10: the
+            # shared-frame checkpoints several operators now take live
+            # OUTSIDE the catalog cache; scale_probe.py documents the sf9
+            # starvation this prevents).  Runs between timed regions, so
+            # timings are unaffected; async unpersist, no blocking.
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(False)
 
     total = round(sum(timings.values()), 3)
     sf_out = float(sf) if sf.replace(".", "").isdigit() else sf

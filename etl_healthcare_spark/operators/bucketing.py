@@ -254,12 +254,25 @@ def zonemap_prune(
     base = df.select(
         val.cast("long").alias("v"), scattered.alias("scattered_file")
     ).withColumn("clustered_file", F.expr(f"v div {file_span}"))
+    # ONE corpus pass (round-10): the per-layout groupBys each re-scanned
+    # the source.  count/min/max decompose, so both layouts' per-file stats
+    # regroup from one (clustered_file, scattered_file) histogram —
+    # |files_c x files_s|-bounded, checkpointed for its two consumers.
+    h2 = (
+        base.groupBy("clustered_file", "scattered_file")
+        .agg(
+            F.count(F.lit(1)).alias("n2"),
+            F.min("v").alias("mn2"),
+            F.max("v").alias("mx2"),
+        )
+        .localCheckpoint(eager=True)
+    )
     out = []
     for layout in ("clustered", "scattered"):
-        per_file = base.groupBy(F.col(f"{layout}_file").alias("f")).agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("v").alias("vmin"),
-            F.max("v").alias("vmax"),
+        per_file = h2.groupBy(F.col(f"{layout}_file").alias("f")).agg(
+            F.sum("n2").alias("n_rows"),
+            F.min("mn2").alias("vmin"),
+            F.max("mx2").alias("vmax"),
         )
         pruned = per_file.withColumn(
             "pruned", (F.col("vmax") < F.lit(lo)) | (F.col("vmin") > F.lit(hi))

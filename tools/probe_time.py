@@ -51,6 +51,8 @@ def main() -> None:
             fn(spark, args.sf).write.mode("overwrite").format("noop").save()
             times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                jrdd.unpersist(False)
         warm = times[1:]
         print(
             f"{name:32s} cold={times[0]:6.2f}  min={min(warm):6.2f}  "
