@@ -173,9 +173,17 @@ def _fk_oracle() -> str:
 def profile_fk_orphans(spark, sf_dir):
     from ..operators.profile import fk_orphans
 
+    # one DataFrame OBJECT per table: fk_orphans fuses the relations that
+    # share a child object into a single grouping-sets histogram scan
+    # (lineitem carries three declared FKs -> one scan instead of six)
+    tables = {
+        t: _t(spark, sf_dir, t)
+        for rel in _FK_RELATIONS
+        for t in (rel[1], rel[3])
+    }
     return fk_orphans(
         [
-            (name, _t(spark, sf_dir, child), ckey, _t(spark, sf_dir, parent), pkey)
+            (name, tables[child], ckey, tables[parent], pkey)
             for name, child, ckey, parent, pkey in _FK_RELATIONS
         ]
     )
