@@ -181,6 +181,28 @@ def test_median_interp2_even_and_odd_groups(spark):
     assert out["b"].med2_cents == 1400 and out["b"].n == 3
 
 
+def test_median_interp2_middle_ranks_straddle_bins(spark):
+    # histogram-refine edge cases (round-10 rewrite; bin_cents = 500):
+    # c: even n where the two middle order statistics land in DIFFERENT
+    #    bins (2.00 -> bin 0, 9.00 -> bin 1), so the lo/hi crossing picks
+    #    must resolve independently;
+    # d: many duplicate values crossing a bin edge — cumulative counts
+    #    inside the crossing bin must start from the bin-prefix, not zero;
+    # e: a one-value group (degenerate single bin, both ranks = 1).
+    from etl_healthcare_spark.operators.stats import median_interp2
+
+    rows = (
+        [("c", 1.0), ("c", 2.0), ("c", 9.0), ("c", 9.5)]
+        + [("d", 4.99)] * 3 + [("d", 5.0)] * 4   # n=7: both middles = 5.00
+        + [("e", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in median_interp2(df, "g", "v").collect()}
+    assert out["c"].med2_cents == 200 + 900 and out["c"].n == 4
+    assert out["d"].med2_cents == 1000 and out["d"].n == 7
+    assert out["e"].med2_cents == 8400 and out["e"].n == 1
+
+
 def test_zonemap_prune_clustered_beats_scattered(spark):
     from etl_healthcare_spark.operators.bucketing import zonemap_prune
 
