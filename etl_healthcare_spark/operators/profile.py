@@ -234,69 +234,59 @@ def fk_orphans(
     expectation suite a warehouse runs after every load (dbt's
     `relationships` test, Deequ's `isContainedIn`, as one engine query).
 
-    Shape (round-10 rewrite): relations sharing a child DataFrame OBJECT
-    are served by ONE child scan — a grouping-sets histogram (key value,
-    which-key, row count) collapses the child to its distinct key values
-    for every audited key in a single pass.  The old form scanned the
-    child TWICE per relation (full-row anti-join + row total): lineitem
-    with three declared FKs cost six corpus scans and shuffled the raw key
-    stream three times.  The histogram is |distinct keys|-sized (no
-    payload), checkpointed once per child, and every count reads it: the
-    row total is sum(cnt) over the key's slice, the LEFT ANTI join
-    child->parent probes distinct keys instead of raw rows (broadcast when
-    the parent dim is small, shuffle otherwise — the planner picks per
-    relation since parents range from 5-row nation to corpus-scale
-    orders), and count-distinct degenerates to count over the pre-grouped
-    keys.  NULL child keys count as orphans (a NULL FK never joins —
-    surfacing them is the point of the audit; declared in the oracle
-    identically): the NULL-key histogram row survives the anti-join like
-    any other, and count("k") skips it exactly as countDistinct did.
+    Shape (round-10 rewrite): each relation pre-aggregates its child to a
+    (key, count) histogram in one single-column scan, then derives ALL
+    THREE counts from one pass over that histogram via a LEFT join onto
+    the DISTINCT parent keys (a resolution marker; distinct keeps the
+    marker join exactly anti-join-shaped even if a parent key repeated):
+    n_child_rows = sum(cnt), n_orphan_rows = sum(cnt) over unmarked keys,
+    and countDistinct degenerates to count over the unmarked pre-grouped
+    keys.  The old form scanned the child TWICE per relation (full-row
+    anti-join + row total) and shuffled / broadcast RAW key streams; now
+    the child is scanned once per relation (column-pruned to the key) and
+    every join side is |distinct keys|-sized.  The marker join is
+    MERGE-hinted: both sides descend from aggregations whose static
+    estimates lie small — unhinted, Catalyst broadcast-planned the 45M-key
+    orders side at sf3 and OOM'd the driver (SCALE.md §11 class;
+    containment_pairs' lesson); sort-merge spills instead of failing at
+    any keys:partitions ratio.  (A grouping-sets variant fusing the three
+    lineitem histograms into ONE scan was probed at sf3 and lost: the
+    3x Expand pushes every child row through the partial-aggregation hash
+    map per grouping set, and the near-unique orderkey set barely
+    collapses — single-column re-scans are cheaper than row inflation.)
+    NULL child keys count as orphans (a NULL FK never joins — surfacing
+    them is the point of the audit; declared in the oracle identically):
+    the NULL-key histogram row never matches a parent, and the orphan-key
+    count skips it exactly as countDistinct did.
     """
-    from collections import defaultdict
-
-    by_child: dict[int, list[int]] = defaultdict(list)
-    for i, (_, child, *_rest) in enumerate(relations):
-        by_child[id(child)].append(i)
-
-    outs: list[DataFrame] = [None] * len(relations)  # type: ignore[list-item]
-    for idxs in by_child.values():
-        child = relations[idxs[0]][1]
-        keys = list(dict.fromkeys(relations[i][2] for i in idxs))
-        if len(keys) == 1:
-            hist = (
-                child.groupBy(F.col(keys[0]))
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .withColumn("__gid", F.lit(0).cast("long"))
-            )
-            gid_of = {keys[0]: 0}
-        else:
-            # grouping_id bit = 1 means the column is NOT grouped in that
-            # set, so "only key j grouped" is all-ones minus j's bit
-            n = len(keys)
-            gid_of = {k: ((1 << n) - 1) - (1 << (n - 1 - j)) for j, k in enumerate(keys)}
-            hist = child.groupingSets(
-                [[F.col(k)] for k in keys], *[F.col(k) for k in keys]
-            ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("__gid"))
-        hist = hist.localCheckpoint(eager=True)
-        for i in idxs:
-            name, _, ckey, parent, pkey = relations[i]
-            sl = hist.where(F.col("__gid") == gid_of[ckey]).select(
-                F.col(ckey).alias("k"), "cnt"
-            )
-            orphans = sl.join(parent.select(F.col(pkey).alias("k")), "k", "left_anti")
-            agg = orphans.agg(
-                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_orphan_rows"),
-                F.count("k").alias("n_orphan_keys"),
-            )
-            tot = sl.agg(
-                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_child_rows")
-            )
-            outs[i] = agg.crossJoin(tot).select(
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        sl = (
+            child.groupBy(F.col(ckey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        marked = sl.hint("merge").join(
+            parent.select(F.col(pkey).alias("k")).distinct().withColumn(
+                "__hit", F.lit(1)
+            ),
+            "k",
+            "left",
+        )
+        miss = F.col("__hit").isNull()
+        outs.append(
+            marked.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_child_rows"),
+                F.coalesce(F.sum(F.when(miss, F.col("cnt"))), F.lit(0))
+                .cast("long")
+                .alias("n_orphan_rows"),
+                F.count(F.when(miss, F.col("k"))).alias("n_orphan_keys"),
+            ).select(
                 F.lit(name).alias("relation"),
                 "n_child_rows",
                 "n_orphan_rows",
                 "n_orphan_keys",
             )
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
