@@ -477,22 +477,29 @@ def median_interp2(
     g11_median stays the rank-selected lower median, this closes the
     interpolated variant).
 
-    HISTOGRAM-REFINE shape (round-10; weighted_median's recipe): the value
-    at any rank is the smallest value whose cumulative count reaches it.
-    The previous form ran ONE cumulative window over the full (g, v)
-    histogram — near-unique values make that histogram corpus-sized, and a
-    low-cardinality group column packs it into |groups| window tasks (3
-    tasks sorting ~200k rows each at sf0.1; an unbounded straggler at 100
-    TB).  Instead: (1) one partial-aggregable (g, bin, v) value histogram
-    — checkpointed, the two consumers below canonicalize differently so
-    AQE exchange reuse cannot dedupe them; (2) the bin-level cumulative
-    window runs over the DOMAIN-bounded bin histogram (|price domain| /
-    bin_cents rows per group) and locates each middle rank's crossing bin;
-    (3) an in-bin cumulative window over <= bin_cents distinct values per
-    (group, rank) refines to the exact order statistic.  Both middle
-    ranks ((n+1) div 2 and n div 2 + 1) run the same machinery under a
-    'lo'/'hi' tag and the final sum of the two picks is med2.  Domain:
-    non-negative values (`div` floor agreement, weighted_median's note).
+    HISTOGRAM-REFINE shape (round-10; guide §8.4 "decide with small rows,
+    move big rows once"): the value at any rank is the smallest value
+    whose cumulative count reaches it.  The previous form ran ONE
+    cumulative window over the full (g, v) histogram — near-unique values
+    make that histogram corpus-sized, and a low-cardinality group column
+    packs it into |groups| window tasks (3 tasks sorting ~200k rows each
+    at sf0.1; an unbounded straggler at 100 TB).  Instead: (1) ONE corpus
+    scan builds a (g, bin, v) value histogram — domain-bounded (distinct
+    cents values), lazily checkpointed because its two consumers below
+    canonicalize differently so AQE exchange reuse cannot dedupe them;
+    (2) a bin-level cumulative window over the regrouped bin histogram
+    (|value domain| / bin_cents rows per group) locates BOTH middle
+    ranks' crossing bins in one exploded ('lo'/'hi') pass; (3) the
+    crossing bins' histogram rows (a broadcast join prunes to ~2 bins per
+    group) feed an in-bin cumulative window over <= bin_cents distinct
+    values per (group, rank); med2 = sum of the two picks.  Two probed
+    and rejected variants (sf3, 180M rows): refine straight off parquet
+    with no checkpoint — LOST 2.6x, the decimal decode makes every corpus
+    pass expensive; LAZY checkpoint — LOST 2.4x, the first consumer here
+    is the crossing-bin BROADCAST subquery and materializing the blocks
+    inside that job serializes it against the main scan, so the eager
+    variant's dedicated 32-way job wins.  Domain: non-negative values
+    (`div` floor agreement, weighted_median's note).
     """
     from pyspark.sql import Window
 
@@ -503,6 +510,10 @@ def median_interp2(
         .select("g", "v", F.expr(f"v div {bin_cents}").alias("bin"))
         .groupBy("g", "bin", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # EAGER: the first consumer is the broadcast subquery (cross), and
+        # lazy materialization inside that job probed 2.4x slower at sf3
+        # (docstring) — the b1ae41f lazy discipline applies only when the
+        # first consumer is a full-parallelism driver action
         .localCheckpoint(eager=True)
     )
     hist = vhist.groupBy("g", "bin").agg(F.sum("cnt").alias("binc"))
@@ -516,30 +527,44 @@ def median_interp2(
         ),
         F.sum("binc").over(wg).alias("n"),
     )
-
-    def crossing(rank_sql: str, tag: str) -> DataFrame:
-        # first bin whose cumulative count reaches the rank; min_by(long,
-        # long) keeps the pick HashAggregate (bin unique per g in hist)
-        return (
-            cum.where(F.col("cum_end") >= F.expr(rank_sql))
-            .groupBy("g")
-            .agg(
-                F.min("bin").alias("xbin"),
-                F.min_by("cum_end", "bin").alias("c_end"),
-                F.min_by("binc", "bin").alias("c_cnt"),
-                F.max("n").alias("n"),
+    # both middle ranks in one pass: explode the two targets, keep the
+    # first bin whose cumulative count reaches each; min_by(long, long)
+    # keeps the pick HashAggregate (bin unique per (g, tag) here)
+    targets = cum.select(
+        "g",
+        "bin",
+        "binc",
+        "cum_end",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("tag"), F.expr("(n + 1) DIV 2").alias("rt")),
+                F.struct(F.lit("hi").alias("tag"), F.expr("n DIV 2 + 1").alias("rt")),
             )
-            .select(
-                F.col("g").alias("xg"),
-                F.lit(tag).alias("tag"),
-                "xbin",
-                (F.col("c_end") - F.col("c_cnt")).alias("cum_before"),
-                F.expr(rank_sql).alias("rt"),
-                "n",
-            )
+        ).alias("t"),
+    ).select("g", "bin", "binc", "cum_end", "n", "t.tag", "t.rt")
+    cross = (
+        targets.where(F.col("cum_end") >= F.col("rt"))
+        .groupBy("g", "tag")
+        .agg(
+            F.min("bin").alias("xbin"),
+            F.min_by("cum_end", "bin").alias("c_end"),
+            F.min_by("binc", "bin").alias("c_cnt"),
+            F.max("n").alias("n"),
+            F.max("rt").alias("rt"),
         )
-
-    cross = crossing("(n + 1) DIV 2", "lo").unionByName(crossing("n DIV 2 + 1", "hi"))
+        .select(
+            F.col("g").alias("xg"),
+            "tag",
+            "xbin",
+            (F.col("c_end") - F.col("c_cnt")).alias("cum_before"),
+            "rt",
+            "n",
+        )
+    )
+    # the crossing bins' value-histogram rows (~2 bins per group, pruned by
+    # the broadcast join) feed the in-bin cumulative window — reading the
+    # checkpointed histogram, never the raw corpus again
     inbin = vhist.join(
         F.broadcast(cross),
         (F.col("g") == F.col("xg")) & (F.col("bin") == F.col("xbin")),
