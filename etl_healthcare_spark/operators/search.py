@@ -69,7 +69,11 @@ def bm25_scores(
         "id",
         F.size("t").alias("dl"),
         *[F.size(F.filter("t", eq_term(term))).alias(f"tf{i}") for i, term in enumerate(terms)],
-    ).localCheckpoint(eager=False)
+        # eager: the first consumer is the stats BROADCAST subquery; A/B
+        # probed (search_eval_mrr sf0.1 1.69->1.52, text_stats 0.75->0.65
+        # min-of-5; sf3 min 4.47->3.97) — same consumer pattern as
+        # median_interp2's, where lazy lost 2.4x at sf3
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("l"),
