@@ -191,7 +191,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_verify
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4).localCheckpoint(eager=False)
+    # EAGER: the verify join consumes pairs from concurrent stages, which
+    # raced the lazy persist and re-ran the LSH pipeline per consumer —
+    # A/B probed 6.58 -> 2.38 s min-of-5 at sf0.1 (round-10)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4).localCheckpoint(eager=True)
     return ngram_jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.2)
 
 
