@@ -500,10 +500,12 @@ def training_prep_e2e(spark, sf_dir):
         "doc_id", "text", "source", token_count_ws(F.col("text")).alias("n_tok")
     )
     g = quality_gate(docs, "text", "doc_id").where(F.col("kept")).select("doc_id")
-    # persisted like curation_e2e's q: the quality count, the exact-dedup
-    # key derivation, and the survivor semi-join all consume q — without
-    # the barrier the regex-heavy gate chain ran three times per run
-    q = base.join(g, "doc_id", "left_semi").persist()
+    # EAGER checkpoint: the quality count, the exact-dedup key derivation,
+    # and the survivor semi-join all consume q from CONCURRENT stages of
+    # the one report job — a lazy persist races (each stage re-runs the
+    # regex-heavy gate chain itself before blocks land; the round-10
+    # dedup_ngram_jaccard defect class), and nothing sequential warms it
+    q = base.join(g, "doc_id", "left_semi").localCheckpoint(eager=True)
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))

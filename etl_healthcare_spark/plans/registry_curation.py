@@ -737,9 +737,14 @@ def curation_e2e(spark, sf_dir):
     ex_surv = q.join(exk, "doc_id", "left_semi").persist()
     pairs = minhash_lsh_pairs(ex_surv, "text", "doc_id", bands=4, rows=4)
     keep = dedup_keep_list(ex_surv, "doc_id", connected_components(pairs, "doc_a", "doc_b"))
+    # EAGER checkpoint, not persist: contam's tokenize pass, the decontam
+    # anti-join, and the near_dedup count all consume nd_surv from
+    # concurrent stages of the one funnel job — a lazy persist races, and
+    # unlike q/ex_surv no earlier sequential action (the CC loop) has
+    # warmed it (round-10 A/B: the dedup_ngram_jaccard defect class)
     nd_surv = ex_surv.join(
         keep.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    ).localCheckpoint(eager=True)
     contam = ngram_contamination(nd_surv, eval_df, "text", "doc_id", k=5)
     final = nd_surv.join(
         contam.where(F.col("contam_ppm") >= 500000).select("doc_id"), "doc_id", "left_anti"
