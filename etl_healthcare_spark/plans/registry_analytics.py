@@ -818,9 +818,12 @@ def curation_quality_funnel(spark, sf_dir):
     clf = hashed_linear_score(docs, "text", "doc_id")
     s2 = docs.join(clf.where(F.col("positive")).select("doc_id"), "doc_id", "left_semi")
     lm = lm_bigram_scores(docs, "text", "doc_id")
+    # EAGER checkpoint: the lm_score count and the length-stage count start
+    # in concurrent stages and raced the lazy persist, re-running the
+    # bigram scorer per consumer (round-10 dedup_ngram_jaccard class)
     s3 = s2.join(
         lm.where(F.col("lm_score_ppm") >= 1500).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    ).localCheckpoint(eager=True)
     s4 = s3.where(F.col("n_chars") >= 100)
     stages = [("raw", docs), ("classifier", s2), ("lm_score", s3), ("length", s4)]
     out = None

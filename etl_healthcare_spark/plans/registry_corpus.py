@@ -511,13 +511,16 @@ def training_prep_e2e(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    ex = q.join(exk, "doc_id", "left_semi").persist()
+    # eager checkpoints (not lazy persists) for the same reason as q: each
+    # frame's count branch and its successor-stage derivation start in
+    # concurrent stages and raced the lazy persist (round-10)
+    ex = q.join(exk, "doc_id", "left_semi").localCheckpoint(eager=True)
     capk = (
         source_cap(ex, "doc_id", "source", cap=15, salt="tp1")
         .where(F.col("kept"))
         .select("doc_id")
     )
-    cap = ex.join(capk, "doc_id", "left_semi").persist()
+    cap = ex.join(capk, "doc_id", "left_semi").localCheckpoint(eager=True)
     tr = hash_split(cap, "doc_id", "tpsplit", train=0.9, val=0.05).where(
         F.col("split") == "train"
     )
