@@ -166,9 +166,11 @@ def _fk_oracle() -> str:
     "part/supplier, orders->customer, customer->nation), the child rows "
     "whose key resolves to no parent plus the distinct orphaned key count — "
     "dbt's `relationships` test / Deequ's isContainedIn as one engine "
-    "query.  One LEFT ANTI join per relation (broadcast for small dims, "
-    "shuffle for fact-sized parents — the planner picks per relation) into "
-    "1-row aggregates unioned into the report.",
+    "query.  Per relation: one column-pruned scan into a (key, count) "
+    "histogram, then ALL THREE counts from one pass via a merge-hinted "
+    "LEFT join onto the distinct parent keys (the round-10 shape — the "
+    "broadcast anti-join form OOM'd the driver at sf3 when Catalyst "
+    "broadcast-planned the 45M-key orders side; SCALE.md §50).",
 )
 def profile_fk_orphans(spark, sf_dir):
     from ..operators.profile import fk_orphans
@@ -475,9 +477,12 @@ def _median_interp_oracle() -> str:
     "is an exact int64, which removes the float-blend last ulp that keeps "
     "interpolated quantiles out of cross-engine registries (g11_median is "
     "the rank-selected lower median; this closes the interpolated "
-    "variant).  Histogram shape: both middle order statistics read off ONE "
-    "partial-aggregable value histogram with a cumulative window over the "
-    "aggregated frame — no raw-row window.",
+    "variant).  Histogram-REFINE shape (round-10, SCALE.md §50): one "
+    "checkpointed (g, bin, v) value histogram; a bin-level cumulative "
+    "window over the domain-bounded bin histogram locates both middle "
+    "ranks' crossing bins in one exploded pass; an in-bin window over "
+    "<= 500 distinct values refines — no corpus-sized window partition "
+    "at any group cardinality.",
 )
 def g26_median_interp(spark, sf_dir):
     from ..operators.stats import median_interp2
