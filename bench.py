@@ -273,18 +273,25 @@ def main():
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         spark.read.parquet(str(p)).count()
 
-    # Three passes: pass 1 compiles each plan (Catalyst analysis + codegen
+    # Four passes: pass 1 compiles each plan (Catalyst analysis + codegen
     # class load — a per-process constant that vanishes at real scale);
-    # passes 2-3 are steady-state measurements and each query reports its
+    # passes 2-4 are steady-state measurements and each query reports its
     # best observed time (min damps same-box noise).  The cold total is
-    # reported alongside for transparency.
+    # reported alongside for transparency.  Round-11 protocol fix (r10
+    # verdict item 1: min-of-2 on a box with a 0.5-2.5x per-query band
+    # cannot resolve 10-30% effects): THREE measured passes instead of two,
+    # with the per-query MEDIAN and the raw per-pass times recorded in the
+    # side file so cross-round comparisons can be drift-qualified.  The
+    # headline `queries` map stays the min — the same statistic every prior
+    # round reported (one extra sample lowers the expected min slightly;
+    # the raw passes in the side file make that bias auditable).
     cold_total = 0.0
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     # BENCH_TRACE=1 marks each query on stderr so any Spark ERROR log (e.g.
     # the round-6 updateAccumulators fragment in BENCH_r06.json's tail) can
     # be attributed to the query that was executing when it fired.
     trace = os.environ.get("BENCH_TRACE", "") == "1"
-    for pass_no, is_measured in enumerate((False, True, True)):
+    for pass_no, is_measured in enumerate((False, True, True, True)):
         for name in HEADLINE:
             fn = REGISTRY[name].fn
             if trace:
@@ -293,7 +300,7 @@ def main():
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
             if is_measured:
-                timings[name] = round(min(elapsed, timings.get(name, elapsed)), 3)
+                samples.setdefault(name, []).append(elapsed)
             else:
                 cold_total += elapsed
             # queries that persist() intermediates (the e2e funnels, CC)
@@ -312,46 +319,73 @@ def main():
             ):
                 jrdd.unpersist(False)
 
-    total = round(sum(timings.values()), 3)
     sf_out = float(sf) if sf.replace(".", "").isdigit() else sf
+    # environment echo (round-10 verdict item 2: the driver's scaling probe
+    # flagged `suspect_cpus_ignored` because the JSON never said what the
+    # bench ran with — now it does, so "honored but overhead-bound" is
+    # distinguishable from "ignored")
+    cpus_echo = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master_echo = spark.sparkContext.master
     # full per-query map -> side files (the tail-capture buffer is ~2 KB):
     # a stable name for "latest" consumers AND a round-stamped copy so the
     # raw per-query data survives across rounds (round-5 verdict item 3)
     repo = Path(__file__).resolve().parent
     side = repo / f"BENCH_local_sf{sf}.json"
-    payload = (
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(cold_total, 3),
-                "n_queries": len(timings),
-                "sf": sf_out,
-            },
-            indent=1,
-        )
-        + "\n"
+    side_doc, final_doc = _summarize(
+        samples, cold_total, sf_out, cpus_echo, master_echo, side.name
     )
+    payload = json.dumps(side_doc, indent=1) + "\n"
     side.write_text(payload)
     _stamped_path(repo, sf).write_text(payload)
-    # compact final line: total + the 12 cross-round core queries (~0.6 KB)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: timings[n] for n in CORE_12 if n in timings},
-                "n_queries": len(timings),
-                "cold_total_sec": round(cold_total, 3),
-                "per_query_file": side.name,
-                "sf": sf_out,
-            },
-            separators=(",", ":"),
-        )
-    )
+    # compact final line: total + the 12 cross-round core queries (~0.7 KB)
+    print(json.dumps(final_doc, separators=(",", ":")))
+
+
+def _summarize(
+    samples: dict[str, list[float]],
+    cold_total: float,
+    sf_out,
+    cpus: str,
+    master: str,
+    side_name: str,
+) -> tuple[dict, dict]:
+    """(side-file doc, final-line doc) from the raw measured pass times.
+
+    `queries` stays the per-query MIN — the statistic every round since r1
+    reported; `median_queries` / `pass_times` (side file only) qualify it
+    against box drift, and `cpus`/`master` echo the environment the run
+    actually used (round-10 verdict items 1-2)."""
+    import statistics
+
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    medians = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    total = round(sum(timings.values()), 3)
+    side_doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "median_queries": medians,
+        "pass_times": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
+        "cold_total_sec": round(cold_total, 3),
+        "n_queries": len(timings),
+        "cpus": cpus,
+        "master": master,
+        "sf": sf_out,
+    }
+    final_doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in CORE_12 if n in timings},
+        "n_queries": len(timings),
+        "cold_total_sec": round(cold_total, 3),
+        "per_query_file": side_name,
+        "cpus": cpus,
+        "master": master,
+        "sf": sf_out,
+    }
+    return side_doc, final_doc
 
 
 if __name__ == "__main__":

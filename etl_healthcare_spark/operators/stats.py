@@ -498,8 +498,15 @@ def median_interp2(
     pass expensive; LAZY checkpoint — LOST 2.4x, the first consumer here
     is the crossing-bin BROADCAST subquery and materializing the blocks
     inside that job serializes it against the main scan, so the eager
-    variant's dedicated 32-way job wins.  Domain: non-negative values
-    (`div` floor agreement, weighted_median's note).
+    variant's dedicated 32-way job wins.  Domain: non-negative NON-NULL
+    values (`div` floor agreement, weighted_median's note; an all-NULL
+    group aggregates xbin to NULL and drops out of the inbin equi-join, so
+    it vanishes from the output instead of emitting (g, n, NULL) — callers
+    with nullable value columns must filter or impute first) and MODEST
+    group cardinality: ``cross`` (~2 rows per group) is broadcast, so at
+    millions of groups the hint would rebuild the driver-side broadcast
+    pressure fk_orphans removed — drop the hint and let the planner choose
+    if the operator is ever pointed at a high-cardinality group column.
     """
     from pyspark.sql import Window
 

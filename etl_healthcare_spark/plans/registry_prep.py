@@ -175,9 +175,11 @@ def _fk_oracle() -> str:
 def profile_fk_orphans(spark, sf_dir):
     from ..operators.profile import fk_orphans
 
-    # one DataFrame OBJECT per table: fk_orphans fuses the relations that
-    # share a child object into a single grouping-sets histogram scan
-    # (lineitem carries three declared FKs -> one scan instead of six)
+    # one DataFrame OBJECT per table, so relations sharing a table reuse the
+    # same scan node.  fk_orphans itself scans once PER RELATION into a
+    # (key, cnt) histogram — the grouping-sets fusion across lineitem's three
+    # FKs was probed at sf3 (106 s vs 55.7 s) and rejected; see
+    # operators/profile.fk_orphans and OPTIMIZATION_r10.md.
     tables = {
         t: _t(spark, sf_dir, t)
         for rel in _FK_RELATIONS

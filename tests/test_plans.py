@@ -901,7 +901,9 @@ def test_global_windows_run_over_bounded_frames_only(spark, monkeypatch):
     # concrete class.
     from pyspark.sql.classic.dataframe import DataFrame
 
-    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    # *a/**k: stay signature-compatible if a call site ever passes Spark 4's
+    # storageLevel parameter (ADVICE r10)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, *a, **k: self)
     for queries in GLOBAL_WINDOW_SITES.values():
         for name in queries:
             df = REGISTRY[name].fn(spark, SF)
