@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.materialize import materialize
 
 
 def _cents(c: Column) -> Column:
@@ -189,7 +190,7 @@ def iqr_outlier_stats(
         df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .groupBy("g", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     wg = Window.partitionBy("g")
     cum = hist.select(
@@ -462,7 +463,7 @@ def mad_flags(df: DataFrame, group_col: str, value_col: str, id_col: str) -> Dat
     hist = (
         src.groupBy("grp", "v_cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     wg = Window.partitionBy("grp")
 

@@ -48,6 +48,7 @@ def write_bucketed(
 
 from pyspark.sql import Column  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
+from ..functions.materialize import materialize
 
 
 def morton_key(x: Column, y: Column, bits: int = 10) -> Column:
@@ -265,7 +266,7 @@ def zonemap_prune(
             F.min("v").alias("mn2"),
             F.max("v").alias("mx2"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     out = []
     for layout in ("clustered", "scattered"):

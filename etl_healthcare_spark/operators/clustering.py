@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot  # noqa: F401  (kept: float-space helpers live together)
+from ..functions.materialize import materialize
 
 
 def quantized_vectors(df: DataFrame, vec_col: str, id_col: str, center: int = 0) -> DataFrame:
@@ -288,7 +289,7 @@ def _cluster_assignments(
         # collects (seed, per-round centroids) plus the final checkpoint off
         # this frame, and each would otherwise re-run the quantize shuffles
         # from scratch (round-7 advice: 3+ recomputes at rounds=1)
-        vecs = vecs.localCheckpoint()
+        vecs = vecs.transform(materialize)
         id_t = dict(vecs.dtypes)["id"]
         seed = (
             vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
@@ -296,7 +297,7 @@ def _cluster_assignments(
         assigned = _assign_arrow(vecs, seed.collect(), id_t)
         for _ in range(rounds):
             assigned = _assign_arrow(vecs, _update(assigned).collect(), id_t)
-        return assigned.select("id", "qv", "cluster").localCheckpoint()
+        return assigned.select("id", "qv", "cluster").transform(materialize)
     centroids = (
         vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
     )
@@ -304,7 +305,7 @@ def _cluster_assignments(
     for _ in range(rounds):
         centroids = _update(assigned)
         assigned = _assign(vecs, centroids)
-    return assigned.select("id", "qv", "cluster").localCheckpoint()
+    return assigned.select("id", "qv", "cluster").transform(materialize)
 
 
 def semantic_dedup_pairs(
@@ -572,7 +573,7 @@ def kcenter_assign(df: DataFrame, vec_col: str, id_col: str, k: int = 8) -> Data
     1-row argmax aggregate (k tiny driver fetches, like the IVF centroid
     loads); the final assignment is one broadcast cross join + exact
     struct-min.  Output (id, center_id, d2) for every point."""
-    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)
+    vecs = quantized_vectors(df, vec_col, id_col).transform(materialize)
 
     def lit_qv(xs):
         return F.array(*[F.lit(int(x)) for x in xs])

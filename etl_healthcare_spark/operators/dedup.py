@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles_from_tokens, simhash16, tokens
 from ..functions.vectors import cosine, hyperplane_bucket_exact
+from ..functions.materialize import materialize, materialize_lazy
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -462,11 +463,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     """
     # checkpoint BEFORE the symmetrizing union: both union branches read the
     # materialized pairs instead of each re-running the upstream (LSH) plan
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(materialize)
     edges = (
         p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # seed labels with the ONE-HOP minimum (min of self and all neighbors)
     # instead of self: near-dup clusters are near-cliques (LSH expands
@@ -486,7 +487,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         edges.groupBy("a")
         .agg(F.min("b").alias("_mn"))
         .select(F.col("a").alias("node"), F.least(F.col("a"), F.col("_mn")).alias("lbl"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     # labels are monotonically non-increasing, so sum(lbl) strictly decreases
     # until the fixpoint — an O(1)-output agg is the convergence test, no join.
@@ -500,7 +501,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             F.col("b").alias("node"), F.col("lbl")
         )
         labels = (
-            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).localCheckpoint(eager=True)
+            labels.union(prop).groupBy("node").agg(F.min("lbl").alias("lbl")).transform(materialize)
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -533,13 +534,13 @@ def connected_components_star(
     (cluster id = component minimum), so the two methods are interchangeable
     under any oracle.  ``return_rounds=True`` returns (labels, rounds) for
     round-complexity assertions."""
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
-    nodes = p.select("a").union(p.select("b")).distinct().localCheckpoint(eager=True)
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(materialize)
+    nodes = p.select("a").union(p.select("b")).distinct().transform(materialize)
     edges = (
         p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def _sig(e: DataFrame):
@@ -576,7 +577,7 @@ def connected_components_star(
     for _ in range(max_iter):
         # symmetrize for large-star (it reasons over full neighborhoods)
         sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-        edges = small_star(large_star(sym)).localCheckpoint(eager=True)
+        edges = small_star(large_star(sym)).transform(materialize)
         rounds += 1
         new_sig = _sig(edges)
         if new_sig == sig:
@@ -670,7 +671,7 @@ def minhash_scored_pairs(
     in-bucket array-combination shape of minhash_lsh_pairs; the scoring join
     keys on doc id against the (corpus-sized but narrow) signature table."""
     n = bands * rows
-    sig = minhash_signatures(df, text_col, id_col, n=n, width=width).localCheckpoint(eager=True)
+    sig = minhash_signatures(df, text_col, id_col, n=n, width=width).transform(materialize)
     band_cols = [
         F.concat(*[F.col(f"mh{i}") for i in range(b * rows, (b + 1) * rows)]).alias(f"band{b}")
         for b in range(bands)

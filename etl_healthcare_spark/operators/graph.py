@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.materialize import materialize
 
 PPM = 1_000_000
 DAMP_PPM = 850_000  # d = 0.85
@@ -38,11 +39,11 @@ def pagerank_ppm(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", iters
     # materialized pairs, not the upstream LSH plan) and again after the
     # distinct: every iteration joins edges twice, and without the barrier
     # each round would re-run the whole candidate-pair pipeline
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(materialize)
     edges = (
         p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # checkpointed: the rank seed and every iteration's contribution join
     # consume the degree table — un-materialized, each re-ran the edge-wide
@@ -50,7 +51,7 @@ def pagerank_ppm(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", iters
     deg = (
         edges.groupBy("a")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     ranks = deg.select(F.col("a").alias("node"), F.lit(PPM).cast("long").alias("rank_ppm"))
     for _ in range(iters):
@@ -119,7 +120,7 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -136,7 +137,7 @@ def triangle_counts(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFra
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("y"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dy"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     e1, e2 = fwd.alias("e1"), fwd.alias("e2")
     wedges = e1.join(e2, F.col("e1.x") == F.col("e2.x")).where(
         (F.col("e1.dy") < F.col("e2.dy"))
@@ -180,9 +181,9 @@ def bfs_hops(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col(src) != F.col(dst)
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint(eager=True)
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().transform(materialize)
     frontier = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-    visited = frontier.select("node", F.lit(0).cast("int").alias("hops")).localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).cast("int").alias("hops")).transform(materialize)
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(und, frontier["node"] == und["a"])
@@ -191,7 +192,7 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(h).cast("int").alias("hops"))
         )
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt).transform(materialize)
         frontier = visited.where(F.col("hops") == h).select("node")
     return visited
 
@@ -270,14 +271,14 @@ def kcore_nodes(edges: DataFrame, src: str = "a", dst: str = "b", k: int = 3, ro
     deleted).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(F.col(src) != F.col(dst))
-    cur = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint(eager=True)
+    cur = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().transform(materialize)
     for _ in range(rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("a")
         cur = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return cur.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg")).where(
         F.col("deg") >= k
@@ -341,7 +342,7 @@ def common_neighbors(
         edges.select(F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     und = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
@@ -418,9 +419,9 @@ def label_propagation(
     rank<=1 — all shuffle-parallel on node keys; labels are
     localCheckpointed per round so round r+1 never re-runs round r's
     lineage (the pagerank discipline)."""
-    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
+    p = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).transform(materialize)
     edges = p.union(p.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -437,7 +438,7 @@ def label_propagation(
             votes.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("lead_node")

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.materialize import materialize
 
 
 def _grams(col, q: int = 3):
@@ -112,7 +113,7 @@ def _scored_candidates(
         # vocab-sized; checkpointed once, consumed by BOTH the cap branch
         # and the rarity filter, so the corpus-scale gram explode + partial
         # aggregation runs exactly once (not re-derived per consumer)
-        dfreq = dfreq.localCheckpoint(eager=True)
+        dfreq = dfreq.transform(materialize)
         dist = dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("c"))
         total = dist.agg(F.sum("c").alias("total"))
         from pyspark.sql import Window
@@ -200,7 +201,7 @@ def fuzzy_match_join(
     scored = _scored_candidates(
         dirty, clean, dirty_id, dirty_name, clean_id, clean_name,
         max_dist, q, max_gram_df, rare_df_pct,
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # best candidate per dirty row = exact lexicographic argmin on
     # (distance, cid) — operators/argmax.py; cid is unique per candidate
     # pair (cand is distinct), so the order is total and cname rides the
@@ -312,7 +313,7 @@ def survivorship(
         records.select(*narrow_cols)
         .join(sized.hint("shuffle_hash"), F.col(id_col) == F.col("__node"), "left")
         .withColumn("__cl", F.coalesce(F.col(cluster_col), F.col(id_col)))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     # branch joins are records-cardinality on BOTH sides (singletons make

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..functions.materialize import materialize
 
 MEDIA_META = T.StructType(
     [
@@ -735,7 +736,7 @@ def ahash_near_pairs(
     — corpus-linear but payload-free."""
     from .dedup import _lsh_buckets, _pair_combos
 
-    h = hashes.where(F.col("ahash").isNotNull()).localCheckpoint(eager=True)
+    h = hashes.where(F.col("ahash").isNotNull()).transform(materialize)
     bands = h.selectExpr(
         "id AS doc",
         "stack(4, '0', substr(ahash, 1, 16), '1', substr(ahash, 17, 16), "

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.materialize import cut_lineage, materialize
 
 MERGE_KEYS = ["tenantId", "entityType", "entityId"]
 ACTION_COL = "_action"  # insert | update | noop
@@ -156,7 +157,7 @@ class ParquetStateStore:
         # the same path it is about to rewrite — without cutting lineage here,
         # any later evaluation (the commit log) would silently re-read the
         # NEW state and report wrong actions
-        merged = merge_frames(state, batch, updated_at, keys=self.keys).localCheckpoint()
+        merged = merge_frames(state, batch, updated_at, keys=self.keys).transform(cut_lineage)
         (
             merged.drop(ACTION_COL)
             .repartition("tenantId")
@@ -196,9 +197,9 @@ class ParquetStateStore:
                 "left",
             )
             .select("tenantId", "patientId", F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
-        survivors = state.join(subj, ["tenantId", "patientId"], "left_anti").localCheckpoint()
+        survivors = state.join(subj, ["tenantId", "patientId"], "left_anti").transform(cut_lineage)
         (
             survivors.repartition("tenantId")
             .sortWithinPartitions("patientId", "effectiveDateTime")
@@ -352,7 +353,7 @@ class SnapshotStateStore(ParquetStateStore):
             )
         else:
             state = self.read()
-        merged = merge_frames(state, batch, updated_at, keys=self.keys).localCheckpoint()
+        merged = merge_frames(state, batch, updated_at, keys=self.keys).transform(cut_lineage)
         (
             merged.drop(ACTION_COL)
             .repartition("tenantId")

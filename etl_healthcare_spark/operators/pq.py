@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .clustering import quantized_vectors
+from ..functions.materialize import materialize, materialize_lazy
 
 
 def _sub_long(vecs: DataFrame, sub_dims: int) -> DataFrame:
@@ -49,7 +50,7 @@ def pq_codebook_and_codes(
     codes    — (id, m, cid): each vector's nearest centroid per subspace.
     """
     vecs = quantized_vectors(df, vec_col, id_col)
-    sub = _sub_long(vecs, sub_dims).localCheckpoint(eager=False)
+    sub = _sub_long(vecs, sub_dims).transform(materialize_lazy)
     seeds = sub.select("id").distinct().orderBy("id").limit(k)
     c0 = (
         sub.join(seeds, "id")

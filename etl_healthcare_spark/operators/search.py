@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..functions.materialize import materialize
 
 # BM25 constants k1=1.2, b=0.75 as exact rationals: with dl/avgdl = dl*N/L,
 #   tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))  ==  22*L*tf / (10*L*tf + 3*L + 9*dl*N)
@@ -73,7 +74,7 @@ def bm25_scores(
         # probed (search_eval_mrr sf0.1 1.69->1.52, text_stats 0.75->0.65
         # min-of-5; sf3 min 4.47->3.97) — same consumer pattern as
         # median_interp2's, where lazy lost 2.4x at sf3
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("l"),
@@ -180,7 +181,7 @@ def index_build(
         docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     bucket = F.pmod(

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.packing import unpack_hi, unpack_lo
+from ..functions.materialize import materialize, materialize_lazy
 
 PPM = 1_000_000
 PPB = 1_000_000_000
@@ -173,7 +174,7 @@ def tree_depth_doubling(parents: DataFrame, node_col: str = "node", parent_col: 
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.when(F.col(parent_col) == F.col(node_col), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     for _ in range(max_rounds):
         # the convergence probe rides the SAME action that materializes the
         # round (Observation on the checkpoint), not a separate count job:
@@ -192,7 +193,7 @@ def tree_depth_doubling(parents: DataFrame, node_col: str = "node", parent_col: 
             F.col("a.node").alias("node"),
             F.col("b.j_anc").alias("anc"),
             (F.col("a.depth") + F.col("b.j_depth")).alias("depth"),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         if obs.get["pending"] == 0:
             break
     return state.select("node", F.col("anc").alias("root"), "depth")
@@ -289,7 +290,7 @@ def frequent_pairs(
         baskets.select(F.explode(F.concat(sentinel, singles, pairs_arr)).alias("e"))
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(materialize_lazy)
     )
     n_baskets = counted.where(F.col("i").isNull() & F.col("j").isNull()).select(
         F.col("c").alias("nb")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, hyperplane_bucket
+from ..functions.materialize import materialize, materialize_lazy
 
 
 def _query_rows(vecs: DataFrame, id_col: str, query_pred) -> DataFrame:
@@ -183,9 +184,9 @@ def ivf_build_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str, k:
     # centroid build below is an eager checkpoint whose single action fully
     # materializes vecs first — no concurrent stage can race the persist,
     # and no extra blocking job is launched.
-    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=False)
+    vecs = quantized_vectors(df, vec_col, id_col).transform(materialize_lazy)
     c0 = vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
-    c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)  # reused by assign + written
+    c1 = _update(_assign(vecs, c0)).transform(materialize)  # reused by assign + written
     a2 = _assign(vecs, c1)
     (
         a2.select("id", "qv", F.col("cluster").alias("cell"))
@@ -259,9 +260,9 @@ def knn_blocked(
 
     from .clustering import _assign, _dist2, _update, quantized_vectors
 
-    vecs = quantized_vectors(df, vec_col, id_col).localCheckpoint(eager=True)  # reused 3 ways
+    vecs = quantized_vectors(df, vec_col, id_col).transform(materialize)  # reused 3 ways
     c0 = vecs.orderBy("id").limit(ncells).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
-    c1 = _update(_assign(vecs, c0)).localCheckpoint(eager=True)
+    c1 = _update(_assign(vecs, c0)).transform(materialize)
     members = _assign(vecs, c1).select(
         F.col("id").alias("neighbor_id"), F.col("qv").alias("nqv"), F.col("cluster").alias("cell")
     )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.materialize import materialize
 
 
 def _sign(c: Column) -> Column:
@@ -383,7 +384,7 @@ def weighted_median(
     vhist = (
         src.groupBy("grp", "bin", "v")
         .agg(F.sum("wt").alias("vw"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     hist = vhist.groupBy("grp", "bin").agg(F.sum("vw").alias("binw"))
     wg = Window.partitionBy("grp")
@@ -521,7 +522,7 @@ def median_interp2(
         # lazy materialization inside that job probed 2.4x slower at sf3
         # (docstring) — the b1ae41f lazy discipline applies only when the
         # first consumer is a full-parallelism driver action
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     hist = vhist.groupBy("g", "bin").agg(F.sum("cnt").alias("binc"))
     wg = Window.partitionBy("g")

@@ -16,6 +16,7 @@ from ..functions.text import (
     token_count_ws,
     tokens,
 )
+from ..functions.materialize import materialize
 
 
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -670,7 +671,7 @@ def _bpe_one_round(state: DataFrame, rnd: int):
         .groupBy("w", "f")
         .agg(F.sort_array(F.collect_list(F.struct("i", "out"))).alias("po"))
         .select("w", "f", F.expr("transform(po, x -> x.out)").alias("syms"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     merge_row = top.select(F.lit(rnd).alias("round"), "a", "b", "cnt")
     return new_state, merge_row
@@ -709,7 +710,7 @@ def bpe_train(df: DataFrame, text_col: str, rounds: int = 3, max_word_len: int =
             "w", "f",
             F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     state, merge_rows = words, []
     for r in range(1, rounds + 1):
@@ -808,7 +809,7 @@ def bpe_apply(df: DataFrame, text_col: str, id_col: str, rounds: int = 3, max_wo
             "w", "f",
             F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias("syms"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     state = words
     for r in range(1, rounds + 1):
@@ -890,7 +891,7 @@ def containment_pairs(
                 lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
             )
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     spans = arrs.select("doc_id", F.explode("hs").alias("h"))
     cand = (
         spans.groupBy("h")
@@ -1315,7 +1316,7 @@ def longest_shared_run(
         F.transform(
             sh, lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long")
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     spans = arrs.select("doc_id", F.explode(F.array_distinct("hs")).alias("h"))
     cand = (
         spans.groupBy("h")
@@ -1503,7 +1504,7 @@ def novelty_scores(
                 lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 12), 16, 10).cast("long"),
             )
         ).alias("hs"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     spans = arrs.select("doc_id", F.explode("hs").alias("h"))
     # no join back onto the span stream: a doc's first-occurrence count IS
     # the number of spans whose min-doc is that doc, so the whole answer is

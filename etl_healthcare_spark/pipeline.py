@@ -26,6 +26,7 @@ from .operators.validate import validate_dto, validate_fhir
 from .sources.audit import append_audit
 from .sources.csv_labx import parse_labx_csv
 from .sources.hl7 import parse_hl7v2
+from .functions.materialize import cut_lineage
 
 
 class PipelineResult(NamedTuple):
@@ -82,7 +83,7 @@ def run_batch_pipeline(
         "idempotencyKey",
     )
     store = ParquetStateStore(spark, state_dir)
-    log = store.merge(batch, updated_at=batch_time).localCheckpoint()
+    log = store.merge(batch, updated_at=batch_time).transform(cut_lineage)
 
     if audit_dir:
         lines = log.select(

@@ -790,17 +790,18 @@ from . import registry_opsdiag  # noqa: E402,F401
 # whatever order the modules happened to register in.  The remaining queries
 # follow in their original registration order and are checked by the local
 # harness (tools/check.py) at every scale factor.
-# Round-10 rotation: external correctness evidence accumulates one 50-query
-# window per round; this window DRAINS the never-driver-confirmed backlog to
-# zero — all 41 remaining names (258/299 confirmed through r09) plus 9 core
-# re-verify pins.  Family coverage uses the ONE-ROUND CARRY-OVER policy
-# (round-9 verdict item 2): a family probe is satisfied by an in-window
-# member OR a member that was hash-green in the immediately-preceding
-# round's CORRECTNESS file — re-verifying a name one round after it passed
-# adds nothing while 41 names still lack ANY driver row.  The plan suite
+# Round-11 rotation: the never-driver-confirmed backlog hit ZERO in r10
+# (299/299 names have at least one green driver row), so staleness is now
+# the whole rotation signal — after the 9 pins and the family probes not
+# fresh from r10's CORRECTNESS file, slots go to the names whose last green
+# confirmation is OLDEST (rounds 1-2 era: q5/q6, g2-g5, j1-j5, w1-w6,
+# p2-p13 …), re-verifying the outermost evidence first.  Family coverage
+# keeps the ONE-ROUND CARRY-OVER policy (round-9 verdict item 2): a family
+# probe is satisfied by an in-window member OR a member hash-green in the
+# immediately-preceding round's CORRECTNESS file.  The plan suite
 # (tests/test_plans.py::test_driver_window_spans_every_family…) holds the
 # invariant "every family has driver-grade evidence no older than one
-# round".  tools/rotate_window.py proposes the r11 window mechanically.
+# round".  tools/rotate_window.py computes the rotation mechanically.
 DRIVER_WINDOW: list[str] = [
     # core re-verify pins (cheap, every-round anchors)
     "q2_observations_by_patient",
@@ -812,48 +813,48 @@ DRIVER_WINDOW: list[str] = [
     "p1_csv_to_dto",
     "v2_dto_validation",
     "u1_idempotent_merge",
-    # the 41-name never-driver backlog (complete — drains driver debt to 0)
-    "sketch_source_similarity",
-    "text_vocab_growth",
-    "graph_bfs_hops",
-    "graph_kcore",
-    "j10_spatial_pairs",
-    "g25_weighted_median",
-    "sample_cluster_weighted",
-    "graph_common_neighbors",
-    "j5c_asof_tolerance",
-    "g26_median_interp",
-    "j11_bucketed_join",
-    "sql_pivot_daily",
-    "link_survivorship",
-    "seq_markov_transitions",
-    "seq_markov_stationary",
-    "seq_attribution_linear",
-    "u8_snapshot_diff",
-    "text_doc_keywords",
-    "g30_topk_other_rollup",
-    "g31_heavy_hitters",
-    "ml_winsorize_agg",
-    "sample_neyman_alloc",
-    "mm_mp4_boxes",
-    "stat_ks_two_sample",
-    "stat_corr_matrix",
-    "stat_chi2_independence",
-    "stat_bootstrap_ci",
-    "ml_target_encoding",
-    "ml_gini_feature_rank",
-    "eval_cohens_kappa",
-    "text_pmi_bigrams",
-    "graph_degree_hist",
-    "g34_pareto_skyline",
-    "u11_table_fingerprint",
-    "g35_share_of_parent",
-    "ts_seasonality_profile",
-    "ts_event_debounce",
-    "ts_delta_attribution",
-    "text_langid_confusion",
-    "u10_delete_propagation",
-    "sql_running_total",
+    # family probes not fresh from r10 + stalest-confirmed rotation
+    "set_ops",
+    "g10_pivot",
+    "sq_subqueries",
+    "scalar_functions",
+    "cluster_kmeans",
+    "curation_e2e",
+    "anomaly_zscore",
+    "search_bm25",
+    "stream_g1_windowed",
+    "dedup_exact",
+    "sim_topk_cosine",
+    "maint_compaction_plan",
+    "privacy_k_anonymity",
+    "q6_tenant_scan",
+    "q5_health_report",
+    "g2_invalid_ratio",
+    "g3_threshold_alarm",
+    "g4_stage_depth",
+    "j1_broadcast_dim",
+    "j3_semi_join",
+    "j5_range_join",
+    "w2_lag_delta",
+    "w4_range_frame",
+    "o4_keyset_page",
+    "w5_rank_distribution",
+    "g9_session_window",
+    "g11_median",
+    "p2_hl7_segments",
+    "p5_hl7_ts",
+    "p9_generic_json",
+    "v4_numeric_filter",
+    "p6b_fhir_roundtrip",
+    "p13_patient_dto",
+    "dedup_simhash",
+    "q1_get_patient",
+    "g5_percentiles",
+    "j2_orders_customer",
+    "w1_ranking",
+    "w6_locf_gapfill",
+    "p6_fhir_observation",
+    "u2_batch_dedup",
 ]
 
 _missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

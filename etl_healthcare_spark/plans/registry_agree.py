@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .registry import _t, register
 from .registry_evalml import _SCORED_SQL, _scored
+from ..functions.materialize import materialize
 
 PPM = 1_000_000
 
@@ -345,7 +346,7 @@ def text_pmi_bigrams(spark, sf_dir):
     counts = (
         recs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast(dec).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pair = counts.where(F.col("w2").isNotNull()).withColumnRenamed("c", "c_xy")
     uni = counts.where(F.col("w2").isNull()).select("w1", "c")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import _t, register
+from ..functions.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # graph: triangle counting (degree-oriented wedge closing)
@@ -823,7 +824,7 @@ def curation_quality_funnel(spark, sf_dir):
     # bigram scorer per consumer (round-10 dedup_ngram_jaccard class)
     s3 = s2.join(
         lm.where(F.col("lm_score_ppm") >= 1500).select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     s4 = s3.where(F.col("n_chars") >= 100)
     stages = [("raw", docs), ("classifier", s2), ("lm_score", s3), ("length", s4)]
     out = None

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import _t, register
+from ..functions.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # text: RAG chunking into overlapping token windows
@@ -505,7 +506,7 @@ def training_prep_e2e(spark, sf_dir):
     # the one report job — a lazy persist races (each stage re-runs the
     # regex-heavy gate chain itself before blocks land; the round-10
     # dedup_ngram_jaccard defect class), and nothing sequential warms it
-    q = base.join(g, "doc_id", "left_semi").localCheckpoint(eager=True)
+    q = base.join(g, "doc_id", "left_semi").transform(materialize)
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -514,13 +515,13 @@ def training_prep_e2e(spark, sf_dir):
     # eager checkpoints (not lazy persists) for the same reason as q: each
     # frame's count branch and its successor-stage derivation start in
     # concurrent stages and raced the lazy persist (round-10)
-    ex = q.join(exk, "doc_id", "left_semi").localCheckpoint(eager=True)
+    ex = q.join(exk, "doc_id", "left_semi").transform(materialize)
     capk = (
         source_cap(ex, "doc_id", "source", cap=15, salt="tp1")
         .where(F.col("kept"))
         .select("doc_id")
     )
-    cap = ex.join(capk, "doc_id", "left_semi").localCheckpoint(eager=True)
+    cap = ex.join(capk, "doc_id", "left_semi").transform(materialize)
     tr = hash_split(cap, "doc_id", "tpsplit", train=0.9, val=0.05).where(
         F.col("split") == "train"
     )

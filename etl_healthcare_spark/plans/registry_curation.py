@@ -21,6 +21,7 @@ from ..operators.sampling import hash_fraction_hex, hash_split, stratified_sampl
 from ..operators.textops import rare_token_ratio
 from .registry import register
 from .registry_llm import _minhash_oracle
+from ..functions.materialize import materialize
 
 
 def _t(spark, sf_dir, name):
@@ -744,7 +745,7 @@ def curation_e2e(spark, sf_dir):
     # warmed it (round-10 A/B: the dedup_ngram_jaccard defect class)
     nd_surv = ex_surv.join(
         keep.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     contam = ngram_contamination(nd_surv, eval_df, "text", "doc_id", k=5)
     final = nd_surv.join(
         contam.where(F.col("contam_ppm") >= 500000).select("doc_id"), "doc_id", "left_anti"

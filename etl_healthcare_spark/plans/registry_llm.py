@@ -31,6 +31,7 @@ from ..operators.textops import (
     token_counts,
 )
 from .registry import register
+from ..functions.materialize import materialize
 
 
 def _t(spark, sf_dir, name):
@@ -194,7 +195,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # EAGER: the verify join consumes pairs from concurrent stages, which
     # raced the lazy persist and re-ran the LSH pipeline per consumer —
     # A/B probed 6.58 -> 2.38 s min-of-5 at sf0.1 (round-10)
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", bands=4, rows=4).transform(materialize)
     return ngram_jaccard_verify(docs, pairs, "text", "doc_id", threshold=0.2)
 
 
@@ -804,9 +805,7 @@ def link_blocking_quality(spark, sf_dir):
     # doc count all consume the (id, sha256) frame — un-materialized, each
     # re-ran the corpus sha256 pass (round-10 plan: 5 scans of documents,
     # 3 of them under sha256 projections; now 1 + the LSH pipeline's own)
-    hashed = docs.select("doc_id", sha256_hex(F.col("text")).alias("h")).localCheckpoint(
-        eager=True
-    )
+    hashed = docs.select("doc_id", sha256_hex(F.col("text")).alias("h")).transform(materialize)
     gold = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("k"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .registry import _t, register
+from ..functions.materialize import materialize
 
 PPM = 1_000_000
 
@@ -242,7 +243,7 @@ def text_doc_keywords(spark, sf_dir):
     tf = (
         tok.groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("nd"))

@@ -255,9 +255,29 @@ def propose(repo_root: Path | None = None) -> tuple[list[str], list[str], list[s
             break
         if n not in window:
             window.append(n)
-    # if both backlogs ran dry, pad with the oldest-confirmed names (re-verify)
+    # if both backlogs ran dry, pad with the STALEST-confirmed names
+    # (smallest last-green round first — re-verifying a name the driver
+    # confirmed LAST round wastes the slot; round-11: the backlog hit zero,
+    # so staleness is now the whole rotation signal.  Registration order
+    # would re-pick the just-confirmed current window, since the registry
+    # lists the window first.)
     if len(window) < 50:
-        for n in oracle:
+        last_green: dict[str, int] = {}
+        for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+            digits = Path(f).stem.split("_r")[-1]
+            if not digits.isdigit():
+                continue
+            rnd = int(digits)
+            for name, e in json.load(open(f)).items():
+                if (
+                    e.get("rows_match")
+                    and e.get("schema_match")
+                    and e.get("hash_match")
+                    and e.get("err") is None
+                ):
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+        order = {n: i for i, n in enumerate(oracle)}
+        for n in sorted(oracle, key=lambda n: (last_green.get(n, 0), order[n])):
             if len(window) >= 50:
                 break
             if n not in window:
