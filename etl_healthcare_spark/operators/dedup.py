@@ -52,8 +52,17 @@ def minhash_signatures(
     # downstream groupBy("doc") so the shuffle is not repeated.  Explicit
     # partition count: AQE would coalesce a bare repartition("doc") down to
     # ~2 tasks (it sizes by bytes) and serialize this CPU-bound stage.
+    # Tokenize AFTER the exchange (round-11): a projection below the
+    # repartition evaluates MAP-SIDE at scan parallelism — the 16 MB-split
+    # local scan is 1 task, so the regex ran serially (probed 0.24 -> 0.14 s
+    # min-of-6 at sf0.1 for the tokenize stage); shuffling the raw text
+    # instead of the token array moves no more bytes.
     npart = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")).repartition(npart, "doc")
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__raw"))
+        .repartition(npart, "doc")
+        .select("doc", tokens(F.col("__raw")).alias("t"))
+    )
     sh = tok.select(
         "doc",
         F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), 3))).alias("s"),
@@ -191,7 +200,10 @@ def minhash_lsh_pairs(
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # repartition: fan the 16-bit-x-sha256-per-token compute out of a
-    # single-file partition (see minhash_bands note)
+    # single-file partition.  NB: select AFTER repartition — the projection
+    # sits above the exchange, so the regex+sha stage already runs
+    # post-shuffle at full parallelism (unlike minhash_signatures' old
+    # select-then-repartition chain, plan-verified round-11)
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)).select(
         F.col(id_col), simhash16(F.col(text_col)).alias("simhash")
     )
@@ -209,11 +221,13 @@ def simhash_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(doc, shingle) — the distinct k-word shingle set of every document,
-    fanned out of single-file partitions (see minhash_bands note)."""
+    fanned out of single-file partitions, regex post-shuffle (see
+    minhash_signatures note)."""
     npart = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__raw"))
         .repartition(npart, "doc")
+        .select("doc", tokens(F.col("__raw")).alias("t"))
         .select("doc", F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"))
     )
 
@@ -251,14 +265,19 @@ def ngram_jaccard_pairs(
     jaccard is a documented lower bound for pairs touching dropped shingles).
     For the exact production shape, verify LSH candidates instead:
     ``ngram_jaccard_verify(df, minhash_lsh_pairs(df, ...))``."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(block_col).alias("blk"),
-        tokens(F.col(text_col)).alias("t"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "doc").select(
-        "doc",
-        "blk",
-        F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"),
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(block_col).alias("blk"),
+            F.col(text_col).alias("__raw"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+        .select("doc", "blk", tokens(F.col("__raw")).alias("t"))
+        .select(
+            "doc",
+            "blk",
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("shingle"),
+        )
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     joinable = sh
@@ -406,15 +425,50 @@ def embedding_lsh_dedup_pairs(
     (id_a, id_b, bucket) rows — are identical.
 
     Returns (id_a, id_b, cos, bucket)."""
-    b = df.withColumn("__lsh_bkt", hyperplane_bucket_exact(F.col(vec_col), planes, scale))
     if kernel == "expr":
+        b = df.withColumn("__lsh_bkt", hyperplane_bucket_exact(F.col(vec_col), planes, scale))
         return embedding_near_dup_pairs(
             b, vec_col, id_col, block_col="__lsh_bkt", threshold=threshold, dim=dim
         )
     if kernel != "arrow":
         raise ValueError(f"unknown kernel {kernel!r}: 'arrow' or 'expr'")
+    import math
+
     import numpy as np
     import pandas as pd
+
+    # Bucket bits via the SAME int64 GEMM kernel class as the scorer
+    # (round-11): hyperplane_bucket_exact's 8 `aggregate(zip_with(...))`
+    # folds are CodegenFallback — evaluated expression-interpreted per
+    # element, they were over half this operator's wall time (probed
+    # 1.69-2.65 s -> 0.43 s min-of-6 at sf0.1 for the bucket stage; the
+    # unrolled-codegen form probed 2-3x SLOWER than the folds — the 512-term
+    # method blows the JIT bytecode limit, the docstring's known failure
+    # mode).  BIT-IDENTICAL integers: float32 -> float64 is exact, the
+    # float64 multiply by `scale` of a <=24-bit-mantissa value is exact
+    # (<=44 mantissa bits), np.floor == F.floor, and the int64 dot against
+    # the SAME floor-quantized plane matrix stays < 2^53 at dim 64 — both
+    # engines compute every sign identically (pinned by
+    # tests/test_llm_ops.py's kernel-agreement case).
+    qp_t = np.array(
+        [[int(math.floor(float(x) * float(scale))) for x in p] for p in planes],
+        dtype=np.int64,
+    ).T  # dim x n_planes
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__lsh_bkt=pd.Series([], dtype=object))
+                continue
+            m = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            q = np.floor(m * float(scale)).astype(np.int64)
+            bits = np.where(q @ qp_t >= 0, "1", "0")
+            out = pdf.copy()
+            out["__lsh_bkt"] = ["".join(r) for r in bits]
+            yield out
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["__id"].to_numpy()
@@ -438,8 +492,11 @@ def embedding_lsh_dedup_pairs(
             }
         )
 
-    sel = b.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), "__lsh_bkt")
-    return sel.groupBy("__lsh_bkt").applyInPandas(
+    sel = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    b = sel.mapInPandas(
+        bucketize, f"__id {id_t}, __vec {vec_t}, __lsh_bkt string"
+    )
+    return b.groupBy("__lsh_bkt").applyInPandas(
         score, "id_a long, id_b long, cos double, bucket string"
     )
 

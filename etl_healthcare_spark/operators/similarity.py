@@ -176,18 +176,29 @@ def ivf_build_index(df: DataFrame, vec_col: str, id_col: str, index_dir: str, k:
     partition directories instead of scanning the corpus (see ivf_probe).
     Layout: ``{index_dir}/vectors`` (id, qv, cell=...), ``{index_dir}/centroids``.
     """
-    from .clustering import _assign, _update, quantized_vectors
+    from .clustering import _assign_arrow, _update, quantized_vectors
 
     # LAZY checkpoint: seeds, both Lloyd assigns, and the index write all
     # consume the quantized frame — un-materialized, each re-ran the
-    # quantization pipeline (3 full passes; round-10).  Lazy because the c1
-    # centroid build below is an eager checkpoint whose single action fully
-    # materializes vecs first — no concurrent stage can race the persist,
-    # and no extra blocking job is launched.
+    # quantization pipeline (3 full passes; round-10).  Lazy because the c0
+    # seed collect below is a lone sequential driver action that touches
+    # every partition — no concurrent stage can race the persist, and no
+    # extra blocking job is launched.
     vecs = quantized_vectors(df, vec_col, id_col).transform(materialize_lazy)
-    c0 = vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
-    c1 = _update(_assign(vecs, c0)).transform(materialize)  # reused by assign + written
-    a2 = _assign(vecs, c1)
+    id_t = dict(vecs.dtypes)["id"]
+    # Both Lloyd assigns via the GEMM kernel (round-11): the k-row centroid
+    # tables are driver-bounded (k x 64 longs — the same bounded-collect
+    # class as ivf_probe's centroid load), and _assign_arrow replaces
+    # _assign's crossJoin n x k row stream + interpreted per-pair folds +
+    # groupBy(id, qv) argmin EXCHANGE with one map-only int64 matmul per
+    # batch.  Bit-identical assignments (pytest-asserted kernel agreement);
+    # probed 2.0 -> 1.2 s min-of-5 for the full build+probe at sf0.1.
+    c0_rows = (
+        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("qv").alias("cv")).collect()
+    )
+    # lazy: first consumer is the c1_rows collect — a lone driver action
+    c1 = _update(_assign_arrow(vecs, c0_rows, id_t)).transform(materialize_lazy)
+    a2 = _assign_arrow(vecs, c1.collect(), id_t)
     (
         a2.select("id", "qv", F.col("cluster").alias("cell"))
         .write.mode("overwrite")
@@ -258,12 +269,19 @@ def knn_blocked(
     cells (tested against brute force in tests/test_llm_ops.py)."""
     from pyspark.sql import Window
 
-    from .clustering import _assign, _dist2, _update, quantized_vectors
+    from .clustering import _assign_arrow, _dist2, _update, quantized_vectors
 
     vecs = quantized_vectors(df, vec_col, id_col).transform(materialize)  # reused 3 ways
-    c0 = vecs.orderBy("id").limit(ncells).select(F.col("id").alias("cid"), F.col("qv").alias("cv"))
-    c1 = _update(_assign(vecs, c0)).transform(materialize)
-    members = _assign(vecs, c1).select(
+    # both Lloyd assigns via the GEMM kernel — same rationale and kernel-
+    # agreement guarantee as ivf_build_index (round-11): the ncells-row
+    # centroid tables are bounded driver collects, and _assign_arrow drops
+    # _assign's crossJoin row stream + groupBy(id, qv) argmin exchange
+    id_t = dict(vecs.dtypes)["id"]
+    c0_rows = (
+        vecs.orderBy("id").limit(ncells).select(F.col("id").alias("cid"), F.col("qv").alias("cv")).collect()
+    )
+    c1 = _update(_assign_arrow(vecs, c0_rows, id_t)).transform(materialize)
+    members = _assign_arrow(vecs, c1.collect(), id_t).select(
         F.col("id").alias("neighbor_id"), F.col("qv").alias("nqv"), F.col("cluster").alias("cell")
     )
     # each query probes its nprobe nearest cells (by exact int distance)

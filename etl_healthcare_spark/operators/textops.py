@@ -60,7 +60,11 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataF
     # tokens materialized first — see shingles_from_tokens note in functions/text.py
     from ..functions.text import shingles_from_tokens, tokens
 
-    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    tok = (
+        df.select(F.col(id_col), F.col(text_col).alias("__raw"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), tokens(F.col("__raw")).alias("t"))
+    )
     hashed = F.transform(
         shingles_from_tokens(F.col("t"), k), lambda s: F.substring(F.sha2(s, 256), 1, 16)
     )

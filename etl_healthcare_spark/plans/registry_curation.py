@@ -707,11 +707,16 @@ def _funnel_oracle() -> str:
     "near-dup keep-list (connected components over candidate pairs of the "
     "SURVIVING set) -> 5-gram benchmark decontamination (>=50% contaminated "
     "shingles dropped).  Returns the attrition funnel (stage, n_docs).  "
-    "Every stage reuses the registry operator it corresponds to; survivors "
-    "are persisted once per stage so the iterative CC loop and the six "
-    "counts do not recompute the chain.",
+    "Every stage reuses the registry operator it corresponds to; survivor "
+    "frames are eagerly materialized once per stage, and the quality/"
+    "exact_dedup/near_dedup counts RIDE those materialization jobs as "
+    "Observations (round-11, verdict item 3) instead of re-counting the "
+    "cached frames in the final union — the declared output (the funnel "
+    "table) is byte-identical, three count branches cheaper.",
 )
 def curation_e2e(spark, sf_dir):
+    from pyspark.sql import Observation
+
     from ..operators.dedup import (
         connected_components,
         dedup_keep_list,
@@ -724,46 +729,69 @@ def curation_e2e(spark, sf_dir):
     eval_df = docs.where(F.col("source") == "src0")
     corpus = docs.where(F.col("source") != "src0")
     gate = quality_gate(corpus, "text", "doc_id")
-    # persisted: q feeds BOTH the exact-dedup key derivation and the
-    # survivor semi-join — without the barrier the regex-heavy gate chain
-    # runs twice inside ex_surv's plan
-    q = corpus.join(
-        gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    # EAGER materialization (round-11; was a lazy .persist()): q feeds BOTH
+    # the exact-dedup key derivation and the survivor semi-join, which are
+    # CONCURRENT leaf stages of the first CC action — the SCALE.md §50 race
+    # class the r10 allowlist excused as "warmed by the CC loop".  Eager
+    # gives each frame a dedicated single-consumer materialization job,
+    # which (a) removes the race outright and (b) makes the riding
+    # Observation exactly-once by construction (a raced cache recompute
+    # would double-count the CollectMetrics accumulator).
+    n_of = F.count(F.lit(1)).alias("n")
+    obs_q, obs_ex, obs_nd = Observation(), Observation(), Observation()
+    q = (
+        corpus.join(gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi")
+        .observe(obs_q, n_of)
+        .transform(materialize)
+    )
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    ex_surv = q.join(exk, "doc_id", "left_semi").persist()
+    ex_surv = (
+        q.join(exk, "doc_id", "left_semi").observe(obs_ex, n_of).transform(materialize)
+    )
     pairs = minhash_lsh_pairs(ex_surv, "text", "doc_id", bands=4, rows=4)
     keep = dedup_keep_list(ex_surv, "doc_id", connected_components(pairs, "doc_a", "doc_b"))
-    # EAGER checkpoint, not persist: contam's tokenize pass, the decontam
-    # anti-join, and the near_dedup count all consume nd_surv from
-    # concurrent stages of the one funnel job — a lazy persist races, and
-    # unlike q/ex_surv no earlier sequential action (the CC loop) has
-    # warmed it (round-10 A/B: the dedup_ngram_jaccard defect class)
-    nd_surv = ex_surv.join(
-        keep.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    ).transform(materialize)
+    # eager (round-10): contam's tokenize pass and the decontam anti-join
+    # consume nd_surv from concurrent stages of the final funnel job
+    nd_surv = (
+        ex_surv.join(keep.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi")
+        .observe(obs_nd, n_of)
+        .transform(materialize)
+    )
     contam = ngram_contamination(nd_surv, eval_df, "text", "doc_id", k=5)
     final = nd_surv.join(
         contam.where(F.col("contam_ppm") >= 500000).select("doc_id"), "doc_id", "left_anti"
     )
-    stages = [
-        ("raw", docs),
-        ("eval_holdout", corpus),
-        ("quality", q),
-        ("exact_dedup", ex_surv),
-        ("near_dedup", nd_surv),
-        ("decontam", final),
-    ]
-    out = None
-    for i, (name, sdf) in enumerate(stages, 1):
-        row = sdf.agg(F.count("*").alias("n_docs")).select(
+    # the three observed counts are already collected (their frames
+    # materialized above — Observation.get returns without a new action);
+    # raw/eval_holdout have no materialization job to ride and decontam IS
+    # the final computation, so those three stay computed branches
+    def _count_row(i: int, name: str, sdf):
+        return sdf.agg(F.count("*").alias("n_docs")).select(
             F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), F.col("n_docs")
         )
-        out = row if out is None else out.unionAll(row)
+
+    def _lit_row(i: int, name: str, n: int):
+        return spark.range(1).select(
+            F.lit(i).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.lit(n).cast("long").alias("n_docs"),
+        )
+
+    rows = [
+        _count_row(1, "raw", docs),
+        _count_row(2, "eval_holdout", corpus),
+        _lit_row(3, "quality", obs_q.get["n"]),
+        _lit_row(4, "exact_dedup", obs_ex.get["n"]),
+        _lit_row(5, "near_dedup", obs_nd.get["n"]),
+        _count_row(6, "decontam", final),
+    ]
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionAll(row)
     return out
 
 

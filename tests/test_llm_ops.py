@@ -463,3 +463,48 @@ def test_lm_score_smoothing_never_zero_and_short_docs_dropped(spark):
     assert set(got) == {1}  # <2 tokens -> no bigrams -> not scored
     n_bigrams, ppm = got[1]
     assert n_bigrams == 1 and ppm > 0  # add-one smoothing floors above zero
+
+
+def test_embedding_lsh_bucket_gemm_kernel_matches_expression(spark):
+    """Round-11: the arrow path's bucket bits come from an int64 numpy GEMM
+    (np.floor-quantize + sign) instead of hyperplane_bucket_exact's
+    interpreted folds.  Both must emit IDENTICAL buckets and pair sets —
+    the quantize/dot arithmetic is exact integers on both paths."""
+    from etl_healthcare_spark.operators.dedup import embedding_lsh_dedup_pairs
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat_ws(":", F.col("id").cast("string"), i.cast("string")), 256
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("float")
+                / F.lit(65535.0)
+                - F.lit(0.5)
+            ),
+        ).alias("embedding"),
+    )
+    planes = [list(r[0]) for r in df.where("vec_id between 1 and 4").orderBy("vec_id").select("embedding").collect()]
+    kw = dict(threshold=-0.5, dim=8)  # permissive: every in-bucket pair emits
+    expr = sorted(
+        (r.id_a, r.id_b, r.bucket)
+        for r in embedding_lsh_dedup_pairs(
+            df, "embedding", "vec_id", planes, kernel="expr", **kw
+        ).collect()
+    )
+    gemm = sorted(
+        (r.id_a, r.id_b, r.bucket)
+        for r in embedding_lsh_dedup_pairs(
+            df, "embedding", "vec_id", planes, kernel="arrow", **kw
+        ).collect()
+    )
+    assert expr == gemm and len(expr) > 0

@@ -27,7 +27,9 @@ def _sites(pattern: str) -> set[tuple[str, int]]:
             continue
         rel = str(p.relative_to(PKG))
         for i, line in enumerate(p.read_text().split("\n"), 1):
-            if re.search(pattern, line):
+            # crude comment strip: enough for this codebase's style, and a
+            # call hidden behind a '#' wouldn't execute anyway
+            if re.search(pattern, line.split("#", 1)[0]):
                 out.add((rel, i))
     return out
 
@@ -68,12 +70,10 @@ LAZY_ALLOWLIST = {
 }
 
 # Plain .persist() (catalog cache, lineage retained) sites: same race rule
-# applies to their first consumer.
-PERSIST_ALLOWLIST = {
-    # curation_e2e q/ex_surv: warmed by the CC loop's first eager
-    # materialize (a lone sequential action) before any concurrent consumer
-    ("plans/registry_curation.py", "curation_e2e"),
-}
+# applies to their first consumer.  Round-11: curation_e2e's q/ex_surv
+# persists became eager materializations with riding Observations, so the
+# set is empty — any new .persist() must be reviewed onto this list.
+PERSIST_ALLOWLIST: set[tuple[str, str]] = set()
 
 
 def _enclosing_function(path: Path, lineno: int) -> str:

@@ -363,6 +363,11 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         # in-task diagonal run fold over per-doc position arrays — the
         # round-7 scale fix (operators/textops._fold_longest_runs)
         "dedup_longest_run",
+        # round-11: both Lloyd assigns run the int64 GEMM argmin kernel
+        # (operators/clustering._assign_arrow — bit-identical to _assign,
+        # kernel agreement pytest-asserted), replacing the crossJoin row
+        # stream + groupBy(id, qv) argmin exchange
+        "sim_knn_blocked",
     }
     audited = 0
     for name in REGISTRY:
