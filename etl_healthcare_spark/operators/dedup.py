@@ -680,14 +680,24 @@ def ngram_contamination(
     the per-doc count."""
     from ..functions.text import shingles_from_tokens, tokens
 
-    def distinct_shingles(df: DataFrame) -> DataFrame:
-        tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("t")).where(F.size("t") >= k)
+    def distinct_shingles(df: DataFrame, fan_out: bool) -> DataFrame:
+        # corpus side (round-11): repartition the raw text by doc FIRST —
+        # hashpartitioning(id) satisfies the downstream per-doc groupBy
+        # (subset rule), so the exploded shingle stream never crosses an
+        # exchange (it shuffled n_shingles rows before; now one text-sized
+        # exchange) and the regex/shingle stage runs at full parallelism.
+        # The eval side stays un-fanned: its rows feed a DISTINCT keyed on
+        # the shingle, which a doc-keyed exchange cannot serve.
+        src = df.select(F.col(id_col), F.col(text_col).alias("__raw"))
+        if fan_out:
+            src = src.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        tok = src.select(F.col(id_col), tokens(F.col("__raw")).alias("t")).where(F.size("t") >= k)
         return tok.select(
             F.col(id_col), F.explode(F.array_distinct(shingles_from_tokens(F.col("t"), k))).alias("s")
         )
 
-    corpus_sh = distinct_shingles(corpus)
-    eval_sh = distinct_shingles(eval_df).select("s").distinct()
+    corpus_sh = distinct_shingles(corpus, fan_out=True)
+    eval_sh = distinct_shingles(eval_df, fan_out=False).select("s").distinct()
     # ONE corpus pass (round-10): the old total/hits branches each re-ran
     # the corpus tokenize + shingle explode (the regex-heavy stage) and then
     # joined the two per-doc counts back together.  A broadcast LEFT join

@@ -177,8 +177,18 @@ def index_build(
     # corpus tokenize + explode + aggregate (2 full passes; round-10).  The
     # frame is exactly the postings being written, so the materialization
     # is output-sized, not an extra copy class.
+    # Round-11: repartition the raw (doc, text) BEFORE tokenizing —
+    # hashpartitioning(doc) satisfies the (term, doc) grouping (subset
+    # rule), so the plan still has exactly ONE exchange, but it now carries
+    # raw text instead of the exploded token stream and the regex+explode+
+    # aggregate run post-shuffle at full parallelism (probed 0.50-0.67 ->
+    # 0.22-0.31 s min-of-6 for the tf frame at sf0.1; plan-verified 1
+    # exchange both ways).
+    npart = docs.sparkSession.sparkContext.defaultParallelism
     tf = (
-        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__raw"))
+        .repartition(npart, "doc")
+        .select("doc", F.explode(tokens(F.col("__raw"))).alias("term"))
         .groupBy("term", "doc")
         .agg(F.count(F.lit(1)).alias("tf"))
         .transform(materialize)
@@ -335,7 +345,16 @@ def related_docs(
 
     from ..functions.text import shingles_from_tokens, tokens
 
-    tok = docs.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t"))
+    # repartition the raw text by doc BEFORE the tokenize+shingle+sha chain
+    # (round-11, minhash_signatures' rule): the chain otherwise runs at scan
+    # parallelism — ONE task on a single-file local input.  At corpus scale
+    # this adds one text-sized exchange, ~2 % of the posting/pair shuffle
+    # volume this operator's own math bounds at ~45x the corpus.
+    tok = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__raw"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc")
+        .select("doc", tokens(F.col("__raw")).alias("t"))
+    )
     # shingles join/aggregate as 48-bit sha256-prefix int64 keys, not raw
     # strings: at corpus scale the posting shuffle is the dominant byte
     # volume and an 8-byte key beats a ~40-byte text shingle ~5x (collisions

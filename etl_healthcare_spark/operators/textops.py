@@ -879,7 +879,16 @@ def containment_pairs(
     """
     from ..functions.text import shingles_from_tokens, tokens
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    # repartition the raw text by doc BEFORE the tokenize+sha256 chain
+    # (round-11, minhash_signatures' rule): the chain otherwise runs at scan
+    # parallelism — ONE task on a single-file local input — inside the
+    # materialization job, and the checkpointed per-doc array blocks inherit
+    # that single partition for every downstream stage
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__raw"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens(F.col("__raw")).alias("t"))
+    )
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )
@@ -1310,7 +1319,16 @@ def longest_shared_run(
     """
     from ..functions.text import shingles_from_tokens, tokens
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    # repartition the raw text by doc BEFORE the tokenize+sha256 chain
+    # (round-11, minhash_signatures' rule): the chain otherwise runs at scan
+    # parallelism — ONE task on a single-file local input — inside the
+    # materialization job, and the checkpointed per-doc array blocks inherit
+    # that single partition for every downstream stage
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__raw"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens(F.col("__raw")).alias("t"))
+    )
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )
@@ -1493,7 +1511,16 @@ def novelty_scores(
     """
     from ..functions.text import shingles_from_tokens, tokens
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t"))
+    # repartition the raw text by doc BEFORE the tokenize+sha256 chain
+    # (round-11, minhash_signatures' rule): the chain otherwise runs at scan
+    # parallelism — ONE task on a single-file local input — inside the
+    # materialization job, and the checkpointed per-doc array blocks inherit
+    # that single partition for every downstream stage
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__raw"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", tokens(F.col("__raw")).alias("t"))
+    )
     sh = F.when(F.size(F.col("t")) >= k, shingles_from_tokens(F.col("t"), k)).otherwise(
         F.array().cast("array<string>")
     )

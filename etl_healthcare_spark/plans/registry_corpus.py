@@ -492,6 +492,8 @@ def _training_prep_oracle() -> str:
     "sample_hash_split).",
 )
 def training_prep_e2e(spark, sf_dir):
+    from pyspark.sql import Observation
+
     from ..functions.text import token_count_ws
     from ..operators.sampling import hash_split, source_cap
     from ..operators.textops import quality_gate
@@ -501,38 +503,65 @@ def training_prep_e2e(spark, sf_dir):
         "doc_id", "text", "source", token_count_ws(F.col("text")).alias("n_tok")
     )
     g = quality_gate(docs, "text", "doc_id").where(F.col("kept")).select("doc_id")
-    # EAGER checkpoint: the quality count, the exact-dedup key derivation,
-    # and the survivor semi-join all consume q from CONCURRENT stages of
-    # the one report job — a lazy persist races (each stage re-runs the
-    # regex-heavy gate chain itself before blocks land; the round-10
-    # dedup_ngram_jaccard defect class), and nothing sequential warms it
-    q = base.join(g, "doc_id", "left_semi").transform(materialize)
+    # EAGER checkpoint: the exact-dedup key derivation and the survivor
+    # semi-join consume q from CONCURRENT stages of the one report job — a
+    # lazy persist races (each stage re-runs the regex-heavy gate chain
+    # itself before blocks land; the round-10 dedup_ngram_jaccard defect
+    # class), and nothing sequential warms it.  Round-11 (verdict item 3,
+    # curation_e2e's recipe): the per-stage doc/token totals RIDE each
+    # frame's dedicated materialization job as Observations — exactly-once
+    # by construction (single consumer) — so the final union no longer
+    # re-reads the q/ex/cap checkpoint blocks for three count branches.
+    stage_metrics = lambda: (  # noqa: E731
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    obs_q, obs_ex, obs_cap = Observation(), Observation(), Observation()
+    q = base.join(g, "doc_id", "left_semi").observe(obs_q, *stage_metrics()).transform(materialize)
     exk = (
         q.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
     # eager checkpoints (not lazy persists) for the same reason as q: each
-    # frame's count branch and its successor-stage derivation start in
-    # concurrent stages and raced the lazy persist (round-10)
-    ex = q.join(exk, "doc_id", "left_semi").transform(materialize)
+    # frame's successor-stage derivation starts in concurrent stages and
+    # raced the lazy persist (round-10)
+    ex = q.join(exk, "doc_id", "left_semi").observe(obs_ex, *stage_metrics()).transform(materialize)
     capk = (
         source_cap(ex, "doc_id", "source", cap=15, salt="tp1")
         .where(F.col("kept"))
         .select("doc_id")
     )
-    cap = ex.join(capk, "doc_id", "left_semi").transform(materialize)
+    cap = ex.join(capk, "doc_id", "left_semi").observe(obs_cap, *stage_metrics()).transform(materialize)
     tr = hash_split(cap, "doc_id", "tpsplit", train=0.9, val=0.05).where(
         F.col("split") == "train"
     )
-    stages = [("raw", base), ("quality", q), ("exact_dedup", ex), ("source_cap", cap), ("train_split", tr)]
-    out = None
-    for i, (name, sdf) in enumerate(stages, 1):
-        row = sdf.agg(
+
+    def _count_row(i, name, sdf):
+        return sdf.agg(
             F.count("*").alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
         ).select(
             F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_docs", "n_tokens"
         )
-        out = row if out is None else out.unionAll(row)
+
+    def _lit_row(i, name, obs):
+        m = obs.get
+        return spark.range(1).select(
+            F.lit(i).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.lit(m["n_docs"]).cast("long").alias("n_docs"),
+            F.lit(m["n_tokens"]).cast("long").alias("n_tokens"),
+        )
+
+    rows = [
+        _count_row(1, "raw", base),
+        _lit_row(2, "quality", obs_q),
+        _lit_row(3, "exact_dedup", obs_ex),
+        _lit_row(4, "source_cap", obs_cap),
+        _count_row(5, "train_split", tr),
+    ]
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionAll(row)
     return out
