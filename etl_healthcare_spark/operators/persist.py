@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from ..functions.materialize import cut_lineage, materialize
+from ..functions.materialize import cut_lineage
 
 MERGE_KEYS = ["tenantId", "entityType", "entityId"]
 ACTION_COL = "_action"  # insert | update | noop

@@ -201,6 +201,14 @@ def index_build(
     (
         tf.join(df_counts, "term")
         .withColumn("bucket", bucket)
+        # cluster by the partition column before the write (guide §6): with
+        # the tf frame now 32-way, every task would otherwise open a file
+        # in every bucket directory (32 x n_buckets small files — probed as
+        # a 2x slowdown of the whole build+probe at sf0.1); hash
+        # distribution writes each bucket from few tasks and AQE sizes the
+        # task count by bytes, which is also the 100 TB layout (file count
+        # tracks data volume, not task x bucket cross product)
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(index_dir + "/postings")

@@ -521,10 +521,14 @@ def test_related_docs_pairs_expand_in_bucket_with_one_pair_shuffle(spark):
     assert "Join" not in plan, "pairs must expand in-bucket, never via joins"
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan, "per-doc top-k must push below the shuffle"
-    # exchanges: groupBy(g) collect_set (fuses the old distinct's shuffle)
-    # + repartition(a) — nothing more (round-10: 3 -> 2)
+    # exchanges: tokenize fan-out on (doc, text) (round-11 — the regex+
+    # shingle+sha chain otherwise ran at single-file scan parallelism; this
+    # exchange is text-sized, ~2% of the pair volume) + groupBy(g)
+    # collect_set (fuses the old distinct's shuffle, round-10: was 2 here)
+    # + repartition(a) — nothing more
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges == 2, f"expected 2 exchanges, got {n_exchanges}"
+    assert n_exchanges == 3, f"expected 3 exchanges, got {n_exchanges}"
+    assert plan.count("REPARTITION_BY_NUM") == 1, "exactly one fan-out exchange"
 
 
 def test_trimmed_mean_single_shuffle(spark):
